@@ -1,0 +1,92 @@
+"""Relational operators (SURVEY.md §2b, §2c, §2f, §2g).
+
+Each operator is a pure function DataFrame -> DataFrame producing a
+declarative Catalyst plan. Scale notes are inline: the design rule is
+that nothing here ever collects to the driver, and every join states
+its intended physical strategy (broadcast for dims, shuffle otherwise,
+AQE free to re-plan at runtime).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Positive projection (P2). Catalyst prunes the scan to these cols."""
+    return df.select(*cols)
+
+
+def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Negative projection (P1) — e.g. the reference's forbidden-column
+    drop (/root/reference/src/main/helper_methods.py:21-33)."""
+    return df.drop(*cols)
+
+
+def broadcast_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column | str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Fact x dim equi-join with an explicit broadcast hint (J1).
+
+    The reference relies on Catalyst auto-broadcasting its 5k-row plane
+    dimension (/root/reference/src/main/dataset_utils.py:47-50); at
+    100 TB the fact side must never shuffle for a small dim, so the
+    hint is explicit. For dims above the broadcast threshold, drop the
+    hint and pre-bucket both sides on the key instead.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]) -> DataFrame:
+    """LEFT SEMI: rows of `left` with a match in `right`. Replaces the
+    collect+isin pattern (/root/reference/src/main/dataset_utils.py:14-17)
+    with a distributed join — no driver round-trip."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]) -> DataFrame:
+    """LEFT ANTI: rows of `left` without a match in `right` (J2). The
+    scalable rewrite of the reference's subtract+collect+isin round-trip
+    (/root/reference/src/main/dataset_utils.py:11-23)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def set_except(left: DataFrame, right: DataFrame) -> DataFrame:
+    """EXCEPT (distinct) — A9, /root/reference/src/main/dataset_utils.py:14."""
+    return left.exceptAll(right.dropDuplicates()).dropDuplicates()
+
+
+def dedup_first_row(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Reference-parity dedup (A8): `dropDuplicates(keys)` keeps an
+    arbitrary first row per key (/root/reference/src/main/dataset_utils.py:126).
+    Fast (hash-agg, map-side partial) but row-nondeterministic across
+    partitionings — use `dedup_deterministic` when outputs must be stable.
+    """
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_deterministic(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
+    """Key dedup with a total order: keep the first row per key under
+    `order_by`. One hash-partition shuffle on `keys`; deterministic under
+    any partitioning, so results are reproducible cluster-to-cluster.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Total-order top-k (O3). Spark plans TakeOrderedAndProject: each
+    partition keeps k rows, the driver merges partition winners — no
+    global sort. Callers must include a unique tiebreaker column for
+    deterministic results."""
+    return df.orderBy(*order_by).limit(k)

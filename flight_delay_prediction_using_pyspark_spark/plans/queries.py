@@ -1,0 +1,594 @@
+"""The engine's query catalog: named PySpark queries + DuckDB oracles.
+
+Every SQL-expressible operator from SURVEY.md §2 (and the
+LLM-data-pipeline extensions) is exposed here as a named query over the
+driver testdata tables, paired with an ANSI-SQL oracle that DuckDB runs
+on the same parquet. The driver compares row-count + schema +
+order-insensitive value hash (columns sorted by name), so:
+
+- every computed column is aliased identically in Spark and SQL;
+- any float aggregate whose addition order could differ between
+  engines is computed via exact fixed-scale decimal addition
+  (order-independent) and cast back to double — bit-identical results;
+- per-row float arithmetic (x*y, x/y, x-y) is written with the same
+  operand order in both engines — IEEE754 gives bit-identical results;
+- ranking/limit queries always carry a unique tiebreaker so the
+  selected row SET is deterministic.
+
+Registration: @query("name", oracle="SQL...") adds to QUERIES/ORACLES,
+which __spark_entry__.py re-exports to the driver. Queries with no
+SQL-expressible oracle (ML stages, LSH internals) pass oracle=None and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.operators import relational as R
+from flight_delay_prediction_using_pyspark_spark.operators import windows as W
+from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (S*, P*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate (A1/A2/A3): hash agg with
+    map-side partials; the flagship query. Mirrors the reference's
+    grouped-mean EDA shape (/root/reference/src/main/helper_methods.py:159)
+    at analytic scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return A.grouped_agg(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        [
+            A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+            A.exact_decimal_sum("l_extendedprice").alias("sum_base_price"),
+            A.exact_decimal_sum(disc_price).alias("sum_disc_price"),
+            A.exact_decimal_avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@query(
+    "open_orders_projection",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def q_open_orders_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + positive projection (P2/P5/P6/F8). Both predicates and
+    the 3-column ReadSchema reach the parquet scan (pushdown + pruning)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "case_bucket_orders",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS price_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN cascade (P9) + grouped agg — the reference's 3-way
+    label bucketing shape (/root/reference/src/main/main.py:97-110)
+    expressed as a pure-Column conditional (no UDF)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("price_bucket")
+    )
+    return (
+        orders.select(bucket, "o_totalprice")
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            A.exact_decimal_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins & set ops (J*, A9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x dim broadcast equi-join (J1) + grouped agg. The dim
+    (customer) is broadcast-hinted: no shuffle of the fact side —
+    the enrichment-join shape of
+    /root/reference/src/main/dataset_utils.py:47-50 at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = R.broadcast_enrich(
+        orders, customer, on=orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        A.exact_decimal_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
+    "nation_revenue_multijoin",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_nation_revenue_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: big-big shuffle join (lineitem x
+    orders) + broadcast dims (customer/nation/region). The region filter
+    prunes before the joins (Catalyst pushes it through), so the
+    broadcast side is pre-filtered — the join-order a CBO would pick,
+    declared explicitly."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_customers = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_customers), orders.o_custkey == asia_customers.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            A.exact_decimal_sum(revenue).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (J2): the distributed rewrite of the reference's
+    subtract+collect+isin pattern
+    (/root/reference/src/main/dataset_utils.py:11-23)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return R.anti_join(
+        customer, orders, on=customer.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice >= 400000)
+    """,
+)
+def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (§2c gap op): existence test without duplicating
+    left rows; the filter on the right side pushes to its scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") >= 400000)
+    return R.semi_join(customer, big, on=customer.c_custkey == big.o_custkey).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "active_custkeys_except_negative",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q_active_custkeys_except_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/set-difference (A9,
+    /root/reference/src/main/dataset_utils.py:14) — distinct semantics,
+    hash-partitioned on the full row."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    left = orders.select("o_custkey").distinct()
+    right = (
+        customer.filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return R.set_except(left, right)
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (A*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_counts_lineitem",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS l_partkey_distinct,
+           COUNT(DISTINCT l_suppkey) AS l_suppkey_distinct,
+           COUNT(DISTINCT l_orderkey) AS l_orderkey_distinct
+    FROM lineitem
+    """,
+)
+def q_distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact count-distinct in ONE job (A4) — replaces the
+    reference's per-column distinct().count() loop
+    (/root/reference/src/main/helper_methods.py:58-62). The engine also
+    exposes approx_count_distinct (HLL++) as the 100 TB path."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return A.distinct_counts(lineitem, ["l_partkey", "l_suppkey", "l_orderkey"])
+
+
+@query(
+    "null_counts_documents",
+    oracle="""
+    SELECT CAST(SUM(CAST(text IS NULL AS BIGINT)) AS BIGINT) AS text_nulls,
+           CAST(SUM(CAST(lang IS NULL AS BIGINT)) AS BIGINT) AS lang_nulls,
+           CAST(SUM(CAST(source IS NULL AS BIGINT)) AS BIGINT) AS source_nulls,
+           CAST(SUM(CAST(n_chars IS NULL AS BIGINT)) AS BIGINT) AS n_chars_nulls
+    FROM documents
+    """,
+)
+def q_null_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column null counts (A5) — replaces the reference's
+    per-column where(isNull).count() jobs
+    (/root/reference/src/main/helper_methods.py:68)."""
+    documents = load_table(spark, sf_dir, "documents")
+    return A.null_counts(documents, ["text", "lang", "source", "n_chars"])
+
+
+@query(
+    "quantiles_quantity",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem
+    """,
+)
+def q_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A6,
+    /root/reference/src/main/helper_methods.py:70). The engine also
+    ships percentile_approx (GK sketch, mergeable) for 100 TB."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return A.exact_quantiles(lineitem, "l_quantity", [0.25, 0.50, 0.75]).select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
+@query(
+    "corr_price_quantity",
+    oracle="""
+    SELECT ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_val
+    FROM lineitem
+    """,
+)
+def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation as a single-pass aggregate (A7,
+    /root/reference/src/main/helper_methods.py:69)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return A.pearson_corr(lineitem, "l_extendedprice", "l_quantity").select(
+        F.round("corr", 6).alias("corr_val")
+    )
+
+
+@query(
+    "crosstab_returnflag_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS l_linestatus_F,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS l_linestatus_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_crosstab_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (A10 crosstab shape) as conditional counts:
+    single hash agg, static schema, no extra pivot-values job."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return A.crosstab_counts(lineitem, "l_returnflag", "l_linestatus", ["F", "O"])
+
+
+@query(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (§2d gap op the engine adds beyond the
+    reference — Spark plans a single Expand+hash-agg)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "numeric_profile_orders",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(o_totalprice) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_val,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(o_totalprice) AS mean_val,
+           ROUND(stddev_samp(o_totalprice), 4) AS stddev_val,
+           CAST(SUM(CAST(o_totalprice IS NULL AS BIGINT)) AS BIGINT) AS n_nulls
+    FROM orders
+    """,
+)
+def q_numeric_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profile (C12/A11 equivalent): count, min,
+    max, exact mean, stddev, nulls — one scan, one row per column,
+    replacing the reference's N-jobs-per-column EDA
+    (/root/reference/src/main/helper_methods.py:65-79)."""
+    orders = load_table(spark, sf_dir, "orders")
+    prof = A.numeric_profile(orders, ["o_totalprice"])
+    return prof.select(
+        "column_name",
+        "n",
+        "min_val",
+        "max_val",
+        "mean_val",
+        F.round("stddev_val", 4).alias("stddev_val"),
+        "n_nulls",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / windows / top-k (A8, W*, O*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_lineitem_per_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                 l_extendedprice, l_discount, l_tax, l_shipdate) = 1
+    """,
+)
+def q_dedup_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key-dedup (A8 made reproducible): first row per
+    key under a TOTAL order (all columns — the synthetic lineitem has
+    duplicate linenumbers) — stable under any partitioning, unlike
+    dropDuplicates (/root/reference/src/main/dataset_utils.py:126)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    order_cols = [
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    ]
+    return R.dedup_deterministic(
+        lineitem, ["l_orderkey"], [F.col(c) for c in order_cols]
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@query(
+    "rank_lineitems_in_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+    FROM lineitem
+    QUALIFY rnk <= 2
+    """,
+)
+def q_rank_lineitems_in_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (W1,
+    /root/reference/src/main/helper_methods.py:171-179 shape): top-2
+    line items per order by price with a unique tiebreaker."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ranked = W.rank_in_group(
+        lineitem,
+        ["l_orderkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        out_col="rnk",
+    )
+    return ranked.filter(F.col("rnk") <= 2).select(
+        "l_orderkey", "l_linenumber", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@query(
+    "price_ratio_global_max",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / (SELECT MAX(l_extendedprice) FROM lineitem) AS price_ratio
+    FROM lineitem
+    """,
+)
+def q_price_ratio_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 rewrite: global max attached to every row via scalar agg +
+    broadcast cross-join — same semantics as the reference's
+    single-partition unbounded window
+    (/root/reference/src/main/dataset_utils.py:55-66), fully parallel."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    with_max = W.with_global_agg(
+        lineitem, F.max("l_extendedprice"), out_col="__max_price"
+    )
+    return with_max.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("__max_price")).alias("price_ratio"),
+    )
+
+
+@query(
+    "top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k (O3): TakeOrderedAndProject — per-partition
+    k-heaps merged at the driver, no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return R.top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "event_value_delta_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def q_event_value_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() per-group delta (§2e gap op): one shuffle on user_id;
+    identical operand order both engines → bit-identical doubles."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return W.lag_lead_delta(
+        events, ["user_id"], [F.col("ts"), F.col("event_id")], "value", out_col="delta"
+    ).select("event_id", "user_id", "delta")
+
+
+# ---------------------------------------------------------------------------
+# Events: timestamps + JSON (§2h gap ops; events table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over event time via F.window — the same
+    plan Structured Streaming uses for windowed aggs (streaming/ reuses
+    this logic); batch-equivalent to date_trunc('hour')."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            A.exact_decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(30,0))) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (from_json into a typed struct, §2h gap op)
+    + grouped agg. from_json is a JVM-side expression — no Python UDF."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "props_struct", F.from_json(F.col("props"), "k BIGINT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props_struct.k")).alias("sum_k"),
+    )
