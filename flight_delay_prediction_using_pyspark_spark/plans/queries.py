@@ -592,3 +592,359 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("props_struct.k")).alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity composites (SURVEY.md §2k) on the portable synthetic
+# flight tables: the SAME generator SQL text runs in Spark (via
+# spark.sql) and inside the DuckDB oracle as a CTE, so even the
+# flight-domain composites are hash-checkable.
+# ---------------------------------------------------------------------------
+
+from flight_delay_prediction_using_pyspark_spark.functions.features import (  # noqa: E402
+    add_custom_features,
+    add_time_gap_bucket,
+    add_time_of_day,
+    add_weekend_indicator,
+)
+from flight_delay_prediction_using_pyspark_spark.functions.labels import add_prediction_labels  # noqa: E402
+from flight_delay_prediction_using_pyspark_spark.functions.time_parse import (  # noqa: E402
+    add_cyclical_times,
+    add_polar_coordinates,
+)
+from flight_delay_prediction_using_pyspark_spark.plans import prepare as P  # noqa: E402
+from flight_delay_prediction_using_pyspark_spark.sources.synthetic import (  # noqa: E402
+    flights_df,
+    flights_gen_sql,
+    plane_df,
+    plane_gen_sql,
+)
+
+# Deterministic survivor order for unique_id dedup: columns that are
+# never null in the generator, explicit NULLS FIRST on the nullable
+# ones so Spark (asc = nulls first) and DuckDB agree. Built lazily —
+# F.col needs an active SparkContext in classic PySpark.
+def _dedup_order_spark():
+    return [
+        F.col("DepTime").asc_nulls_first(),
+        F.col("CRSArrTime").asc_nulls_first(),
+        F.col("DepDelay"),
+        F.col("TaxiOut"),
+        F.col("UniqueCarrier"),
+        F.col("Dest"),
+        F.col("CRSElapsedTime"),
+    ]
+_DEDUP_ORDER_SQL = (
+    "DepTime ASC NULLS FIRST, CRSArrTime ASC NULLS FIRST, DepDelay, "
+    "TaxiOut, UniqueCarrier, Dest, CRSElapsedTime"
+)
+
+_UID_SQL = (
+    "concat_ws('_', Month, DayofMonth, DayOfWeek, FlightNum, Origin, "
+    "CRSDepTime, Cancelled)"
+)
+
+# SQL fragments replicating the reference formulas (see functions/):
+_MSM = lambda c: f"(({c} // 100) * 60 + {c} % 100)"  # noqa: E731
+_HOUR = lambda c: f"({c} // 100)"  # noqa: E731
+
+
+def _tod_sql(c: str) -> str:
+    h = _HOUR(c)
+    return (
+        f"CASE WHEN {h} >= 5 AND {h} <= 11 THEN 'morning' "
+        f"WHEN {h} >= 12 AND {h} <= 18 THEN 'afternoon' "
+        f"WHEN {h} >= 19 AND {h} <= 23 THEN 'evening' "
+        f"WHEN {h} >= 0 AND {h} <= 4 THEN 'night' "
+        f"ELSE 'unknown' END"
+    )
+
+
+_GAP_SQL = f"({_MSM('CRSArrTime')} - {_MSM('CRSDepTime')})"
+_GAP_BUCKET_SQL = (
+    f"CASE WHEN {_GAP_SQL} <= 30 THEN 'NOT_ENOUGH' "
+    f"WHEN {_GAP_SQL} > 30 AND {_GAP_SQL} <= 60 THEN 'BARELY_ENOUGH' "
+    f"WHEN {_GAP_SQL} > 60 AND {_GAP_SQL} <= 120 THEN 'ENOUGH' "
+    f"ELSE 'MORE_THAN_ENOUGH' END"
+)
+_WEEKEND_SQL = "CASE WHEN DayOfWeek IN (5,6,7) THEN 'Weekend' ELSE 'Weekday' END"
+
+_PLANE_CLEAN_SQL = f"""
+    SELECT tailnum, type, manufacturer, model, aircraft_type, engine_type,
+           year AS year_plane
+    FROM plane
+    WHERE (CAST(tailnum IS NOT NULL AS INT) + CAST(type IS NOT NULL AS INT)
+         + CAST(manufacturer IS NOT NULL AS INT) + CAST(model IS NOT NULL AS INT)
+         + CAST(aircraft_type IS NOT NULL AS INT) + CAST(engine_type IS NOT NULL AS INT)
+         + CAST(year IS NOT NULL AS INT)) >= 4
+"""
+
+
+@query(
+    "flights_unique_id_stats",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT {_UID_SQL}) AS n_unique
+    FROM flights
+    """,
+)
+def q_flights_unique_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/F1: synthetic 7-column unique_id (concat_ws) + cardinality —
+    the duplicate-injection knob of the generator shows up as
+    n_unique < n_rows (/root/reference/src/main/dataset_utils.py:130-135)."""
+    df = P.append_unique_id(flights_df(spark))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("unique_id").alias("n_unique"),
+    )
+
+
+@query(
+    "flights_clean_summary",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()}),
+    u AS (SELECT *, {_UID_SQL} AS unique_id FROM flights),
+    filt AS (SELECT * FROM u
+             WHERE ArrDelay IS NOT NULL AND Cancelled = 0 AND Distance IS NOT NULL),
+    ded AS (SELECT * FROM filt
+            QUALIFY row_number() OVER (PARTITION BY unique_id
+                                       ORDER BY {_DEDUP_ORDER_SQL}) = 1)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(ArrDelay) AS BIGINT) AS sum_arrdelay,
+           CAST(SUM(DepDelay) AS BIGINT) AS sum_depdelay
+    FROM ded
+    """,
+)
+def q_flights_clean_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2+C3: forbidden-column drop, null/cancelled filters,
+    deterministic unique_id dedup
+    (/root/reference/src/main/dataset_utils.py:121-135)."""
+    df = P.drop_forbidden(flights_df(spark))
+    df = P.append_unique_id(df)
+    df = P.clean_data(df, dedup_order=_dedup_order_spark())
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("ArrDelay").cast("long").alias("sum_arrdelay"),
+        F.sum("DepDelay").cast("long").alias("sum_depdelay"),
+    )
+
+
+@query(
+    "flights_cyclical_time",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT row_id,
+           (ROUND(cos(2.0 * pi() * {_MSM('CRSDepTime')} / 1440), 6) + 0.0) AS crsdep_min_cos,
+           (ROUND(sin(2.0 * pi() * {_MSM('CRSDepTime')} / 1440), 6) + 0.0) AS crsdep_min_sin,
+           (ROUND(cos(2.0 * pi() * {_HOUR('DepTime')} / 24), 6) + 0.0) AS dep_hour_cos,
+           (ROUND(sin(2.0 * pi() * {_HOUR('DepTime')} / 24), 6) + 0.0) AS dep_hour_sin,
+           (ROUND(cos(2.0 * pi() * {_MSM('CRSArrTime')} / 1440), 6) + 0.0) AS crsarr_min_cos
+    FROM flights
+    WHERE DepTime IS NOT NULL AND CRSArrTime IS NOT NULL
+    """,
+)
+def q_flights_cyclical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cyclical HHMM encodings
+    (/root/reference/src/main/dataset_utils.py:79-117): junk-tolerant
+    parse → minutes/hours sin/cos; null-time rows filtered by the
+    operator itself."""
+    df = add_cyclical_times(flights_df(spark))
+    return df.select(
+        "row_id",
+        (F.round("CRSDepTime_minutes_cosine", 6) + 0.0).alias("crsdep_min_cos"),
+        (F.round("CRSDepTime_minutes_sine", 6) + 0.0).alias("crsdep_min_sin"),
+        (F.round("DepTime_hours_cosine", 6) + 0.0).alias("dep_hour_cos"),
+        (F.round("DepTime_hours_sine", 6) + 0.0).alias("dep_hour_sin"),
+        (F.round("CRSArrTime_minutes_cosine", 6) + 0.0).alias("crsarr_min_cos"),
+    )
+
+
+@query(
+    "flights_polar_coordinates",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT row_id,
+           (ROUND(cos(2.0 * pi() * (Month - 1) / (SELECT MAX(Month) FROM flights) + pi() / 2.0), 6) + 0.0) AS month_polar_x,
+           (ROUND(sin(2.0 * pi() * (Month - 1) / (SELECT MAX(Month) FROM flights) + pi() / 2.0), 6) + 0.0) AS month_polar_y,
+           (ROUND(cos(2.0 * pi() * (DayOfWeek - 1) / (SELECT MAX(DayOfWeek) FROM flights) + pi() / 2.0), 6) + 0.0) AS dow_polar_x,
+           (ROUND(sin(2.0 * pi() * (DayOfWeek - 1) / (SELECT MAX(DayOfWeek) FROM flights) + pi() / 2.0), 6) + 0.0) AS dow_polar_y
+    FROM flights
+    """,
+)
+def q_flights_polar_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 polar month/week encodings — global max via parallel scalar
+    agg + broadcast, replacing the reference's single-partition window
+    (/root/reference/src/main/dataset_utils.py:55-76; SURVEY.md §4.1)."""
+    df = add_polar_coordinates(flights_df(spark), ["Month", "DayOfWeek"])
+    return df.select(
+        "row_id",
+        (F.round("Month_polar_x", 6) + 0.0).alias("month_polar_x"),
+        (F.round("Month_polar_y", 6) + 0.0).alias("month_polar_y"),
+        (F.round("DayOfWeek_polar_x", 6) + 0.0).alias("dow_polar_x"),
+        (F.round("DayOfWeek_polar_y", 6) + 0.0).alias("dow_polar_y"),
+    )
+
+
+@query(
+    "flights_enrich_manufacturer",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()}),
+    plane AS ({plane_gen_sql()}),
+    dim AS ({_PLANE_CLEAN_SQL})
+    SELECT manufacturer,
+           COUNT(*) AS n_flights,
+           COUNT(DISTINCT flights.TailNum) AS n_tails
+    FROM flights JOIN dim ON flights.TailNum = dim.tailnum
+    GROUP BY manufacturer
+    """,
+)
+def q_flights_enrich_manufacturer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 enrichment join (/root/reference/src/main/dataset_utils.py:33-52):
+    dimension cleanup (na.drop thresh=4), broadcast inner join on
+    TailNum — unmatched fact rows drop, as in the reference."""
+    joined = P.extend_with_plane_data(flights_df(spark), plane_df(spark))
+    return joined.groupBy("manufacturer").agg(
+        F.count(F.lit(1)).alias("n_flights"),
+        F.countDistinct("TailNum").alias("n_tails"),
+    )
+
+
+@query(
+    "flights_missing_tailnum",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()}),
+    plane AS ({plane_gen_sql()}),
+    dim AS ({_PLANE_CLEAN_SQL}),
+    m AS (SELECT COUNT(*) AS missing_rows FROM flights f
+          WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.tailnum = f.TailNum)),
+    t AS (SELECT COUNT(*) AS total_rows FROM flights)
+    SELECT missing_rows, total_rows,
+           missing_rows / total_rows * 100 AS missing_pct
+    FROM m, t
+    """,
+)
+def q_flights_missing_tailnum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 rewritten scalable (anti-join + agg, no driver collect/isin
+    round-trip — /root/reference/src/main/dataset_utils.py:11-23,
+    SURVEY.md §4.2)."""
+    return P.missing_tailnum_ratio(
+        flights_df(spark), P.clean_plane_data(plane_df(spark))
+    )
+
+
+_TOD_ORACLE = f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT {_tod_sql('DepTime')} AS DepTime_TOD,
+           {_tod_sql('CRSDepTime')} AS CRSDepTime_TOD,
+           {_tod_sql('CRSArrTime')} AS CRSArrTime_TOD,
+           COUNT(*) AS n
+    FROM flights
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("flights_tod_buckets", oracle=_TOD_ORACLE)
+def q_flights_tod_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 time-of-day bucketing as a pure-Column when-cascade (the
+    codegen-friendly rewrite of the reference's row-at-a-time UDF,
+    /root/reference/src/main/custom_features.py:7-47); NULL hour →
+    'unknown' preserved."""
+    df = add_time_of_day(flights_df(spark))
+    return df.groupBy("DepTime_TOD", "CRSDepTime_TOD", "CRSArrTime_TOD").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("flights_tod_buckets_udf", oracle=_TOD_ORACLE)
+def q_flights_tod_buckets_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 parity: the same bucketing through a plain Python UDF
+    (/root/reference/src/main/custom_features.py:36) — kept to
+    demonstrate UDF-surface parity and to measure the Python-boundary
+    tax vs the native cascade; same oracle as the native form."""
+    df = add_time_of_day(flights_df(spark), use_udf=True)
+    return df.groupBy("DepTime_TOD", "CRSDepTime_TOD", "CRSArrTime_TOD").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "flights_weekend_timegap",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT {_WEEKEND_SQL} AS Weekend,
+           {_GAP_BUCKET_SQL} AS TimeBetweenDepartures,
+           COUNT(*) AS n
+    FROM flights
+    GROUP BY 1, 2
+    """,
+)
+def q_flights_weekend_timegap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8+C9 (/root/reference/src/main/custom_features.py:52-90):
+    weekend flag ([5,6,7] — src semantics) and scheduled-gap buckets,
+    incl. the NULL→MORE_THAN_ENOUGH fall-through quirk."""
+    df = add_time_gap_bucket(add_weekend_indicator(flights_df(spark)))
+    return df.groupBy("Weekend", "TimeBetweenDepartures").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "flights_label_confusion",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT CASE WHEN ArrDelay * 0.95 >= 10 THEN 'delayed'
+                WHEN ArrDelay * 0.95 <= -10 THEN 'early'
+                ELSE 'on time' END AS predicted_label,
+           CASE WHEN ArrDelay >= 10 THEN 'delayed'
+                WHEN ArrDelay <= -10 THEN 'early'
+                ELSE 'on time' END AS actual_label,
+           COUNT(*) AS n
+    FROM flights
+    GROUP BY 1, 2
+    """,
+)
+def q_flights_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 ±10-minute label derivation + confusion counts
+    (/root/reference/src/main/main.py:94-113; A10 crosstab shape).
+    A shrunk copy of ArrDelay stands in for the model prediction."""
+    df = flights_df(spark).withColumn("prediction", F.col("ArrDelay") * 0.95)
+    df = add_prediction_labels(df)
+    return df.groupBy("predicted_label", "actual_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "flights_prepare_summary",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()}),
+    plane AS ({plane_gen_sql()}),
+    dim AS ({_PLANE_CLEAN_SQL}),
+    u AS (SELECT *, {_UID_SQL} AS unique_id FROM flights),
+    filt AS (SELECT * FROM u
+             WHERE ArrDelay IS NOT NULL AND Cancelled = 0 AND Distance IS NOT NULL),
+    ded AS (SELECT * FROM filt
+            QUALIFY row_number() OVER (PARTITION BY unique_id
+                                       ORDER BY {_DEDUP_ORDER_SQL}) = 1),
+    cyc AS (SELECT * FROM ded WHERE DepTime IS NOT NULL AND CRSArrTime IS NOT NULL),
+    joined AS (SELECT cyc.*, dim.type, dim.manufacturer, dim.model, dim.aircraft_type, dim.engine_type, dim.year_plane FROM cyc JOIN dim ON cyc.TailNum = dim.tailnum)
+    SELECT {_WEEKEND_SQL} AS Weekend,
+           {_GAP_BUCKET_SQL} AS TimeBetweenDepartures,
+           COUNT(*) AS n,
+           CAST(SUM(DepDelay) AS BIGINT) AS sum_depdelay
+    FROM joined
+    GROUP BY 1, 2
+    """,
+)
+def q_flights_prepare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 end-to-end (/root/reference/src/main/dataset_utils.py:138-147):
+    unique_id → clean → cyclical filters → enrichment join → engineered
+    categoricals → 18-col select, summarized by the engineered buckets.
+    The full lineage is oracle-checked via the same generator CTE."""
+    prepared = P.prepare_data(
+        flights_df(spark), plane_df(spark), dedup_order=_dedup_order_spark()
+    )
+    return prepared.groupBy("Weekend", "TimeBetweenDepartures").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("DepDelay").cast("long").alias("sum_depdelay"),
+    )
