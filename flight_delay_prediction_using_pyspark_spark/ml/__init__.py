@@ -1,0 +1,19 @@
+from flight_delay_prediction_using_pyspark_spark.ml.pipeline import build_feature_pipeline
+from flight_delay_prediction_using_pyspark_spark.ml.train import (
+    cross_validate_tree,
+    evaluate_regression,
+    extract_feature_importance,
+    mean_fallback_predictions,
+    train_decision_tree,
+    train_linear_regression,
+)
+
+__all__ = [
+    "build_feature_pipeline",
+    "cross_validate_tree",
+    "evaluate_regression",
+    "extract_feature_importance",
+    "mean_fallback_predictions",
+    "train_decision_tree",
+    "train_linear_regression",
+]

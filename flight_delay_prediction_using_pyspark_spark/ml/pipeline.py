@@ -1,0 +1,62 @@
+"""Feature-encoding pipeline (SURVEY.md §2j L1-L6).
+
+Reproduces the reference's 24-stage MLlib Pipeline
+(/root/reference/src/main/helper_methods.py:252-278) with identical
+configuration:
+
+- StringIndexer per categorical, handleInvalid="keep" (L1 — unseen
+  categories at scoring time survive as an extra index),
+- OneHotEncoder per indexed column (L2),
+- VectorAssembler over the numeric features, handleInvalid="skip" (L3),
+- RobustScaler IQR scaling, withScaling=True / withCentering=False /
+  lower=0.25 / upper=0.75 (L4),
+- final VectorAssembler packing one-hots + scaled numerics (L5),
+- pyspark.ml.Pipeline ordering (L6).
+
+Scale note: each StringIndexer.fit is a distinct-count job and
+RobustScaler.fit runs quantile sketches — at 100 TB, fit on a sampled
+frame or persist the input before Pipeline.fit so the ~2k+1 fit jobs
+share a cached lineage (train.py does the persist).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import (
+    OneHotEncoder,
+    RobustScaler,
+    StringIndexer,
+    VectorAssembler,
+)
+
+
+def build_feature_pipeline(
+    categorical_cols: list[str],
+    numeric_cols: list[str],
+    output_col: str = "features",
+) -> Pipeline:
+    """L1-L6: the reference's encoder Pipeline, parameter-identical."""
+    indexers = [
+        StringIndexer(inputCol=c, outputCol=f"{c}_index", handleInvalid="keep")
+        for c in categorical_cols
+    ]
+    encoders = [
+        OneHotEncoder(inputCol=f"{c}_index", outputCol=f"{c}_ONEHOT")
+        for c in categorical_cols
+    ]
+    numeric_assembler = VectorAssembler(
+        inputCols=numeric_cols, outputCol="COMBINED_vec", handleInvalid="skip"
+    )
+    scaler = RobustScaler(
+        inputCol="COMBINED_vec",
+        outputCol="scaledFeatures",
+        withScaling=True,
+        withCentering=False,
+        lower=0.25,
+        upper=0.75,
+    )
+    final_assembler = VectorAssembler(
+        inputCols=[f"{c}_ONEHOT" for c in categorical_cols] + ["scaledFeatures"],
+        outputCol=output_col,
+    )
+    return Pipeline(stages=indexers + encoders + [numeric_assembler, scaler, final_assembler])

@@ -948,3 +948,106 @@ def q_flights_prepare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("DepDelay").cast("long").alias("sum_depdelay"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML pipeline surface (SURVEY.md §2j) — model stages are not
+# SQL-expressible, so these are rows-only entries (the driver records a
+# weaker rows/schema check); the mean-fallback predictor IS expressible
+# and gets a real oracle.
+# ---------------------------------------------------------------------------
+
+from flight_delay_prediction_using_pyspark_spark.ml.pipeline import build_feature_pipeline  # noqa: E402
+from flight_delay_prediction_using_pyspark_spark.ml.train import (  # noqa: E402
+    evaluate_regression,
+    mean_fallback_predictions,
+    train_decision_tree,
+    train_linear_regression,
+)
+
+_ML_N = 4000  # small synthetic frame: queries re-run per driver round
+
+
+def _prepared_flights(spark: SparkSession):
+    return P.prepare_data(
+        flights_df(spark, _ML_N), plane_df(spark), dedup_order=_dedup_order_spark()
+    )
+
+
+def _encoded_flights(spark: SparkSession):
+    prepared = _prepared_flights(spark).persist()
+    pipeline = build_feature_pipeline(P.CATEGORICAL_FEATURES, P.NUMERIC_FEATURES)
+    model = pipeline.fit(prepared)
+    return model, model.transform(prepared)
+
+
+@query("ml_feature_pipeline_stats")
+def q_ml_feature_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-L6 (StringIndexer keep → OneHotEncoder → VectorAssembler →
+    RobustScaler → final assembler,
+    /root/reference/src/main/helper_methods.py:252-278): fit+transform
+    on the synthetic prepare_data output; returns the encoded frame's
+    row count and (constant) feature-vector dimensionality."""
+    from pyspark.ml.functions import vector_to_array
+
+    _, encoded = _encoded_flights(spark)
+    return encoded.select(
+        F.size(vector_to_array("features")).alias("dim")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("dim").alias("feat_dim_min"),
+        F.max("dim").alias("feat_dim_max"),
+    )
+
+
+@query("ml_decision_tree_metrics")
+def q_ml_decision_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7+L9 (/root/reference/src/main/helper_methods.py:301,341-369):
+    DecisionTreeRegressor maxDepth=15/maxBins=60/seed=42 on a 90/10
+    split; returns MAE/RMSE/val-count as one row."""
+    _, encoded = _encoded_flights(spark)
+    _, val_preds = train_decision_tree(encoded)
+    metrics = evaluate_regression(val_preds)
+    n_val = val_preds.count()
+    return spark.createDataFrame(
+        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
+        "mae double, rmse double, n_val long",
+    )
+
+
+@query("ml_linear_regression_metrics")
+def q_ml_linear_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8+L9 (notebook cell 14 config): LinearRegression baseline
+    maxIter=3/regParam=0.01/elasticNetParam=0.5."""
+    _, encoded = _encoded_flights(spark)
+    _, val_preds = train_linear_regression(encoded)
+    metrics = evaluate_regression(val_preds)
+    n_val = val_preds.count()
+    return spark.createDataFrame(
+        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
+        "mae double, rmse double, n_val long",
+    )
+
+
+@query(
+    "ml_mean_fallback",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ArrDelay AS BIGINT)) AS DOUBLE)
+                 / COUNT(ArrDelay), 6) AS prediction
+    FROM flights
+    WHERE ArrDelay IS NOT NULL
+    """,
+)
+def q_ml_mean_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 (/root/reference/src/main/helper_methods.py:329-339): the
+    untrainable-input fallback — constant global-mean prediction,
+    attached via scalar-agg broadcast (no driver collect). Verified
+    against an exact integer-sum oracle."""
+    flights = flights_df(spark).filter(F.col("ArrDelay").isNotNull())
+    preds = mean_fallback_predictions(flights)
+    return preds.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("prediction"), 6).alias("prediction"),
+    )

@@ -1,0 +1,126 @@
+"""ML pipeline tests (SURVEY.md §2j): parameter parity, handleInvalid
+behavior, learnability sanity (the reference's MAE~8min envelope is
+data-specific, so we assert the pipeline learns a planted relationship
+instead), fallback, importance decoding, and CV smoke."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.ml.pipeline import build_feature_pipeline
+from flight_delay_prediction_using_pyspark_spark.ml.train import (
+    cross_validate_tree,
+    evaluate_regression,
+    extract_feature_importance,
+    mean_fallback_predictions,
+    train_decision_tree,
+    train_linear_regression,
+)
+from flight_delay_prediction_using_pyspark_spark.plans.prepare import (
+    CATEGORICAL_FEATURES,
+    NUMERIC_FEATURES,
+    prepare_data,
+)
+from flight_delay_prediction_using_pyspark_spark.sources.synthetic import flights_df, plane_df
+
+
+@pytest.fixture(scope="module")
+def prepared(spark):
+    df = prepare_data(flights_df(spark, 4000), plane_df(spark))
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, prepared):
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    model = pipeline.fit(prepared)
+    return model, model.transform(prepared)
+
+
+def test_pipeline_stage_layout(spark):
+    p = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    # 11 indexers + 11 encoders + numeric assembler + scaler + final.
+    assert len(p.getStages()) == 2 * len(CATEGORICAL_FEATURES) + 3
+
+
+def test_pipeline_encodes_features(encoded):
+    _, out = encoded
+    assert "features" in out.columns
+    from pyspark.ml.functions import vector_to_array
+
+    dims = (
+        out.select(F.size(vector_to_array("features")).alias("d"))
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .first()
+    )
+    assert dims.lo == dims.hi and dims.lo > len(NUMERIC_FEATURES)
+
+
+def test_string_indexer_keeps_unseen_categories(spark, prepared, encoded):
+    model, _ = encoded
+    # Scoring-time frame with a manufacturer never seen at fit time:
+    # handleInvalid="keep" must not drop or fail the row (the reference
+    # relies on this for its test-file scoring path, main.py:181).
+    row = prepared.limit(1).withColumn("manufacturer", F.lit("UNSEEN_MFR"))
+    assert model.transform(row).count() == 1
+
+
+def test_decision_tree_learns_planted_signal(spark, prepared):
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    # Plant ArrDelay ~ DepDelay: the tree must beat the trivial
+    # mean-predictor by a wide margin if the plumbing is right.
+    planted = prepared.withColumn(
+        "ArrDelay", (F.col("DepDelay") * 1.0).cast("double")
+    )
+    model = pipeline.fit(planted)
+    out = model.transform(planted)
+    tree, val_preds = train_decision_tree(out, max_depth=8, max_bins=32)
+    metrics = evaluate_regression(val_preds)
+    stddev = planted.agg(F.stddev("ArrDelay")).first()[0]
+    assert metrics["mae"] < stddev / 4
+    assert math.isfinite(metrics["rmse"])
+
+
+def test_feature_importance_decodes_names(spark, prepared):
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    planted = prepared.withColumn("ArrDelay", (F.col("DepDelay") * 1.0).cast("double"))
+    model = pipeline.fit(planted)
+    out = model.transform(planted)
+    tree, _ = train_decision_tree(out, max_depth=5, max_bins=32)
+    top = extract_feature_importance(tree, out, numeric_cols=NUMERIC_FEATURES)
+    assert top and all(isinstance(n, str) and s >= 0 for n, s in top)
+    # DepDelay drives the planted signal, so it should dominate.
+    assert "DepDelay" in top[0][0]
+
+
+def test_linear_regression_baseline(spark, prepared):
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    model = pipeline.fit(prepared)
+    out = model.transform(prepared)
+    _, val_preds = train_linear_regression(out)
+    metrics = evaluate_regression(val_preds)
+    assert math.isfinite(metrics["mae"]) and math.isfinite(metrics["rmse"])
+
+
+def test_mean_fallback_is_constant_global_mean(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (6.0,)], ["ArrDelay"])
+    out = mean_fallback_predictions(df).select("prediction").distinct().collect()
+    assert len(out) == 1 and out[0].prediction == 3.0
+
+
+def test_cross_validator_smoke(spark, prepared):
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    planted = prepared.withColumn("ArrDelay", (F.col("DepDelay") * 1.0).cast("double"))
+    sample = planted.sample(0.3, seed=42)
+    model = pipeline.fit(sample)
+    out = model.transform(sample)
+    best, avg_metrics = cross_validate_tree(
+        out, max_depth_grid=[3, 6], max_bins_grid=[16], num_folds=2
+    )
+    assert len(avg_metrics) == 2
+    assert best.getMaxDepth() in (3, 6)
