@@ -1051,3 +1051,8 @@ def q_ml_mean_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.first("prediction"), 6).alias("prediction"),
     )
+
+
+# Extension catalogs register themselves via the @query decorator on
+# import (text/dedup/similarity — SURVEY.md §7 step 10).
+from flight_delay_prediction_using_pyspark_spark.plans import text_queries  # noqa: E402,F401

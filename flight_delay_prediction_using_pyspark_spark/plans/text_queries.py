@@ -1,0 +1,382 @@
+"""Catalog entries for the text-analysis / dedup / similarity
+extensions (SURVEY.md §7 step 10; BASELINE.json north star).
+
+Every oracle here is *generated* from the same constants as the Spark
+implementation (language profiles, stopwords, minhash geometry), so
+the two sides cannot drift: the SQL mirrors the exact expression tree
+— portable md5-derived hashes, same IEEE operand order, ROUND(x, 6)
+on both sides of every float column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+from flight_delay_prediction_using_pyspark_spark.text import analysis as TA
+from flight_delay_prediction_using_pyspark_spark.text import dedup as TD
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators (DuckDB dialect, mirroring text.analysis ops)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _md5i(expr: str) -> str:
+    """Portable 32-bit md5 hash (mirrors analysis.md5_hash32)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _in_list(var: str, words) -> str:
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"{var} IN ({quoted})"
+
+
+def _lang_score(words) -> str:
+    return f"len(list_filter(t, x -> {_in_list('x', words)}))"
+
+
+def _pred_lang_sql() -> str:
+    """CASE cascade identical to analysis.predict_language: earlier
+    profile beats later on ties (>= forward, > backward)."""
+    langs = list(TA.LANG_PROFILES)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if i < j else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _fingerprint_sql() -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(t, x -> {_md5i('x')})), "
+        f"(acc, h) -> (acc*31 + h) % {TA.HASH_MOD})"
+    )
+
+
+_PROFILE_CTE = f"""
+    WITH raw AS (
+      SELECT doc_id, text, {_TOKS} AS t FROM documents
+    ), scored AS (
+      SELECT doc_id, text, t,
+        len(t) AS n_tokens,
+        CASE WHEN len(t) > 0
+             THEN CAST(len(list_filter(t, x -> {_in_list('x', TA.STOPWORDS)})) AS DOUBLE) / len(t)
+             ELSE 0.0 END AS sw_ratio,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END AS p_ratio,
+        CASE WHEN len(t) > 0
+             THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) / len(t)
+             ELSE 0.0 END AS mtl,
+        {" ".join(f"{_lang_score(w)} AS s_{lang}," for lang, w in TA.LANG_PROFILES.items())}
+        {_fingerprint_sql()} AS fingerprint
+      FROM raw
+    )
+"""
+
+_QUALITY_SQL = """
+    CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+         THEN (least(sw_ratio * 4, 1.0)
+               + (1.0 - least(p_ratio * 5, 1.0))
+               + CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) / 3
+         ELSE 0.0 END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_text_profile",
+    oracle=f"""
+    {_PROFILE_CTE}
+    SELECT doc_id, n_tokens,
+           len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars,
+           ROUND(mtl, 6) AS mean_token_len,
+           ROUND(p_ratio, 6) AS punct_ratio,
+           ROUND(sw_ratio, 6) AS stopword_ratio,
+           ROUND({_QUALITY_SQL}, 6) AS quality,
+           {_pred_lang_sql()} AS pred_lang,
+           fingerprint
+    FROM scored
+    """,
+)
+def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-document text signals (token counts incl.
+    BPE-style pre-tokenizer, quality heuristics, stopword-profile
+    language ID, rolling-hash fingerprint). Map-only: no shuffle at
+    any scale."""
+    return TA.text_profile(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_language_confusion",
+    oracle=f"""
+    {_PROFILE_CTE}
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM (
+      SELECT d.lang AS lang, {_pred_lang_sql()} AS pred_lang
+      FROM scored JOIN documents d USING (doc_id)
+    )
+    GROUP BY lang, pred_lang
+    """,
+)
+def q_doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion: labeled lang × predicted lang counts
+    (A10 crosstab shape over the analysis extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("lang"), TA.predict_language(F.col("text")).alias("pred_lang")
+    ).groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_quality_buckets",
+    oracle=f"""
+    {_PROFILE_CTE}
+    SELECT CASE WHEN q < 0.25 THEN 'low' WHEN q < 0.5 THEN 'mid'
+                WHEN q < 0.75 THEN 'good' ELSE 'high' END AS quality_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM (SELECT ROUND({_QUALITY_SQL}, 6) AS q, n_tokens FROM scored)
+    GROUP BY quality_bucket
+    """,
+)
+def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogram: the filter stage of a training-data
+    pipeline as a grouped agg (bucket → doc count, token mass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(TA.quality_score(F.col("text")), 6)
+    bucket = (
+        F.when(q < 0.25, "low")
+        .when(q < 0.5, "mid")
+        .when(q < 0.75, "good")
+        .otherwise("high")
+    )
+    return docs.select(
+        bucket.alias("quality_bucket"), TA.token_count(F.col("text")).alias("n_tokens")
+    ).groupBy("quality_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_hash_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_hashes,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           MAX(n_copies) AS max_copies,
+           COUNT(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
+    FROM (
+      SELECT {_md5i('text')} AS content_hash, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    """,
+)
+def q_dedup_exact_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup census: distinct content hashes, total docs, the
+    largest duplicate group. Shuffle carries only the 8-byte hash —
+    the 100 TB-safe exact dedup."""
+    stats = TD.exact_dup_stats(load_table(spark, sf_dir, "documents"))
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.sum("n_copies").alias("n_docs"),
+        F.max("n_copies").alias("max_copies"),
+        F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+def _minhash_oracle(threshold: float) -> str:
+    k, bands, rows = TD.MINHASH_K, TD.LSH_BANDS, TD.LSH_ROWS
+    sig_exprs = ", ".join(
+        "list_min(list_transform(s, x -> " + _md5i(f"concat('{i}:', x)") + "))"
+        for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=_md5i(
+                "concat_ws('_', "
+                + ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [] END AS s
+      FROM toks
+    ),
+    sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+    sig AS (SELECT doc_id, s, [{sig_exprs}] AS sig FROM sh2),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle(0.5))
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle → 16 minhashes → 4 bands →
+    bucket join → exact-Jaccard verify ≥ 0.5). The only joins are on
+    short hash keys; no all-pairs stage — the web-scale dedup plan."""
+    return TD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _simhash_oracle(max_hamming: int, chunks: int) -> str:
+    bits, width = 32, 32 // chunks
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {j}) & 1 = 1)) - len(hs) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {c * width}) & {(1 << width) - 1} AS chunk_val FROM sig"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    h AS (SELECT doc_id, list_transform(t, x -> {_md5i('x')}) AS hs FROM toks),
+    sig AS (SELECT doc_id, {bit_terms} AS simhash FROM h),
+    chunks AS ({chunk_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_oracle(3, 4))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signatures, pigeonhole chunk
+    buckets (recall 1.0 for Hamming ≤ 3), equi-join candidates, exact
+    Hamming verify."""
+    return TD.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, chunks=4
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [] END AS s
+      FROM toks
+    ),
+    sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q_dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard top-20 on a bounded slice
+    (doc_id < 100) — the ground-truth small-scale verifier behind the
+    LSH pipeline. Deliberately bounded: all-pairs is the thing LSH
+    exists to avoid at scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = docs.select(
+        F.col("doc_id"), TD.shingles(F.col("text"), 3).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(TD.jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                  (a, b) -> a + b)) AS nrm
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+                 (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(0.0,
+            list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+          (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def q_dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.35), exact
+    math with IEEE-identical operand order on both engines. The
+    all-pairs form is the verifier; candidates at scale come from
+    hyperplane LSH buckets (similarity.ann)."""
+    return TD.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )

@@ -1,0 +1,180 @@
+"""Text-analysis operators: tokens, quality, language ID, fingerprints.
+
+Design rules:
+
+- Every operator is a pure `Column` expression built from Spark's
+  higher-order array functions — single pass over the text, JVM-side,
+  whole-stage-codegen friendly. No Python UDFs.
+- Hashes are **engine-portable**: a 32-bit integer taken from the md5
+  hex digest (`md5_hash32`). md5 is bit-identical in Spark, DuckDB,
+  and every other engine, so DuckDB oracles can verify the exact same
+  numbers. (Spark's builtin `hash()`/`xxhash64` are Spark-private
+  seeds — correct but unverifiable; we expose portability instead.)
+- At 100 TB these all stay embarrassingly parallel: per-row
+  expressions, no shuffle, no driver round-trips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Large prime modulus for rolling hashes (fits comfortably in int64:
+#: acc < 2^30, acc*31 + 2^32 < 2^37 — no overflow).
+HASH_MOD = 1_000_000_007
+
+#: Tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic. Ordered dict order = deterministic tie-break
+#: priority (first wins ties).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+#: Default stopword list for quality scoring (English-ish).
+STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"] + ("for", "on", "with", "as")
+
+#: BPE-ish segmentation: word pieces OR single non-space symbols —
+#: the standard pre-tokenizer split used before byte-pair merging.
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-style pre-tokenizer regex
+    (word pieces + punctuation symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def md5_hash32(col: Column | str) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as a long.
+    Bit-identical in Spark and DuckDB (oracle-verifiable), uniform,
+    and cheap — the basis for all fingerprints/minhashes here."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def rolling_fingerprint(col: Column | str, mod: int = HASH_MOD) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token hashes, `acc = (acc*31 + h(tok)) % mod`. Two documents
+    get equal fingerprints iff their token sequences match — the
+    content-defined identity used for exact dedup at scale."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + md5_hash32(t)) % F.lit(mod),
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    """Stopword tokens / total tokens — the classic fluency signal
+    (gibberish and boilerplate both score near 0)."""
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    """Average token length in characters."""
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(
+    col: Column | str,
+    min_tokens: int = 10,
+    max_tokens: int = 10_000,
+    stopwords: Sequence[str] = STOPWORDS,
+) -> Column:
+    """Composite document-quality score in [0, 1]: length gate ×
+    (stopword fluency + clean-punctuation + sane-word-length) / 3.
+    The C4/Gopher-style heuristic stack as one vectorized expression."""
+    n = token_count(col)
+    length_ok = (n >= min_tokens) & (n <= max_tokens)
+    sw = stopword_ratio(col, stopwords)
+    fluency = F.least(sw * 4, F.lit(1.0))  # ≥25% stopwords ⇒ full marks
+    clean = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    mtl = mean_token_length(col)
+    sane_len = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+    raw = (fluency + clean + sane_len) / 3
+    return F.when(length_ok, raw).otherwise(F.lit(0.0))
+
+
+def language_scores(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID evidence)."""
+    profiles = profiles or LANG_PROFILES
+    toks = tokens(col)
+
+    def member_of(ws):  # closure factory: PySpark lambdas must be unary
+        return lambda t: t.isin(*ws)
+
+    return {
+        lang: F.size(F.filter(toks, member_of(words)))
+        for lang, words in profiles.items()
+    }
+
+
+def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> Column:
+    """Argmax language with deterministic first-wins tie-break (profile
+    order). Emits 'und' when no profile scores a single hit."""
+    profiles = profiles or LANG_PROFILES
+    scores = language_scores(col, profiles)
+    langs = list(profiles)
+    expr: Column = F.lit("und")
+    # Build the CASE cascade back-to-front so earlier langs win ties.
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other == lang:
+                continue
+            op = (
+                (scores[lang] >= scores[other])
+                if langs.index(lang) < langs.index(other)
+                else (scores[lang] > scores[other])
+            )
+            cond = cond & op
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document analysis frame: one narrow pass emitting every text
+    signal (token counts, quality, language, fingerprint). At 100 TB
+    this is a single map stage — no shuffle, no state."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
+        F.length(c).cast("long").alias("n_chars"),
+        F.round(mean_token_length(c), 6).alias("mean_token_len"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(quality_score(c), 6).alias("quality"),
+        predict_language(c).alias("pred_lang"),
+        rolling_fingerprint(c).alias("fingerprint"),
+    )

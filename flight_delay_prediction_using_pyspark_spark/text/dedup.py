@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each algorithm):
+
+- **Exact** (`exact_dup_stats`, `dedup_exact`): hash-groupBy on a
+  portable content fingerprint. One shuffle on the hash key; at
+  100 TB this is the cheapest possible dedup (shuffle carries only
+  (hash, id), not text).
+- **MinHash + LSH** (`minhash_lsh_pairs`): shingle → k minhashes →
+  b bands → bucket join. Candidate generation is a self-join on
+  (band, band_hash) — the shuffle key is a short hash, each bucket is
+  tiny, and the O(n²) explosion is confined to same-bucket documents.
+  A final exact-Jaccard filter removes LSH false positives. This is
+  the canonical web-scale near-dup pipeline (GPT-3/C4 style).
+- **SimHash** (`simhash_pairs`): one 32-bit signature per doc;
+  near-dups = small Hamming distance. Candidates via the pigeonhole
+  trick: split the signature into `hamming_k + 1` chunks — any pair
+  within distance k agrees on ≥1 chunk — so candidate generation is
+  again an equi-join on (chunk_idx, chunk_value).
+- **n-gram Jaccard** (`jaccard_verify`): exact set overlap on token
+  shingles; used as the verifier behind LSH (never run all-pairs at
+  scale).
+- **Embedding cosine** (`embedding_near_dup_pairs`): semantic
+  near-dup over `array<float>` embeddings; candidates via
+  random-hyperplane LSH buckets (see similarity.ann), verified by
+  exact cosine.
+
+All hashes are the portable md5-derived 32-bit hash
+(analysis.md5_hash32) so every stage is DuckDB-oracle-verifiable
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32, tokens
+
+#: Default MinHash geometry: 16 hashes = 4 bands × 4 rows. With
+#: Jaccard s, P(candidate) = 1-(1-s^4)^4 — the s-curve crosses 0.5
+#: near s≈0.55. Tune bands/rows per corpus; keep k = bands*rows.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles → array<string>. Documents with
+    fewer than n tokens yield an empty array (callers filter them)."""
+    toks = tokens(col)
+    # Guard: sequence(1, stop) DESCENDS when stop < 1, so short docs
+    # must short-circuit to an empty array, not rely on the range.
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    """The i-th independent portable hash function: md5 over a
+    seed-prefixed value."""
+    return md5_hash32(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
+    """k-minhash signature → array<long>; element i is
+    min over shingles of hash_i(shingle). One pass per row."""
+    def hash_i(i):  # closure factory: PySpark lambda arity must stay 1
+        return lambda s: seeded_hash(s, i)
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, hash_i(i))) for i in range(k)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """Per-document (id, shingles, minhash signature). Rows with no
+    shingles (docs shorter than n tokens) are dropped."""
+    with_sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return with_sh.withColumn("sig", minhash_signature(F.col("shingles"), k))
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Explode each signature into (band_idx, band_hash) bucket keys.
+    band_hash = portable hash of the band's joined minhash values."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_hash32(
+                    F.concat_ws(
+                        "_",
+                        *[F.col("sig").getItem(b * rows + r) for r in range(rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via the full
+    MinHash→LSH→verify pipeline.
+
+    Plan shape at scale: map (shingle+sign) → shuffle by short
+    (band, band_hash) key → in-bucket self-join (tiny buckets) →
+    distinct candidate pairs → verify join back to shingle sets →
+    exact-Jaccard filter. No all-pairs stage anywhere.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, k).persist()
+    buckets = lsh_band_buckets(sigs, id_col, bands, rows)
+    left = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash signature: bit j is set iff the sum over tokens of
+    (token-hash bit j ? +1 : -1) is positive. Computed as `bits`
+    conditional sums over one hashed-token array — single pass."""
+    hashed = F.transform(tokens(col), lambda t: md5_hash32(t))
+
+    def vote_fn(j):  # closure factory: aggregate's merge lambda is binary
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << j)) != 0, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashed, F.lit(0).cast("long"), vote_fn(j))
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit signatures (popcount of
+    XOR via bin()-and-count — no Python)."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole-bucket on signature
+    chunks, then exact Hamming verify. With chunks = max_hamming + 1
+    every qualifying pair shares at least one exact chunk, so recall
+    is 1.0 and candidate generation is an equi-join."""
+    width = 32 // chunks
+    sigs = df.select(
+        F.col(id_col), simhash(F.col(text_col)).alias("simhash")
+    ).persist()
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(chunk_structs).alias("cc")).select(
+        id_col, F.col("cc.chunk").alias("chunk"), F.col("cc.chunk_val").alias("chunk_val")
+    )
+    left = buckets.select("chunk", "chunk_val", F.col(id_col).alias("id_a"))
+    right = buckets.select("chunk", "chunk_val", F.col(id_col).alias("id_b"))
+    candidates = (
+        left.join(right, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    s = sigs
+    return (
+        candidates.join(s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a")), "id_a")
+        .join(s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming32(F.col("sim_a"), F.col("sim_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate census via content-hash groupBy: one row per
+    distinct content hash with its multiplicity. The scan shuffles
+    only (hash) — at 100 TB the text never moves."""
+    return (
+        df.select(md5_hash32(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content hash (first-wins, the A8
+    `dropDuplicates` semantics on a computed key)."""
+    return df.withColumn("__h", md5_hash32(F.col(text_col))).dropDuplicates(["__h"]).drop("__h")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic near-dup pairs by exact cosine ≥ threshold.
+
+    This is the *verify* form (all-pairs); at scale, candidates come
+    from similarity.ann.hyperplane_buckets and this join runs only
+    within buckets. Kept separate so the oracle can check the exact
+    math on small SF.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for text analysis + dedup operators on hand-built
+frames: known token counts, a planted near-duplicate pair, degenerate
+inputs (short docs, empty strings). Oracle parity on the real tables
+is covered by tests/test_oracle_parity.py (the new queries register in
+the same catalog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.text import analysis as TA
+from flight_delay_prediction_using_pyspark_spark.text import dedup as TD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (2, "completely different content about spark query engines and shuffles here"),
+        (3, "short doc"),
+        (4, ""),
+        (5, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("hello, world!",)], ["text"])
+    out = df.select(
+        TA.token_count("text").alias("n"),
+        TA.bpe_ish_token_count("text").alias("b"),
+    ).collect()
+    assert [(r.n, r.b) for r in out] == [(3, 3), (2, 4)]  # hello , world !
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], ["text"])
+    fps = [r.f for r in df.select(TA.rolling_fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[2] and fps[0] != fps[1]
+
+
+def test_quality_score_bounds(docs):
+    vals = [
+        r.q for r in docs.select(TA.quality_score("text").alias("q")).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # the 14-token fluent docs beat the under-length ones (gated to 0)
+    assert vals[0] > 0.5 and vals[3] == 0.0 and vals[4] == 0.0
+
+
+def test_predict_language_profiles(spark):
+    rows = [
+        ("the cat and the dog of a house",),
+        ("der hund und die katze ist nicht da",),
+        ("el perro y la casa que es un gato",),
+        ("xyzzy plugh qwerty",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = [r.v for r in df.select(TA.predict_language("text").alias("v")).collect()]
+    assert out == ["en", "de", "es", "und"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    out = [r.s for r in df.select(TD.shingles("text", 3).alias("s")).collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    pairs = TD.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert (0, 5) in found and found[(0, 5)] == 1.0  # exact dup
+    assert (0, 1) in found and found[(0, 1)] > 0.7  # one-token edit
+    assert all(2 not in p for p in found)  # unrelated doc never pairs
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in TD.simhash_pairs(docs).collect()}
+    assert pairs[(0, 5)] == 0
+    assert (0, 1) in pairs  # near-dup within hamming 3
+
+
+def test_exact_dedup(docs):
+    assert TD.dedup_exact(docs).count() == 5  # 6 docs, one exact dup
+    groups = {
+        r.n_copies
+        for r in TD.exact_dup_stats(docs).filter(F.col("n_copies") > 1).collect()
+    }
+    assert groups == {2}
+
+
+def test_embedding_near_dup_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b): r.cosine for r in TD.embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert list(pairs) == [(0, 1)] and pairs[(0, 1)] > 0.999
+
+
+def test_jaccard_column(spark):
+    df = spark.createDataFrame([(["a", "b"], ["b", "c"])], ["x", "y"])
+    assert df.select(TD.jaccard(F.col("x"), F.col("y")).alias("j")).first().j == pytest.approx(1 / 3)
