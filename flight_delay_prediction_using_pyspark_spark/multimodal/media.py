@@ -1,0 +1,175 @@
+"""Multimodal column operators: binary payloads + typed metadata,
+decoded via Arrow-batched Pandas UDFs.
+
+Data model: a media column is
+  payload: binary               -- the opaque encoded bytes
+  media_meta: struct<media_type string, width int, height int,
+                     n_bytes long>    -- typed, prunable metadata
+
+The Spark-side plumbing is real and tested: explicit output schemas,
+`mapInPandas` with Arrow batches, per-batch (not per-row) numpy work,
+and partition counts preserved. The *codec* step is stubbed — this
+container ships no image/audio libraries — behind
+`decode_with_codec()`, which raises NotImplementedError with the
+integration point documented. The deterministic fallback path
+(`byte_features`, `frame_sample`) does honest byte-level computation
+on the payload, so every pipeline stage downstream of decode is
+exercised with real data.
+
+Scale notes: mapInPandas streams Arrow record batches — payloads
+never materialize as Python lists; memory is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch`. The metadata struct
+lives in a separate column so Parquet readers can prune the (huge)
+payload column for metadata-only queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of decode_features — declared, not inferred.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic media column from a text corpus: the
+    UTF-8 bytes as payload plus a typed metadata struct. (In a real
+    pipeline the payload arrives from object storage; this gives the
+    same column shapes from driver testdata.)"""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            (F.length(F.col(text_col)) % 640).cast("int").alias("width"),
+            (F.length(F.col(text_col)) % 480).cast("int").alias("height"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_with_codec(payload: bytes, media_type: str) -> object:
+    """The real-codec integration point. Raises: PIL/torchaudio/ffmpeg
+    are not available in this environment. Swap in
+    `PIL.Image.open(io.BytesIO(payload))` (or the audio/video
+    equivalent) when the runtime ships codecs."""
+    raise NotImplementedError(
+        f"no codec available for {media_type}; install PIL/ffmpeg and "
+        "wire it here — downstream plumbing is codec-agnostic"
+    )
+
+
+def decode_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
+    """Per-media byte-level features via mapInPandas (Arrow batches).
+
+    `use_codec=True` routes through the codec stub (raises until a
+    codec library is installed); the default path computes
+    deterministic byte statistics with vectorized numpy — the real
+    batch shape, schema, and partitioning of a production decode.
+
+    The UDF closure is self-contained (captures only local values,
+    no module globals): executor Python workers must not need this
+    package importable."""
+    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # local import: runs on executors
+
+        for pdf in batches:
+            if use_codec:
+                raise NotImplementedError(
+                    "no codec available; install PIL/ffmpeg and wire "
+                    "decode_with_codec into this batch loop"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(arr.size)
+                if n == 0:
+                    rows.append((int(doc_id), 0, 0, 0.0, 0.0))
+                    continue
+                counts = np.bincount(arr, minlength=256)
+                probs = counts[counts > 0] / n
+                entropy = float(-(probs * np.log2(probs)).sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(arr.sum(dtype=np.int64)),
+                        float(arr.sum(dtype=np.int64)) / n,
+                        entropy,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: split each payload into n_frames
+    even chunks ("frames"), emit per-frame size + md5. One input row →
+    n output rows, the fan-out shape a real frame sampler has."""
+
+    out_cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                step = max(len(raw) // n_frames, 1)
+                for i in range(min(n_frames, len(raw))):
+                    chunk = raw[i * step : (i + 1) * step] if i < n_frames - 1 else raw[i * step :]
+                    rows.append(
+                        (int(doc_id), i, len(chunk), hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_meta(df: DataFrame, target_width: int, target_height: int) -> DataFrame:
+    """Resize as metadata transformation: rewrites width/height and
+    scales n_bytes proportionally (the codec-free contract of a
+    resize; the pixel work plugs into decode_with_codec)."""
+    meta = F.col("media_meta")
+    scale = (
+        (F.lit(target_width) * F.lit(target_height)).cast("double")
+        / F.greatest(meta.width.cast("double") * meta.height.cast("double"), F.lit(1.0))
+    )
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            meta.media_type.alias("media_type"),
+            F.lit(target_width).cast("int").alias("width"),
+            F.lit(target_height).cast("int").alias("height"),
+            F.ceil(meta.n_bytes * scale).cast("long").alias("n_bytes"),
+        ),
+    )

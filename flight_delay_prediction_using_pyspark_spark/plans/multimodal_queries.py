@@ -1,0 +1,106 @@
+"""Catalog entries for multimodal binary columns (multimodal.media).
+
+The decode step runs through real mapInPandas/Arrow plumbing; the
+oracles verify its *byte-level* outputs exactly (the corpus is ASCII,
+asserted in tests/test_multimodal.py, so UTF-8 byte arithmetic equals
+character arithmetic in SQL). Float-only features (entropy) stay out
+of oracles — libm log2 is not bit-portable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.multimodal import media as M
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+_ASCII_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> a + b)"
+)
+
+
+@query(
+    "media_byte_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM({_ASCII_SUM}) AS BIGINT) AS total_byte_sum
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload stats through the full multimodal path:
+    attach_media (binary + metadata struct) → mapInPandas Arrow-batch
+    feature extraction → broadcast join back to the dimension column →
+    grouped agg. Verifies the Pandas-UDF plumbing byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features(M.attach_media(docs))
+    dims = docs.select("doc_id", "source")
+    return (
+        feats.join(F.broadcast(dims), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("byte_sum").alias("total_byte_sum"),
+        )
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) // 4 AS step
+      FROM documents WHERE length(text) >= 4
+    )
+    SELECT doc_id, frame_idx, CAST(length(chunk) AS BIGINT) AS frame_bytes,
+           md5(chunk) AS frame_hash
+    FROM (
+      SELECT doc_id, 0 AS frame_idx, substr(text, 1, step) AS chunk FROM d
+      UNION ALL SELECT doc_id, 1, substr(text, step + 1, step) FROM d
+      UNION ALL SELECT doc_id, 2, substr(text, 2 * step + 1, step) FROM d
+      UNION ALL SELECT doc_id, 3, substr(text, 3 * step + 1) FROM d
+    )
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-shaped fan-out: 1 payload → 4 frames)
+    via mapInPandas; per-frame sizes and md5s verified against
+    substring arithmetic in SQL."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    return M.frame_sample(M.attach_media(docs), n_frames=4)
+
+
+@query(
+    "media_resize_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           CAST(ceil(octet_length(encode(text))
+                * (CAST(224 * 224 AS DOUBLE)
+                   / greatest(CAST(length(text) % 640 AS DOUBLE)
+                              * CAST(length(text) % 480 AS DOUBLE), 1.0)))
+                AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize as a metadata transformation (the codec-free contract):
+    rewrite width/height to 224×224 and scale n_bytes by the pixel
+    ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = M.resize_meta(M.attach_media(docs), 224, 224)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )

@@ -1,0 +1,153 @@
+"""Catalog entries for similarity search (similarity.ann).
+
+The oracle SQL is generated from the same PLANES constants as the
+Spark implementation, with identical IEEE operand order (v[i]*q[i],
+norm(v)*norm(q)) and shared ROUND(·, 6) — bit-exact across engines.
+The query vector is the corpus row `vec_id = 0`, selected by CTE on
+the oracle side and by a driver-side `first()` lookup on the Spark
+side (a single-row point lookup, not a collect of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.similarity import ann
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+_QUERY_VEC_ID = 0
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+# --- SQL fragment generators --------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+    "(x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+    "(a, b) -> a + b))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """cosine(a, b) with a's elements first in each product — must
+    match the Spark-side argument order."""
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(v=a)} * {_NORM.format(v=b)}))"
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "([" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[])"
+
+
+def _bucket_sql(v: str) -> str:
+    terms = [
+        f"(CASE WHEN {_DOT.format(a=_plane_literal(plane), b=v)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(ann.PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_E_CTE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID})
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    {_E_CTE}
+    SELECT vec_id, ROUND({_cosine_sql('e.v', 'q.qv')}, 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 to the vec_id=0 embedding.
+    Plan: single scan → per-row JVM array math →
+    TakeOrderedAndProject (partition-local top-k, no shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "ann_lsh_bucket_topk",
+    oracle=f"""
+    {_E_CTE}
+    SELECT vec_id, ROUND({_cosine_sql('e.v', 'q.qv')}, 6) AS cosine
+    FROM e, q
+    WHERE {_bucket_sql('e.v')} = (SELECT {_bucket_sql('qv')} FROM q)
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: random-hyperplane LSH bucket probe
+    (scan ~1/2^4 of the corpus when bucket-partitioned), exact cosine
+    rank within the probed bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "ann_bucket_histogram",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT {_bucket_sql('e.v')} AS bucket, COUNT(*) AS n_vectors
+    FROM e
+    GROUP BY 1
+    """,
+)
+def q_ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy histogram — verifies the hyperplane
+    signature corpus-wide and shows the skew an IVF/LSH layout would
+    see at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ann.hyperplane_buckets(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query(
+    "ann_knn_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.query_id, e.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('qs.qv', 'e.v')}, 6) AS cosine
+      FROM e, qs
+      WHERE qs.query_id != e.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+           cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN join for the first 5 vectors: broadcast nested-loop
+    join (small query side) + per-query row_number window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann.knn_join(emb, queries, k=5)

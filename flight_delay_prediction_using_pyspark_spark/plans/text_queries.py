@@ -259,7 +259,9 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join → exact-Jaccard verify ≥ 0.5). The only joins are on
     short hash keys; no all-pairs stage — the web-scale dedup plan."""
     return TD.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
     ).select("id_a", "id_b", "jaccard")
 
 
@@ -299,7 +301,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (recall 1.0 for Hamming ≤ 3), equi-join candidates, exact
     Hamming verify."""
     return TD.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=3, chunks=4
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        chunks=4,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -378,5 +383,7 @@ def q_dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs form is the verifier; candidates at scale come from
     hyperplane LSH buckets (similarity.ann)."""
     return TD.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        parallelism=spark.sparkContext.defaultParallelism,
     )

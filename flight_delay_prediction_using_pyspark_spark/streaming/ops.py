@@ -1,0 +1,161 @@
+"""Structured Streaming operators over the events table shape.
+
+Batch/stream symmetry is the design rule: every transformation here
+takes a DataFrame (batch OR streaming — Spark's unified API) and
+returns one, so the same logic is testable in batch and deployable as
+a stream. Sinks/triggers stay at the edges (`run_to_memory_sink` for
+tests; production would writeStream to kafka/parquet with
+checkpointing).
+
+Scale notes: watermarks bound state (late data beyond the watermark
+is dropped, state for closed windows is evicted); windowed aggs
+shuffle by (window, key) exactly like batch groupBy; the stateful
+operator keeps one GroupState per key — partitioned by key across
+executors, spilling to the state store.
+
+Events schema (TESTDATA.md): event_id long, ts timestamp, user_id
+long, event_type string, value double, props string(json).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over a parquet directory (explicit schema —
+    streaming readers cannot infer). New files are discovered per
+    micro-batch; `maxFilesPerTrigger` bounds batch size in
+    production."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate: counts + value sum per
+    (window, event_type). Works identically on batch and streaming
+    inputs; on a stream the watermark bounds state and admits
+    `watermark`-late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per user: built-in
+    `session_window` — state merges adjacent events until a `gap`
+    silence closes the session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted once per micro-batch
+    per updated user. The canonical shape for operators Spark lacks
+    (counters, custom sessionization, CDC merge). The UDF closure is
+    self-contained — executors never import this package."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a stream into an in-memory table with the availableNow
+    trigger (process everything present, then stop) — the test/replay
+    harness; production sinks swap in kafka/parquet + checkpoint."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

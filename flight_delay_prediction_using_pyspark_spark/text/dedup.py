@@ -86,9 +86,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = MINHASH_K,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document (id, shingles, minhash signature). Rows with no
-    shingles (docs shorter than n tokens) are dropped."""
+    shingles (docs shorter than n tokens) are dropped.
+
+    `parallelism`: explicit repartition before the (CPU-heavy, k·|sh|
+    md5 calls per row) signature computation. Use when the source is a
+    few dense files (local testdata = 1 row-group = 1 task); leave
+    None at real scale, where the scan is already split and an extra
+    shuffle of the text would cost more than it buys."""
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
     with_sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -138,6 +147,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     threshold: float = 0.5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via the full
     MinHash→LSH→verify pipeline.
@@ -147,7 +157,7 @@ def minhash_lsh_pairs(
     distinct candidate pairs → verify join back to shingle sets →
     exact-Jaccard filter. No all-pairs stage anywhere.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, k).persist()
+    sigs = minhash_signatures(df, text_col, id_col, n, k, parallelism).persist()
     buckets = lsh_band_buckets(sigs, id_col, bands, rows)
     left = buckets.select(
         F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
@@ -208,12 +218,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole-bucket on signature
     chunks, then exact Hamming verify. With chunks = max_hamming + 1
     every qualifying pair shares at least one exact chunk, so recall
-    is 1.0 and candidate generation is an equi-join."""
+    is 1.0 and candidate generation is an equi-join.
+
+    `parallelism`: see minhash_signatures — spreads the 32-bit vote
+    computation when the source arrives as a single dense file."""
     width = 32 // chunks
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
     sigs = df.select(
         F.col(id_col), simhash(F.col(text_col)).alias("simhash")
     ).persist()
@@ -274,6 +290,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs by exact cosine ≥ threshold.
 
@@ -281,23 +298,41 @@ def embedding_near_dup_pairs(
     from similarity.ann.hyperplane_buckets and this join runs only
     within buckets. Kept separate so the oracle can check the exact
     math on small SF.
+
+    Norms are computed ONCE per vector before the pair join (O(n·d)),
+    not per pair (O(n²·d)) — the pair stage does one dot product and
+    one multiply. `parallelism` repartitions the probe side so the
+    nested-loop join fans out instead of running as one task.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    normed = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), norm.alias("nrm")
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("nrm_a")
+    )
+    if parallelism:
+        a = a.repartition(parallelism, F.col("id_a"))
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("nrm_b")
+    )
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    norm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6).alias("cosine"),
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

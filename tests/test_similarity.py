@@ -1,0 +1,60 @@
+"""Unit tests for similarity.ann on hand-built vectors with known
+geometry (orthogonal / parallel / antiparallel)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.similarity import ann
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near query
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # antiparallel
+        (4, [0.8, 0.6, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact_order(corpus):
+    out = ann.cosine_topk(corpus, [1.0, 0.0, 0.0, 0.0], k=3)
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == [0, 1, 4]
+    assert rows[0].cosine == 1.0
+    assert rows[-1].cosine == pytest.approx(0.8)
+
+
+def test_lsh_bucket_agreement(corpus):
+    planes = ann.make_planes(n_planes=3, dim=4, seed=7)
+    bucketed = ann.hyperplane_buckets(corpus, planes=planes)
+    spark_buckets = {r.vec_id: r.bucket for r in bucketed.collect()}
+    vecs = {r.vec_id: r.embedding for r in corpus.collect()}
+    for vid, v in vecs.items():
+        assert spark_buckets[vid] == ann.query_bucket(v, planes)
+    # antiparallel vectors land in complementary buckets
+    assert spark_buckets[0] ^ spark_buckets[3] == 0b111
+
+
+def test_ann_lsh_topk_subset_of_exact(corpus):
+    q = [1.0, 0.0, 0.0, 0.0]
+    planes = ann.make_planes(n_planes=3, dim=4, seed=7)  # match corpus dim
+    exact = {r.vec_id for r in ann.cosine_topk(corpus, q, k=5).collect()}
+    approx = {r.vec_id for r in ann.ann_topk_lsh(corpus, q, k=5, planes=planes).collect()}
+    assert approx <= exact
+    assert 0 in approx  # the query's own bucket contains itself
+
+
+def test_knn_join_excludes_self(corpus):
+    out = ann.knn_join(corpus, corpus.filter(F.col("vec_id") < 2), k=2)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert sorted(by_query) == [0, 1]
+    assert sorted(by_query[0])[0] == (1, 1)  # vec 1 is vec 0's nearest

@@ -1,0 +1,78 @@
+"""Structured Streaming tests: drain the sf0.001 events through a
+file-source stream with availableNow and check stream results equal
+the same transformation run in batch (the batch/stream symmetry
+contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_events
+from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+from tests.conftest import SF_SMOKE_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-written micro-timestamped into a parquet DIRECTORY
+    (file-source streams need a directory; the testdata single file
+    also carries TIMESTAMP(NANOS), which streaming readers reject)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_events(spark, SF_SMOKE_DIR).repartition(4).write.parquet(path)
+    return path
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    stream = S.windowed_event_counts(S.stream_events(spark, events_dir))
+    S.run_to_memory_sink(stream, "win_counts", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in S.windowed_event_counts(spark.read.parquet(events_dir)).collect()
+    }
+    assert got.keys() == batch.keys() and len(got) > 0
+    for k, (n, s) in batch.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(s)
+
+
+def test_session_window_agg_batch(spark, events_dir):
+    sessions = S.session_window_agg(spark.read.parquet(events_dir), gap="5 minutes")
+    rows = sessions.collect()
+    assert len(rows) > 0
+    by_user = sessions.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    totals = {r.user_id: r.n for r in by_user}
+    raw = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert totals == raw  # sessions partition each user's events exactly
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    stream = S.running_user_totals(S.stream_events(spark, events_dir))
+    S.run_to_memory_sink(stream, "running_totals", output_mode="update")
+    # update mode with one availableNow pass may emit multiple rows per
+    # user (one per micro-batch); the LAST emission carries the final
+    # running totals — compare maxima against batch ground truth
+    got = (
+        spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    )
+    raw = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.user_id: r.n for r in got} == raw
