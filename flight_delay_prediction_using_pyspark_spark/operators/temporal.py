@@ -1,0 +1,91 @@
+"""Temporal join operators: as-of join and range join.
+
+The reference has no temporal joins (SURVEY.md §2c notes the gap);
+these are the §7-step-10 relational extensions a time-series/event
+workload needs.
+
+**As-of join — the union trick, not a range join.** The naive as-of
+(`l.ts >= r.ts`, keep latest r) explodes into an O(n·m) range join.
+The scalable plan: union both sides tagged, sort within each key by
+(ts, side), and carry the most recent right-side payload forward with
+`last(ignorenulls=True)` over a running window. One shuffle on the
+key, state bounded by the window frame — this survives 100 TB where
+any range-join formulation dies. (Same algorithm pandas.merge_asof
+uses after its sort, distributed per key group.)
+
+**Range join** stays for genuinely banded predicates (value ∈
+[lo, hi)) against a *small broadcast* band table — Spark plans
+BroadcastNestedLoopJoin; never use it big×big (pre-bucket instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    payload_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the payload of the most recent right
+    row with `right.time <= left.time` within the same key (backward
+    as-of, ties match). Right-side payload columns come back as
+    `<col><suffix>`, null when no prior right row exists.
+
+    Plan: union(tagged) → window per key ordered by (time, side) with
+    right rows sorting before simultaneous left rows → running
+    `last(payload, ignorenulls=True)` → filter to left rows. Exactly
+    one hash shuffle on `key`.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload_cols],
+    )
+    def r_col(c: str) -> Column:
+        if c in (key, time_col):
+            return F.col(c).alias(c)
+        return F.lit(None).cast(left.schema[c].dataType).alias(c)
+
+    r_tagged = right.select(
+        *[r_col(c) for c in lcols],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__is_left"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join_broadcast(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Banded non-equi join: fact rows matched to [lo, hi) bands from
+    a SMALL band table (broadcast; BroadcastNestedLoopJoin). For
+    big×big banded joins, bucket both sides first."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond, "left")

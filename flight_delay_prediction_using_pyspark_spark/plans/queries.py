@@ -1069,3 +1069,4 @@ from flight_delay_prediction_using_pyspark_spark.plans import text_queries  # no
 from flight_delay_prediction_using_pyspark_spark.plans import similarity_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import multimodal_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import streaming_queries  # noqa: E402,F401
+from flight_delay_prediction_using_pyspark_spark.plans import temporal_queries  # noqa: E402,F401

@@ -1,0 +1,145 @@
+"""Catalog entries for temporal joins (operators.temporal) and the
+multi-dimensional grouping ops (cube / grouping sets) — the §7-step-10
+relational gap fills, each with an exact DuckDB oracle (ASOF JOIN is
+native DuckDB; cube/grouping sets are ANSI SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, p.value AS value_asof
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_clicks,
+           COUNT(value_asof) AS n_with_prior_purchase,
+           CAST(SUM(CAST(value_asof AS DECIMAL(30,6))) AS DOUBLE) AS sum_prior_value
+    FROM j
+    GROUP BY user_id
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click picks up the most recent prior
+    purchase value per user. Implemented as the union-trick (one
+    shuffle on user_id, running `last(ignorenulls)`), NOT a range
+    join — the formulation that survives 100 TB. Verified against
+    DuckDB's native ASOF JOIN."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = TP.asof_join(
+        clicks, purchases, key="user_id", time_col="ts", payload_cols=["value"]
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("value_asof").alias("n_with_prior_purchase"),
+        A.exact_decimal_sum("value_asof").alias("sum_prior_value"),
+    )
+
+
+_BANDS = [
+    ("tiny", 0, 50_000),
+    ("small", 50_000, 150_000),
+    ("medium", 150_000, 300_000),
+    ("large", 300_000, 600_000),
+]
+_BANDS_SQL = "VALUES " + ", ".join(
+    f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS
+)
+
+
+@query(
+    "orders_range_join_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS ({_BANDS_SQL})
+    SELECT band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders LEFT JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q_orders_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded non-equi (range) join: orders against a broadcast band
+    dimension on [lo, hi) — BroadcastNestedLoopJoin, the correct plan
+    for small band tables (big×big banded joins pre-bucket instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = orders.sparkSession.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    joined = TP.range_join_broadcast(orders, bands, "o_totalprice")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        A.exact_decimal_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in
+    one shuffle (Spark Expand + single hash agg) — the §2d gap op the
+    reference lacked."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status totals, priority totals, grand
+    total) — one Expand + hash agg instead of three scans + union."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return orders.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -1,0 +1,45 @@
+"""Unit tests for operators.temporal on hand-built frames: backward
+as-of semantics (ties match, no-prior-row nulls, per-key isolation)
+and banded range joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 999.0)],
+        ["k", "t", "v"],
+    )
+    out = {
+        r.tag: r.v_asof
+        for r in TP.asof_join(left, right, key="k", time_col="t", payload_cols=["v"]).collect()
+    }
+    assert out["a"] == 100.0  # tie: right row at t=10 matches t=10
+    assert out["b"] == 150.0  # latest prior (15), not first (10)
+    assert out["c"] is None   # no prior right row
+    assert out["d"] is None   # other key's rows invisible; k=2 right is later
+
+
+def test_asof_join_keeps_left_rowcount(spark):
+    left = spark.createDataFrame([(1, i, i) for i in range(50)], ["k", "t", "x"])
+    right = spark.createDataFrame([(1, i * 2, float(i)) for i in range(10)], ["k", "t", "v"])
+    out = TP.asof_join(left, right, key="k", time_col="t", payload_cols=["v"])
+    assert out.count() == 50
+    assert set(out.columns) == {"k", "t", "x", "v_asof"}
+
+
+def test_range_join_broadcast(spark):
+    fact = spark.createDataFrame([(1, 5), (2, 25), (3, 999)], ["id", "v"])
+    bands = spark.createDataFrame(
+        [("low", 0, 10), ("mid", 10, 100)], ["band", "lo", "hi"]
+    )
+    out = {r.id: r.band for r in TP.range_join_broadcast(fact, bands, "v").collect()}
+    assert out == {1: "low", 2: "mid", 3: None}  # left join keeps unmatched
