@@ -1,0 +1,76 @@
+"""Physical-layout operators: bucketing, skew salting, partitioned
+writes — the knobs that decide whether a 100 TB join shuffles.
+
+- **Bucketed tables** (`write_bucketed`): persist both join sides
+  bucketed+sorted on the join key and Spark's scan reports the
+  hash-partitioning, so equi-joins and groupBys on that key plan with
+  NO Exchange (asserted in tests/test_plans.py). This is the
+  pre-shuffle-once, join-many-times layout for fact tables.
+- **Salted joins** (`salted_join`): when one key dominates (power-law
+  user, null-bucket), a plain shuffle join sends the hot key to one
+  task. Salting splits each left key into `factor` synthetic subkeys
+  and replicates the matching right rows across them — the hot key
+  fans out over `factor` tasks. AQE's skew-join handles moderate skew
+  automatically (session.py enables it); explicit salting is for the
+  pathological keys AQE's split thresholds miss.
+- **Partitioned writes** (`write_partitioned`): directory partitioning
+  for predicate-pruned scans (dynamic partition pruning on joins).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table. Joins
+    and aggregations on `bucket_col` between tables bucketed the same
+    way plan without Exchange."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet: equality/IN predicates on
+    partition columns prune whole directories at planning time."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: split each left key into `factor`
+    deterministic salt buckets; replicate right rows across all
+    buckets; join on (key, salt). Same rows as a plain join on `key`,
+    but a hot key now spreads over `factor` tasks.
+
+    Left salt derives from a hash of the whole row (monotonically_
+    increasing_id would break determinism across retries); right
+    replication is an explode of a literal salt array — `factor`×
+    duplication of the (small, dimension) right side.
+    """
+    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in left.columns])), F.lit(factor))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -151,3 +151,19 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann.knn_join(emb, queries, k=5)
+
+
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (similarity.ivf): MLlib KMeans coarse
+    quantizer (8 lists), 3-probe search, exact cosine rank within the
+    probed lists. Rows-only check — KMeans training is not
+    SQL-expressible; recall vs exact search is asserted in
+    tests/test_similarity.py."""
+    from flight_delay_prediction_using_pyspark_spark.similarity import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf.build_ivf_index(emb, n_lists=8)
+    return ivf.ivf_search(
+        assigned, centroids, _query_vec(spark, sf_dir), k=10, n_probe=3
+    )

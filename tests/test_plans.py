@@ -1,0 +1,110 @@
+"""Physical-plan assertions: the engine's scale claims, checked
+against `explain()` output so regressions in pushdown / broadcast /
+bucketing / shuffle count fail loudly. (SURVEY.md §4: '.explain the
+plan and iterate until it's the plan you'd want'.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import layout as L
+from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+from tests.conftest import SF_CORRECTNESS_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes via their '(n) Exchange' section
+    headers (each node also appears once in the tree sketch)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    plan = plan_of(QUERIES["open_orders_projection"](spark, SF_CORRECTNESS_DIR))
+    assert "PushedFilters" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+    # column pruning: the scan reads only the 3 projected columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "o_orderkey" in read_schema and "o_comment" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(QUERIES["segment_revenue"](spark, SF_CORRECTNESS_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_broadcasts(spark):
+    plan = plan_of(QUERIES["customers_without_orders"](spark, SF_CORRECTNESS_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_grouped_agg_has_partial_aggregation(spark):
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF_CORRECTNESS_DIR))
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "partial_sum" in plan  # partial agg before the exchange
+    assert n_exchanges(plan) == 1  # one shuffle total
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-trick as-of join must shuffle exactly once for the
+    window (plus the final agg's exchange) — no range-join fallback."""
+    plan = plan_of(QUERIES["events_asof_join"](spark, SF_CORRECTNESS_DIR))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # window over user_id + final groupBy(user_id): at most 2 shuffles
+    assert n_exchanges(plan) <= 2
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = plan_of(QUERIES["top10_orders"](spark, SF_CORRECTNESS_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_avoids_exchange(spark, tmp_path):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{tmp_path}/buckdb'")
+    try:
+        orders = spark.read.parquet(f"{SF_CORRECTNESS_DIR}/orders.parquet")
+        customer = spark.read.parquet(f"{SF_CORRECTNESS_DIR}/customer.parquet")
+        L.write_bucketed(orders, "buckdb.orders_b", "o_custkey", 8)
+        L.write_bucketed(
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "buckdb.customer_b",
+            "o_custkey",
+            8,
+        )
+        ob, cb = spark.table("buckdb.orders_b"), spark.table("buckdb.customer_b")
+        joined = ob.join(cb.hint("merge"), "o_custkey")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan  # bucketing pre-partitioned both sides
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901)], ["k", "x"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "miss")], ["k", "v"])
+    plain = {(r.k, r.x, r.v) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.x, r.v) for r in L.salted_join(left, right, "k", factor=4).collect()}
+    assert salted == plain and len(salted) == 501  # 500 hot k=1 + one k=2
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    events = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)], ["id", "part"]
+    )
+    path = str(tmp_path / "parts")
+    L.write_partitioned(events, path, ["part"])
+    scan = spark.read.parquet(path).filter(F.col("part") == "b")
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan and scan.count() == 100

@@ -58,3 +58,26 @@ def test_knn_join_excludes_self(corpus):
         by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
     assert sorted(by_query) == [0, 1]
     assert sorted(by_query[0])[0] == (1, 1)  # vec 1 is vec 0's nearest
+
+
+def test_ivf_search_recall(spark):
+    """IVF with n_probe = all lists must equal exact search; with a
+    few probes it should still recover most of the exact top-k on the
+    real embedding corpus."""
+    from flight_delay_prediction_using_pyspark_spark.similarity import ivf
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    emb = spark.read.parquet(f"{SF_CORRECTNESS_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    centroids, assigned = ivf.build_ivf_index(emb, n_lists=8)
+    assigned = assigned.persist()
+    assert assigned.count() == emb.count()
+    assert len(centroids) == 8
+
+    exact = [r.vec_id for r in ann.cosine_topk(emb, q, k=10).collect()]
+    full = [r.vec_id for r in ivf.ivf_search(assigned, centroids, q, k=10, n_probe=8).collect()]
+    assert full == exact  # probing every list == exact search
+
+    probed = {r.vec_id for r in ivf.ivf_search(assigned, centroids, q, k=10, n_probe=3).collect()}
+    assert len(probed & set(exact)) >= 5  # partial probe keeps recall
+    assert 0 in probed  # query's own vector lives in its top centroid
