@@ -2,7 +2,9 @@
 
 Reproduces the reference's 24-stage MLlib Pipeline
 (/root/reference/src/main/helper_methods.py:252-278) with identical
-configuration:
+per-column configuration, collapsed into 5 stages via the
+multi-column StringIndexer/OneHotEncoder forms (one fit scan instead
+of eleven):
 
 - StringIndexer per categorical, handleInvalid="keep" (L1 — unseen
   categories at scoring time survive as an extra index),
@@ -35,14 +37,26 @@ def build_feature_pipeline(
     numeric_cols: list[str],
     output_col: str = "features",
 ) -> Pipeline:
-    """L1-L6: the reference's encoder Pipeline, parameter-identical."""
+    """L1-L6: the reference's encoder Pipeline, parameter-identical
+    per column — but with ONE multi-column StringIndexer and ONE
+    multi-column OneHotEncoder instead of the reference's per-column
+    stages. Semantics are identical (per-column frequency-desc index
+    assignment, per-column keep-bucket); physics differ: one
+    fit pass computing all 11 value counts instead of 11 sequential
+    distinct-count jobs over the same frame — the difference between
+    1 and 11 scans at 100 TB."""
     indexers = [
-        StringIndexer(inputCol=c, outputCol=f"{c}_index", handleInvalid="keep")
-        for c in categorical_cols
+        StringIndexer(
+            inputCols=list(categorical_cols),
+            outputCols=[f"{c}_index" for c in categorical_cols],
+            handleInvalid="keep",
+        )
     ]
     encoders = [
-        OneHotEncoder(inputCol=f"{c}_index", outputCol=f"{c}_ONEHOT")
-        for c in categorical_cols
+        OneHotEncoder(
+            inputCols=[f"{c}_index" for c in categorical_cols],
+            outputCols=[f"{c}_ONEHOT" for c in categorical_cols],
+        )
     ]
     numeric_assembler = VectorAssembler(
         inputCols=numeric_cols, outputCol="COMBINED_vec", handleInvalid="skip"

@@ -143,3 +143,48 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "lineitem_hash_sample",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE CAST(concat('0x', substr(md5(concat_ws('_', l_orderkey, l_linenumber)), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+)
+def q_lineitem_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via portable key-hash filter
+    (operators.sampling.hash_sample): partition-insensitive and
+    reproducible across engines/clusters — unlike seeded Bernoulli
+    sample() (M1), which is partition-sensitive and gets rows-only
+    checks. The sample predicate is a plain filter: it pushes into
+    the scan like any other."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sampling import hash_sample
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sampled = hash_sample(
+        lineitem,
+        F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")),
+        denominator=10,
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query("lineitem_bernoulli_sample")
+def q_lineitem_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 seeded Bernoulli sample (partition-sensitive ⇒ rows-only
+    check): sampled row count + quantity sum at fraction 0.1."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sampling import (
+        bernoulli_sample,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return bernoulli_sample(lineitem, 0.1).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+    )

@@ -207,7 +207,7 @@ def q_dedup_exact_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(threshold: float) -> str:
+def _minhash_ctes(threshold: float) -> str:
     k, bands, rows = TD.MINHASH_K, TD.LSH_BANDS, TD.LSH_ROWS
     sig_exprs = ", ".join(
         "list_min(list_transform(s, x -> " + _md5i(f"concat('{i}:', x)") + "))"
@@ -224,8 +224,7 @@ def _minhash_oracle(threshold: float) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ctes = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 3
@@ -241,15 +240,45 @@ def _minhash_oracle(threshold: float) -> str:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    )"""
+    return ctes
+
+
+def _minhash_oracle(threshold: float) -> str:
+    return f"""
+    WITH {_minhash_ctes(threshold)}
+    SELECT id_a, id_b, jaccard FROM verified
+    """
+
+
+def _minhash_cluster_oracle(threshold: float) -> str:
+    """Connected components over the verified pair graph via a
+    recursive transitive-closure CTE, labeled by component-min id."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes(threshold)},
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(node, peer) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
     )
-    SELECT id_a, id_b,
-           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jaccard
-    FROM cand
-    JOIN sig sa ON sa.doc_id = id_a
-    JOIN sig sb ON sb.doc_id = id_b
-    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= {threshold}
+    SELECT node AS doc_id, least(node, MIN(peer)) AS cluster_id
+    FROM reach
+    GROUP BY node
     """
 
 
@@ -387,3 +416,20 @@ def q_dedup_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
         parallelism=spark.sparkContext.defaultParallelism,
     )
+
+
+@query("dedup_minhash_clusters", oracle=_minhash_cluster_oracle(0.5))
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    pair graph via iterative min-label propagation (each round one
+    distributed join+agg; converges in graph-diameter rounds). Output
+    (doc_id, cluster_id=min id in component) — the canonical-pick
+    stage of cluster-level dedup. Oracle: recursive transitive-closure
+    CTE over the same verified pairs."""
+    pairs = TD.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    clusters = TD.connected_components(pairs)
+    return clusters.select(F.col("node").alias("doc_id"), "cluster_id")

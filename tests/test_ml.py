@@ -44,8 +44,13 @@ def encoded(spark, prepared):
 
 def test_pipeline_stage_layout(spark):
     p = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
-    # 11 indexers + 11 encoders + numeric assembler + scaler + final.
-    assert len(p.getStages()) == 2 * len(CATEGORICAL_FEATURES) + 3
+    # multi-column indexer + multi-column encoder + numeric assembler
+    # + scaler + final assembler (the reference's 24 stages collapsed
+    # to 5, same per-column parameters)
+    stages = p.getStages()
+    assert len(stages) == 5
+    assert stages[0].getOutputCols() == [f"{c}_index" for c in CATEGORICAL_FEATURES]
+    assert stages[0].getHandleInvalid() == "keep"
 
 
 def test_pipeline_encodes_features(encoded):

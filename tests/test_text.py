@@ -106,3 +106,23 @@ def test_embedding_near_dup_pairs(spark):
 def test_jaccard_column(spark):
     df = spark.createDataFrame([(["a", "b"], ["b", "c"])], ["x", "y"])
     assert df.select(TD.jaccard(F.col("x"), F.col("y")).alias("j")).first().j == pytest.approx(1 / 3)
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    out = {r.node: r.cluster_id for r in TD.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_keep_canonical(spark, docs):
+    pairs = TD.minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = TD.connected_components(pairs)
+    kept = TD.dedup_keep_canonical(docs, clusters)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids            # canonical (min id) survives
+    assert 5 not in ids        # exact dup of 0 dropped
+    assert 1 not in ids        # near dup of 0 dropped (same cluster)
+    assert {2, 3, 4} <= ids    # non-duplicates pass through
