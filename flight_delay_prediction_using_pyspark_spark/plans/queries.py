@@ -1010,18 +1010,52 @@ def q_ml_feature_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREE_CACHE: dict[int, tuple] = {}
+
+
+def _trained_tree(spark: SparkSession):
+    """Memoized DT fit on the shared encoded frame (same seeds ⇒ same
+    model; the metrics and importance queries share one training)."""
+    key = id(spark.sparkContext)
+    if key not in _TREE_CACHE:
+        _, encoded = _encoded_flights(spark)
+        _TREE_CACHE[key] = train_decision_tree(encoded)
+    return _TREE_CACHE[key]
+
+
 @query("ml_decision_tree_metrics")
 def q_ml_decision_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7+L9 (/root/reference/src/main/helper_methods.py:301,341-369):
     DecisionTreeRegressor maxDepth=15/maxBins=60/seed=42 on a 90/10
     split; returns MAE/RMSE/val-count as one row."""
-    _, encoded = _encoded_flights(spark)
-    _, val_preds = train_decision_tree(encoded)
+    _, val_preds = _trained_tree(spark)
     metrics = evaluate_regression(val_preds)
     n_val = val_preds.count()
     return spark.createDataFrame(
         [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
         "mae double, rmse double, n_val long",
+    )
+
+
+@query("ml_feature_importance")
+def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 (/root/reference/src/main/helper_methods.py:182-195): the
+    fitted tree's featureImportances vector decoded back to feature
+    names via ml_attr column metadata; top 10 by score. Rows-only —
+    tree induction is not SQL-expressible."""
+    from flight_delay_prediction_using_pyspark_spark.ml.train import (
+        extract_feature_importance,
+    )
+    from flight_delay_prediction_using_pyspark_spark.plans import prepare as P
+
+    model, _ = _trained_tree(spark)
+    _, encoded = _encoded_flights(spark)
+    top = extract_feature_importance(
+        model, encoded, top_k=10, numeric_cols=P.NUMERIC_FEATURES
+    )
+    return spark.createDataFrame(
+        [(name, round(score, 6)) for name, score in top],
+        "feature string, importance double",
     )
 
 

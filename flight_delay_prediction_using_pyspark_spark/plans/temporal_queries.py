@@ -188,3 +188,26 @@ def q_lineitem_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         A.exact_decimal_sum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "custkeys_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (distinct semantics, the §2 A9 family's
+    missing member): big-spender custkeys ∩ BUILDING-segment custkeys.
+    Spark plans it as a left-semi hash join over distinct sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b)

@@ -1,0 +1,64 @@
+"""Source/sink tests: bz2-compressed CSV (S2), nullValue handling,
+explicit-schema reads, CSV-safe projection."""
+
+from __future__ import annotations
+
+import bz2
+import os
+
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.sources.readers import (
+    read_csv,
+    read_flights_csv,
+)
+from flight_delay_prediction_using_pyspark_spark.sources.schemas import FLIGHTS_SCHEMA
+from flight_delay_prediction_using_pyspark_spark.sources.synthetic import flights_df
+from flight_delay_prediction_using_pyspark_spark.sources.writers import (
+    csv_safe_columns,
+    write_single_csv,
+)
+
+
+def test_bz2_csv_roundtrip(spark, tmp_path):
+    """S2: Spark decompresses .csv.bz2 natively by extension
+    (/root/reference/src/main/helper_methods.py:376-377)."""
+    cols = [f.name for f in FLIGHTS_SCHEMA.fields]
+    plain = str(tmp_path / "flights.csv")
+    write_single_csv(flights_df(spark, 500).select(*cols), plain)
+    compressed = str(tmp_path / "flights.csv.bz2")
+    with open(plain, "rb") as src, bz2.open(compressed, "wb") as dst:
+        dst.write(src.read())
+
+    df = read_flights_csv(spark, compressed)
+    assert df.count() == 500
+    assert dict(df.dtypes)["ArrDelay"] == "int"
+    # decompressed content matches the plain read exactly
+    plain_sum = read_flights_csv(spark, plain).agg(F.sum("DepDelay")).first()[0]
+    assert df.agg(F.sum("DepDelay")).first()[0] == plain_sum
+
+
+def test_null_value_na(spark, tmp_path):
+    p = str(tmp_path / "na.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,NA\nNA,x\n")
+    df = read_csv(spark, p, infer_schema=True)
+    rows = df.collect()
+    assert rows[0].b is None and rows[1].a is None
+
+
+def test_explicit_schema_skips_inference(spark, tmp_path):
+    """S1: declared schema ⇒ typed columns without the inferSchema
+    double-scan (SURVEY.md §4 anti-pattern 6)."""
+    cols = [f.name for f in FLIGHTS_SCHEMA.fields]
+    p = str(tmp_path / "typed.csv")
+    write_single_csv(flights_df(spark, 100).select(*cols), p)
+    df = read_flights_csv(spark, p)
+    assert df.schema == FLIGHTS_SCHEMA
+
+
+def test_csv_safe_projection(spark):
+    df = spark.createDataFrame(
+        [(1, "x", [1.0, 2.0])], "id long, s string, arr array<double>"
+    )
+    assert csv_safe_columns(df) == ["id", "s"]  # array dropped (S6)
