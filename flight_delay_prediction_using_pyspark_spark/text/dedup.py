@@ -187,11 +187,13 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
-    """SimHash signature: bit j is set iff the sum over tokens of
-    (token-hash bit j ? +1 : -1) is positive. Computed as `bits`
-    conditional sums over one hashed-token array — single pass."""
-    hashed = F.transform(tokens(col), lambda t: md5_hash32(t))
+def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
+    """SimHash signature from a precomputed token-hash array: bit j
+    is set iff the sum over tokens of (hash bit j ? +1 : -1) is
+    positive. Pass an already-materialized hash column — inlining
+    `transform(tokens, md5)` here would re-evaluate the md5s once per
+    bit (32×), since each vote aggregate embeds its own copy of the
+    expression tree."""
 
     def vote_fn(j):  # closure factory: aggregate's merge lambda is binary
         return lambda acc, h: acc + F.when(
@@ -203,6 +205,37 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
         vote = F.aggregate(hashed, F.lit(0).cast("long"), vote_fn(j))
         out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return out
+
+
+def simhash_single_pass(hash_col_name: str, bits: int = 32) -> Column:
+    """SimHash over a named token-hash array column in ONE traversal:
+    the aggregate carries a `bits`-wide vote array (each token updates
+    every bit's counter), then the votes fold into the signature. Same
+    result as simhash_from_hashes, but tokens are visited once instead
+    of `bits` times — the bulk form simhash_pairs uses."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(
+            aggregate(
+              {hash_col_name},
+              array_repeat(0L, {bits}),
+              (acc, h) -> transform(acc, (v, j) ->
+                  v + CASE WHEN (h >> j) & 1 = 1 THEN 1L ELSE -1L END)
+            ),
+            (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END
+          ),
+          0L, (a, b) -> a + b
+        )
+        """
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """Single-expression SimHash (convenience form — md5s re-evaluate
+    per bit; for bulk use, materialize the hash array first as
+    simhash_pairs does)."""
+    return simhash_from_hashes(F.transform(tokens(col), lambda t: md5_hash32(t)), bits)
 
 
 def hamming32(a: Column, b: Column) -> Column:
@@ -230,8 +263,14 @@ def simhash_pairs(
     width = 32 // chunks
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
-    sigs = df.select(
-        F.col(id_col), simhash(F.col(text_col)).alias("simhash")
+    # Single pass: hash each token once, carry a 32-wide vote array
+    # through one aggregate (vs. 32 aggregates each re-hashing).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: md5_hash32(t)).alias("__hs"),
+    )
+    sigs = hashed.select(
+        F.col(id_col), simhash_single_pass("__hs").alias("simhash")
     ).persist()
     chunk_structs = F.array(
         *[

@@ -85,3 +85,44 @@ def test_delay_label_thresholds_and_null(spark):
     df = spark.createDataFrame(rows, ["p"])
     out = [r.v for r in df.select(delay_label("p").alias("v")).collect()]
     assert out == ["delayed", "on time", "early", "on time", "on time", "on time"]
+
+
+def test_hhmm_parser_property(spark):
+    """Property test (SURVEY.md §7 'HHMM edge cases'): the Spark
+    parser agrees with an independent Python reference on arbitrary
+    strings — digits extracted, empty→null, minutes split."""
+    from hypothesis import given, settings, strategies as st
+
+    def py_parse(s):
+        if s is None:
+            return None
+        # ASCII digits only — the parser strips [^0-9]; Python's
+        # str.isdigit() would also accept Unicode digits
+        digits = "".join(ch for ch in s if ch in "0123456789")
+        return int(digits) if digits else None
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Nd", "Lu", "Ll", "Po", "Zs")
+                ),
+                max_size=8,
+            ),
+            st.integers(min_value=0, max_value=2400).map(str),
+        )
+    )
+    def collect(s):
+        # digits-only strings longer than int range are fine (<=8 chars)
+        cases.append(s)
+
+    collect()
+    rows = [(s,) for s in cases]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r.v for r in df.select(parse_time_digits("t").alias("v")).collect()]
+    expected = [py_parse(s) for s in cases]
+    assert got == expected

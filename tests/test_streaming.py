@@ -76,3 +76,37 @@ def test_running_user_totals_stateful(spark, events_dir):
         .collect()
     }
     assert {r.user_id: r.n for r in got} == raw
+
+
+def test_stream_to_parquet_sink_with_checkpoint(spark, events_dir, tmp_path):
+    """Production sink shape: writeStream → parquet + checkpoint dir,
+    availableNow trigger; output rows equal the batch equivalent and a
+    checkpoint directory is laid down (restart-safe offsets)."""
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = S.windowed_event_counts(S.stream_events(spark, events_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+    # append mode emits only watermark-closed windows; every emitted
+    # row must match the batch computation exactly
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in S.windowed_event_counts(spark.read.parquet(events_dir)).collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert batch[k][0] == v[0]
