@@ -64,8 +64,7 @@ def _fingerprint_sql() -> str:
     )
 
 
-_PROFILE_CTE = f"""
-    WITH raw AS (
+_PROFILE_CTES = f"""raw AS (
       SELECT doc_id, text, {_TOKS} AS t FROM documents
     ), scored AS (
       SELECT doc_id, text, t,
@@ -83,8 +82,9 @@ _PROFILE_CTE = f"""
         {" ".join(f"{_lang_score(w)} AS s_{lang}," for lang, w in TA.LANG_PROFILES.items())}
         {_fingerprint_sql()} AS fingerprint
       FROM raw
-    )
-"""
+    )"""
+
+_PROFILE_CTE = "WITH " + _PROFILE_CTES
 
 _QUALITY_SQL = """
     CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
@@ -207,7 +207,7 @@ def q_dedup_exact_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_ctes(threshold: float) -> str:
+def _minhash_ctes(threshold: float, source: str = "documents") -> str:
     k, bands, rows = TD.MINHASH_K, TD.LSH_BANDS, TD.LSH_ROWS
     sig_exprs = ", ".join(
         "list_min(list_transform(s, x -> " + _md5i(f"concat('{i}:', x)") + "))"
@@ -224,7 +224,7 @@ def _minhash_ctes(threshold: float) -> str:
         )
         for b in range(bands)
     )
-    ctes = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ctes = f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM {source}),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 3
@@ -433,3 +433,76 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = TD.connected_components(pairs)
     return clusters.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+def _training_corpus_oracle(min_quality: float, lang: str, threshold: float) -> str:
+    """The full corpus-prep pipeline in SQL: profile CTEs (quality,
+    language) -> gates -> deterministic exact dedup -> minhash CTEs
+    over the survivors -> recursive connected components -> canonical
+    keep -> summary aggregates."""
+    return f"""
+    WITH RECURSIVE {_PROFILE_CTES},
+    gated AS (
+      SELECT doc_id, text, n_tokens, ROUND({_QUALITY_SQL}, 6) AS quality
+      FROM scored
+      WHERE ROUND({_QUALITY_SQL}, 6) >= {min_quality}
+        AND {_pred_lang_sql()} = '{lang}'
+    ),
+    ded AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY {_md5i('text')} ORDER BY doc_id) = 1
+    ),
+    {_minhash_ctes(threshold, source='ded')},
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(node, peer) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+    ),
+    clusters AS (
+      SELECT node, least(node, MIN(peer)) AS cluster_id FROM reach GROUP BY node
+    ),
+    kept AS (
+      SELECT d.* FROM ded d
+      LEFT JOIN clusters c ON d.doc_id = c.node AND c.node != c.cluster_id
+      WHERE c.node IS NULL
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) AS sum_quality
+    FROM kept
+    """
+
+
+@query(
+    "training_corpus_prep",
+    oracle=_training_corpus_oracle(0.4, "en", 0.5),
+)
+def q_training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-data composite (text.dedup.prepare_training_corpus):
+    quality gate -> language gate -> deterministic exact dedup ->
+    MinHash-LSH near-dup clusters -> keep canonical docs; summarized
+    as (surviving docs, token mass, quality mass). Every stage of the
+    pipeline is independently oracle-verified by the other dedup/text
+    queries; this verifies their composition end-to-end."""
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TD.prepare_training_corpus(
+        docs,
+        min_quality=0.4,
+        lang="en",
+        jaccard_threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return kept.select(
+        token_count(F.col("text")).alias("n_tokens"), F.col("quality")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        A.exact_decimal_sum("quality").alias("sum_quality"),
+    )

@@ -447,3 +447,53 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    min_quality: float = 0.4,
+    lang: str | None = "en",
+    jaccard_threshold: float = 0.5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """End-to-end training-corpus preparation — the composite a 100 TB
+    LLM data pipeline runs nightly:
+
+      1. quality gate  (analysis.quality_score >= min_quality)
+      2. language gate (analysis.predict_language == lang)
+      3. exact dedup   (portable content hash; DETERMINISTIC min-id
+         winner, not dropDuplicates' arbitrary survivor — pipelines
+         must yield identical corpora across reruns/partitionings)
+      4. near-dup removal (MinHash-LSH pairs -> connected components
+         -> keep each cluster's canonical min-id doc)
+
+    Stage order matters at scale: the cheap per-row gates (1-2) run
+    first and shrink the corpus before any shuffle; exact dedup (3)
+    shuffles only hashes; the LSH stage (4) sees only survivors.
+    Returns the surviving documents with their quality/language
+    columns attached.
+    """
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import (
+        predict_language,
+        quality_score,
+    )
+
+    gated = df.withColumn("quality", F.round(quality_score(F.col("text")), 6)).withColumn(
+        "pred_lang", predict_language(F.col("text"))
+    )
+    gated = gated.filter(F.col("quality") >= min_quality)
+    if lang is not None:
+        gated = gated.filter(F.col("pred_lang") == lang)
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy(md5_hash32(F.col("text"))).orderBy(F.col("doc_id"))
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(wnd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pairs = minhash_lsh_pairs(
+        deduped, threshold=jaccard_threshold, parallelism=parallelism
+    )
+    clusters = connected_components(pairs)
+    return dedup_keep_canonical(deduped, clusters)

@@ -126,3 +126,26 @@ def test_dedup_keep_canonical(spark, docs):
     assert 5 not in ids        # exact dup of 0 dropped
     assert 1 not in ids        # near dup of 0 dropped (same cluster)
     assert {2, 3, 4} <= ids    # non-duplicates pass through
+
+
+def test_prepare_training_corpus_stages(spark):
+    rows = [
+        # fluent, long enough, en
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        # near-dup of 0 -> removed (0 is canonical)
+        (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        # exact dup of 0 -> removed by exact dedup (min id 0 wins)
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        # German -> removed by language gate
+        (3, "der hund und die katze ist nicht da aber der hund kommt morgen wieder"),
+        # too short -> quality gate zeroes it
+        (4, "short doc"),
+        # distinct fluent survivor
+        (5, "a storm of data files and the engine keeps the tables sorted for all of us"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = TD.prepare_training_corpus(docs, min_quality=0.4, lang="en")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 5]
+    cols = set(kept.columns)
+    assert {"quality", "pred_lang", "text", "doc_id"} <= cols
