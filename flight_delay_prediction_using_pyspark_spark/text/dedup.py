@@ -382,6 +382,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    graph_partitions: int = 8,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     near-dup pair graph via iterative min-label propagation. Returns
@@ -396,10 +397,15 @@ def connected_components(
     bounds pathological chains. The loop persists each generation and
     unpersists the last — lineage stays O(1) per round.
     """
+    # The pair graph is orders of magnitude smaller than the corpus
+    # (duplicate pairs, not documents): iterate at a narrow shuffle
+    # width (graph_partitions) instead of the corpus-scale session
+    # setting — raise only for graphs with billions of edges.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
+        .repartition(graph_partitions, F.col("u"))
         .persist()
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
@@ -491,6 +497,10 @@ def prepare_training_corpus(
         gated.withColumn("__rn", F.row_number().over(wnd))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # consumed by three branches (LSH signatures, CC verify join,
+        # final canonical keep) — persist the frontier or the gates +
+        # dedup window re-execute per branch
+        .persist()
     )
     pairs = minhash_lsh_pairs(
         deduped, threshold=jaccard_threshold, parallelism=parallelism
