@@ -984,7 +984,11 @@ _ENCODED_CACHE: dict[int, tuple] = {}
 def _encoded_flights(spark: SparkSession):
     key = id(spark.sparkContext)
     if key not in _ENCODED_CACHE:
-        prepared = _prepared_flights(spark).persist()
+        # Compact the (small) training frame before fitting: estimator
+        # fits and tree induction run dozens of internal jobs over it,
+        # and 64 near-empty partitions mean 64 scheduled tasks per job.
+        # Size partitions to the data, not the session default.
+        prepared = _prepared_flights(spark).repartition(8).persist()
         pipeline = build_feature_pipeline(P.CATEGORICAL_FEATURES, P.NUMERIC_FEATURES)
         model = pipeline.fit(prepared)
         _ENCODED_CACHE[key] = (model, model.transform(prepared).persist())
