@@ -13,10 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import itertools
+import os
+import tempfile
+
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
 from flight_delay_prediction_using_pyspark_spark.plans.queries import query
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+
+_dedup_run = itertools.count()
 
 
 @query(
@@ -107,3 +114,49 @@ def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_streaming_dedup",
+    oracle="""
+    SELECT user_id,
+           CAST(concat('0x', substr(md5(coalesce(props, '')), 1, 8)) AS BIGINT)
+             % 64 AS content_hash,
+           MIN(event_id) AS event_id
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time stateful dedup, run END-TO-END through Structured
+    Streaming: readStream over the events parquet -> derive a content
+    hash (portable md5 pattern, % 64 to force collisions) ->
+    streaming/ops.streaming_dedup (applyInPandasWithState, per-key
+    hash-set state) -> availableNow memory sink. A single availableNow
+    batch emits MIN(event_id) per (user_id, hash), so the batch
+    GROUP BY oracle is exact — the stateful operator itself is under
+    the correctness gate, not just its batch shadow."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory; stage the single parquet
+    # file behind a symlink (no copy).
+    stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.conv(F.substring(F.md5(F.coalesce("props", F.lit(""))), 1, 8), 16, 10)
+                .cast("long")
+                % 64
+            ).alias("content_hash"),
+        )
+    )
+    sink = f"streaming_dedup_{next(_dedup_run)}"
+    S.run_to_memory_sink(S.streaming_dedup(stream), sink, output_mode="append")
+    return spark.table(sink)

@@ -211,3 +211,29 @@ def q_custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey")
     )
     return a.intersect(b)
+
+
+@query(
+    "grouped_quantiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS q95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_grouped_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (A6 grouped form):
+    one hash agg carrying a per-group sort of the column. For 100 TB
+    use the GK-sketch form (percentile_approx — mergeable, one pass);
+    the exact form is the small-SF oracle anchor."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(name)
+            for p, name in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")]
+        ]
+    )

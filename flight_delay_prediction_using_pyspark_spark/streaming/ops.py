@@ -159,3 +159,66 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("content_hash", T.LongType()),
+    ]
+)
+
+_SEEN_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
+
+
+def streaming_dedup(events: DataFrame, key_col: str = "user_id", hash_col: str = "content_hash") -> DataFrame:
+    """Ingest-time exact dedup as a custom stateful operator: per key,
+    remember every content hash seen so far (GroupState) and emit only
+    first-seen rows. The streaming half of text.dedup.dedup_exact —
+    batch dedup cleans the corpus, this keeps duplicates from ever
+    landing.
+
+    State is the per-key hash set; at scale, key-partitioning spreads
+    it across executors and a real deployment would add state TTL
+    (GroupStateTimeout) or swap the exact set for a Bloom filter once
+    per-key cardinality grows. Emitted rows: (event_id, key, hash),
+    one per hash on its first micro-batch, carrying the MIN event_id
+    among that batch's rows for the hash — deterministic regardless of
+    partition/file arrival order, so a single-batch (availableNow) run
+    equals the batch `GROUP BY key, hash -> MIN(event_id)` exactly.
+
+    The UDF closure is self-contained (no module globals)."""
+
+    def dedup(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (seen_list,) = state.get if state.exists else ([],)
+        seen = set(seen_list)
+        fresh: dict[int, int] = {}  # hash -> min event_id this batch
+        for pdf in batches:
+            for eid, h in zip(pdf["event_id"], pdf["content_hash"]):
+                h = int(h)
+                if h not in seen:
+                    eid = int(eid)
+                    if h not in fresh or eid < fresh[h]:
+                        fresh[h] = eid
+        seen.update(fresh)
+        state.update((list(seen),))
+        yield pd.DataFrame(
+            {
+                "event_id": list(fresh.values()),
+                "user_id": [key[0]] * len(fresh),
+                "content_hash": list(fresh.keys()),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

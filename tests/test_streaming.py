@@ -110,3 +110,35 @@ def test_stream_to_parquet_sink_with_checkpoint(spark, events_dir, tmp_path):
     assert len(got) > 0
     for k, v in got.items():
         assert batch[k][0] == v[0]
+
+
+def test_streaming_dedup_stateful(spark, events_dir, tmp_path):
+    """Custom stateful streaming dedup: duplicate (user, hash) rows
+    collapse to first-seen; survivors equal the batch distinct set."""
+    from pyspark.sql import functions as F2
+
+    # derive a content hash with heavy collisions so dedup has work
+    hashed_dir = str(tmp_path / "hashed")
+    (
+        spark.read.parquet(events_dir)
+        .select(
+            "event_id",
+            "user_id",
+            (F2.col("value").cast("long") % 5).alias("content_hash"),
+        )
+        .write.parquet(hashed_dir)
+    )
+    schema = "event_id long, user_id long, content_hash long"
+    stream = spark.readStream.schema(schema).parquet(hashed_dir)
+    out = S.streaming_dedup(stream)
+    S.run_to_memory_sink(out, "dedup_out", output_mode="append")
+    got = spark.table("dedup_out")
+    # one emitted row per distinct (user, hash)
+    batch_distinct = (
+        spark.read.parquet(hashed_dir).select("user_id", "content_hash").distinct()
+    )
+    assert got.count() == batch_distinct.count()
+    assert got.select("user_id", "content_hash").distinct().count() == got.count()
+    # emitted event_ids are a subset of the input's
+    in_ids = {r.event_id for r in spark.read.parquet(hashed_dir).collect()}
+    assert {r.event_id for r in got.collect()} <= in_ids
