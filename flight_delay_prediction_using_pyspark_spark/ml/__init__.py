@@ -1,4 +1,7 @@
-from flight_delay_prediction_using_pyspark_spark.ml.pipeline import build_feature_pipeline
+from flight_delay_prediction_using_pyspark_spark.ml.pipeline import (
+    build_feature_pipeline,
+    impute_numeric,
+)
 from flight_delay_prediction_using_pyspark_spark.ml.train import (
     cross_validate_tree,
     evaluate_regression,
@@ -10,6 +13,7 @@ from flight_delay_prediction_using_pyspark_spark.ml.train import (
 
 __all__ = [
     "build_feature_pipeline",
+    "impute_numeric",
     "cross_validate_tree",
     "evaluate_regression",
     "extract_feature_importance",

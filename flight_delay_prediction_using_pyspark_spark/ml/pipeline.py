@@ -74,3 +74,22 @@ def build_feature_pipeline(
         outputCol=output_col,
     )
     return Pipeline(stages=indexers + encoders + [numeric_assembler, scaler, final_assembler])
+
+
+def impute_numeric(
+    df, cols: list[str], strategy: str = "mean", suffix: str = "_imp"
+):
+    """Null imputation as an MLlib estimator (extension beyond the
+    reference, which drops null rows — dataset_utils.py:21-28's
+    dropna; imputation keeps the rows a 100 TB pipeline can't afford
+    to shed). ONE multi-column Imputer: a single agg job computes all
+    column statistics (mean or approx median), then a map-only
+    transform fills the nulls — no shuffle of the data itself."""
+    from pyspark.ml.feature import Imputer
+
+    imputer = Imputer(
+        strategy=strategy,
+        inputCols=list(cols),
+        outputCols=[f"{c}{suffix}" for c in cols],
+    )
+    return imputer.fit(df).transform(df)

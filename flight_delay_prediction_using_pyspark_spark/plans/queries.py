@@ -957,7 +957,10 @@ def q_flights_prepare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and gets a real oracle.
 # ---------------------------------------------------------------------------
 
-from flight_delay_prediction_using_pyspark_spark.ml.pipeline import build_feature_pipeline  # noqa: E402
+from flight_delay_prediction_using_pyspark_spark.ml.pipeline import (  # noqa: E402
+    build_feature_pipeline,
+    impute_numeric,
+)
 from flight_delay_prediction_using_pyspark_spark.ml.train import (  # noqa: E402
     evaluate_regression,
     mean_fallback_predictions,
@@ -1098,6 +1101,50 @@ def q_ml_mean_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.first("prediction"), 6).alias("prediction"),
+    )
+
+
+@query(
+    "ml_imputer_stats",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()}),
+    m AS (
+      SELECT AVG(CAST(ArrDelay AS DOUBLE)) AS mean_arrdelay,
+             AVG(CAST(Distance AS DOUBLE)) AS mean_distance
+      FROM flights
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN ArrDelay IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed_arrdelay,
+           CAST(SUM(CASE WHEN Distance IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed_distance,
+           ROUND(AVG(COALESCE(CAST(ArrDelay AS DOUBLE), m.mean_arrdelay)), 6)
+             AS mean_arrdelay_imp,
+           ROUND(AVG(COALESCE(CAST(Distance AS DOUBLE), m.mean_distance)), 6)
+             AS mean_distance_imp
+    FROM flights, m
+    """,
+)
+def q_ml_imputer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-strategy null imputation (ml.pipeline.impute_numeric, one
+    multi-column MLlib Imputer) on the columns the generator injects
+    nulls into; verified against the COALESCE(col, AVG(col)) oracle.
+    The reference drops these rows (dataset_utils.py:21-28) — this is
+    the keep-the-rows alternative a 100 TB pipeline wants."""
+    flights = flights_df(spark).select(
+        F.col("ArrDelay").cast("double"), F.col("Distance").cast("double")
+    )
+    imputed = impute_numeric(flights, ["ArrDelay", "Distance"])
+    return imputed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ArrDelay").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_imputed_arrdelay"),
+        F.sum(F.when(F.col("Distance").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_imputed_distance"),
+        F.round(F.avg("ArrDelay_imp"), 6).alias("mean_arrdelay_imp"),
+        F.round(F.avg("Distance_imp"), 6).alias("mean_distance_imp"),
     )
 
 

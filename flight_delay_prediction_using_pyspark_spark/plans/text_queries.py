@@ -40,20 +40,33 @@ def _lang_score(words) -> str:
     return f"len(list_filter(t, x -> {_in_list('x', words)}))"
 
 
-def _pred_lang_sql() -> str:
-    """CASE cascade identical to analysis.predict_language: earlier
+def _argmax_sql(langs: list[str], prefix: str = "s_") -> str:
+    """CASE cascade identical to analysis.argmax_label: earlier
     profile beats later on ties (>= forward, > backward)."""
-    langs = list(TA.LANG_PROFILES)
     branches = []
     for i, lang in enumerate(langs):
-        conds = [f"s_{lang} > 0"]
+        conds = [f"{prefix}{lang} > 0"]
         for j, other in enumerate(langs):
             if i == j:
                 continue
             op = ">=" if i < j else ">"
-            conds.append(f"s_{lang} {op} s_{other}")
+            conds.append(f"{prefix}{lang} {op} {prefix}{other}")
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _pred_lang_sql() -> str:
+    return _argmax_sql(list(TA.LANG_PROFILES))
+
+
+def _chargram_score_sql(grams) -> str:
+    """Mirrors analysis.language_scores_chargram: occurrence counts via
+    length-difference / gram length, summed over the profile."""
+    terms = [
+        f"(length(t) - length(replace(t, '{g.replace(chr(39), chr(39) * 2)}', ''))) / {len(g)}"
+        for g in grams
+    ]
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
 
 
 def _fingerprint_sql() -> str:
@@ -142,6 +155,34 @@ def q_doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         F.col("lang"), TA.predict_language(F.col("text")).alias("pred_lang")
+    ).groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_language_chargram_confusion",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             {_argmax_sql(list(TA.NGRAM_PROFILES), prefix="c_")} AS pred_lang
+      FROM (
+        SELECT lang,
+               {", ".join(f"{_chargram_score_sql(grams)} AS c_{lang}" for lang, grams in TA.NGRAM_PROFILES.items())}
+        FROM (SELECT lang, lower(text) AS t FROM documents)
+      )
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM g GROUP BY lang, pred_lang
+    """,
+)
+def q_doc_language_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second language-ID method: char-n-gram occurrence profiles
+    (Cavnar-Trenkle style, fixed profiles) instead of stopword hits.
+    Pure string built-ins — one codegen'd map stage, then the same
+    crosstab agg; exact-integer scores keep the oracle bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("lang"),
+        TA.predict_language_chargram(F.col("text")).alias("pred_lang"),
     ).groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 

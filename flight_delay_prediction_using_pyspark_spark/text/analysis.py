@@ -39,6 +39,19 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 #: Default stopword list for quality scoring (English-ish).
 STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"] + ("for", "on", "with", "as")
 
+#: Characteristic character-n-gram profiles for the second language-ID
+#: method (occurrence-counted substrings — the classic Cavnar-Trenkle
+#: n-gram approach, reduced to a fixed profile). Grams may be any
+#: length: zh uses single CJK chars, latin langs use trigrams with
+#: word-boundary spaces. Dict order = deterministic tie-break priority.
+NGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "ing", "and", "ion", " of", "of ", "ed ", " to"),
+    "de": ("der", "ein", "ich", "sch", "und", "die", "cht", "ung", " ge", "en "),
+    "es": ("de ", "la ", " la", "que", "ión", "ado", "os ", " es", "ent", "ar "),
+    "fr": ("le ", " le", "es ", " et", "que", "ais", "eur", "oir", "une", "de "),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
 #: BPE-ish segmentation: word pieces OR single non-space symbols —
 #: the standard pre-tokenizer split used before byte-pair merging.
 BPE_ISH_PATTERN = r"\w+|[^\w\s]"
@@ -138,14 +151,12 @@ def language_scores(col: Column | str, profiles: dict[str, Sequence[str]] | None
     }
 
 
-def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> Column:
-    """Argmax language with deterministic first-wins tie-break (profile
-    order). Emits 'und' when no profile scores a single hit."""
-    profiles = profiles or LANG_PROFILES
-    scores = language_scores(col, profiles)
-    langs = list(profiles)
-    expr: Column = F.lit("und")
-    # Build the CASE cascade back-to-front so earlier langs win ties.
+def argmax_label(scores: dict[str, Column], default: str = "und") -> Column:
+    """Deterministic argmax over a labeled score dict: first-wins
+    tie-break in dict order; `default` when no score is positive."""
+    langs = list(scores)
+    expr: Column = F.lit(default)
+    # Build the CASE cascade back-to-front so earlier labels win ties.
     for lang in reversed(langs):
         cond = scores[lang] > 0
         for other in langs:
@@ -159,6 +170,41 @@ def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | Non
             cond = cond & op
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> Column:
+    """Argmax language with deterministic first-wins tie-break (profile
+    order). Emits 'und' when no profile scores a single hit."""
+    return argmax_label(language_scores(col, profiles or LANG_PROFILES))
+
+
+def language_scores_chargram(
+    col: Column | str, profiles: dict[str, Sequence[str]] | None = None
+) -> Column | dict[str, Column]:
+    """Per-language char-n-gram occurrence counts: for each profile
+    gram g, occurrences = (len(t) - len(replace(t, g, ''))) / len(g) —
+    pure string built-ins, exact integers, engine-portable, and a
+    single codegen'd map stage at any scale (no arrays materialized,
+    unlike a shingle-set approach)."""
+    profiles = profiles or NGRAM_PROFILES
+    t = F.lower(col if isinstance(col, Column) else F.col(col))
+
+    def occ(g: str) -> Column:
+        return (F.length(t) - F.length(F.replace(t, F.lit(g), F.lit("")))) / len(g)
+
+    return {
+        lang: sum(occ(g) for g in grams).cast("long")
+        for lang, grams in profiles.items()
+    }
+
+
+def predict_language_chargram(
+    col: Column | str, profiles: dict[str, Sequence[str]] | None = None
+) -> Column:
+    """Char-n-gram language ID: argmax occurrence mass with first-wins
+    tie-break (profile order); 'und' on zero evidence. Complements the
+    stopword method — robust to unsegmented text (zh) and morphology."""
+    return argmax_label(language_scores_chargram(col, profiles or NGRAM_PROFILES))
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

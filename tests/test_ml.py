@@ -129,3 +129,44 @@ def test_cross_validator_smoke(spark, prepared):
     )
     assert len(avg_metrics) == 2
     assert best.getMaxDepth() in (3, 6)
+
+
+def test_imputer_fills_all_nulls(spark):
+    from flight_delay_prediction_using_pyspark_spark.ml.pipeline import impute_numeric
+    from flight_delay_prediction_using_pyspark_spark.sources.synthetic import flights_df
+
+    flights = flights_df(spark, n=2000).select(
+        F.col("ArrDelay").cast("double"), F.col("Distance").cast("double")
+    )
+    out = impute_numeric(flights, ["ArrDelay", "Distance"])
+    n_null = out.filter(
+        F.col("ArrDelay_imp").isNull() | F.col("Distance_imp").isNull()
+    ).count()
+    assert n_null == 0
+    # imputed value is the mean of the non-null observations
+    mean = out.filter(F.col("ArrDelay").isNotNull()).agg(
+        F.avg("ArrDelay")
+    ).collect()[0][0]
+    filled = (
+        out.filter(F.col("ArrDelay").isNull())
+        .select("ArrDelay_imp")
+        .distinct()
+        .collect()
+    )
+    assert len(filled) == 1 and filled[0][0] == pytest.approx(mean)
+    # non-null rows pass through unchanged
+    changed = out.filter(
+        F.col("ArrDelay").isNotNull() & (F.col("ArrDelay") != F.col("ArrDelay_imp"))
+    ).count()
+    assert changed == 0
+
+
+def test_imputer_median_strategy(spark):
+    from flight_delay_prediction_using_pyspark_spark.ml.pipeline import impute_numeric
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (100.0,), (None,)], "x double"
+    )
+    out = impute_numeric(df, ["x"], strategy="median")
+    filled = out.filter(F.col("x").isNull()).collect()[0]["x_imp"]
+    assert filled == 2.0  # median, robust to the 100.0 outlier

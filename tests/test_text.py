@@ -62,6 +62,30 @@ def test_predict_language_profiles(spark):
     assert out == ["en", "de", "es", "und"]
 
 
+def test_predict_language_chargram(spark):
+    rows = [
+        ("the thing is standing there in the morning",),
+        ("ich habe einen schönen deutschen wagen und nichts",),
+        ("la casa de la playa que está adosada",),
+        ("的 是 了 我 不 在",),  # unsegmented CJK — stopword method can't split
+        ("qqqq zzzz",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    out = [
+        r.v
+        for r in df.select(TA.predict_language_chargram("text").alias("v")).collect()
+    ]
+    assert out == ["en", "de", "es", "zh", "und"]
+
+
+def test_chargram_scores_are_occurrence_counts(spark):
+    df = spark.createDataFrame([("the theme thesis",)], ["text"])
+    scores = TA.language_scores_chargram("text")
+    got = df.select(scores["en"].alias("s")).collect()[0].s
+    # "the"×3, " th"×2, "he "×1 (and no other en grams) = 6
+    assert got == 6
+
+
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
     out = [r.s for r in df.select(TD.shingles("text", 3).alias("s")).collect()]
