@@ -105,6 +105,51 @@ def q_ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def _margin_sql(i: int) -> str:
+    return _DOT.format(a=_plane_literal(ann.PLANES[i]), b="qv")
+
+
+_N_PROBES = 3
+
+_MULTIPROBE_CTES = f""",
+    m AS (SELECT {", ".join(f"{_margin_sql(i)} AS m{i}" for i in range(len(ann.PLANES)))} FROM q),
+    h AS (SELECT ({" + ".join(f"(CASE WHEN m{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(len(ann.PLANES)))}) AS home,
+                 {", ".join(f"m{i}" for i in range(len(ann.PLANES)))} FROM m),
+    fl AS (
+      {" UNION ALL ".join(f"SELECT home, {i} AS i, abs(m{i}) AS am FROM h" for i in range(len(ann.PLANES)))}
+    ),
+    probes AS (
+      SELECT home AS b FROM h
+      UNION ALL
+      (SELECT xor(home, 1 << i) AS b FROM fl ORDER BY am, i LIMIT {_N_PROBES - 1})
+    )
+"""
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    {_E_CTE}{_MULTIPROBE_CTES}
+    SELECT vec_id, ROUND({_cosine_sql('e.v', 'q.qv')}, 6) AS cosine
+    FROM e, q
+    WHERE {_bucket_sql('e.v')} IN (SELECT b FROM probes)
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10: the home bucket plus the two
+    closest-margin Hamming-1 flips (Lv et al. probe order), exact
+    cosine within the union — recall between the single-bucket probe
+    and the brute-force scan at ~3/16 of the corpus read. The oracle
+    recomputes the identical probe set in SQL from the same plane
+    literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_topk_multiprobe(
+        emb, _query_vec(spark, sf_dir), k=10, n_probes=_N_PROBES
+    )
+
+
 @query(
     "ann_bucket_histogram",
     oracle=f"""

@@ -159,6 +159,49 @@ def ann_topk_lsh(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)
 
 
+def multiprobe_buckets(
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]] = PLANES,
+    n_probes: int = 3,
+) -> list[int]:
+    """Multi-probe LSH probe sequence (Lv et al., VLDB'07, reduced to
+    Hamming-1 perturbations): the home bucket first, then flips of the
+    planes whose boundary the query sits closest to (smallest |dot|),
+    tie-broken by plane index. Recovers most of the recall lost to
+    boundary-straddling neighbors at the cost of n_probes bucket scans
+    instead of one — still partition-pruned when the corpus is written
+    partitionBy(bucket)."""
+    home, margins = 0, []
+    for i, plane in enumerate(planes):
+        d = _py_dot(plane, query_vec)
+        if d >= 0:
+            home |= 1 << i
+        margins.append((abs(d), i))
+    probes = [home] + [home ^ (1 << i) for _, i in sorted(margins)]
+    return probes[:n_probes]
+
+
+def ann_topk_multiprobe(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: Sequence[Sequence[float]] = PLANES,
+) -> DataFrame:
+    """Approximate top-k over the multi-probe bucket set: exact cosine
+    rank within the union of the home bucket and its closest-margin
+    Hamming-1 flips. Same single-scan shape as ann_topk_lsh — the
+    bucket filter is an isin over ≤ n_probes literals, prunable at the
+    source."""
+    buckets = multiprobe_buckets(query_vec, planes, n_probes)
+    candidates = hyperplane_buckets(df, vec_col, planes).filter(
+        F.col("bucket").isin(buckets)
+    )
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,

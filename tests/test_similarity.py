@@ -81,3 +81,31 @@ def test_ivf_search_recall(spark):
     probed = {r.vec_id for r in ivf.ivf_search(assigned, centroids, q, k=10, n_probe=3).collect()}
     assert len(probed & set(exact)) >= 5  # partial probe keeps recall
     assert 0 in probed  # query's own vector lives in its top centroid
+
+
+def test_multiprobe_probe_sequence():
+    # 2 planes in 2-D: home first, then flips ordered by |margin| asc
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    q = [1.0, 0.1]  # far from plane 0's boundary, close to plane 1's
+    probes = ann.multiprobe_buckets(q, planes, n_probes=3)
+    home = 0b11  # both dots positive
+    assert probes[0] == home
+    assert probes[1] == home ^ 0b10  # plane 1 (margin 0.1) flips first
+    assert probes[2] == home ^ 0b01
+    # n_probes truncates the sequence
+    assert ann.multiprobe_buckets(q, planes, n_probes=1) == [home]
+
+
+def test_multiprobe_supersets_single_bucket(corpus):
+    q = [1.0, 0.0, 0.0, 0.0]
+    planes = ann.make_planes(3, 4)
+    single = {
+        r.vec_id for r in ann.ann_topk_lsh(corpus, q, k=5, planes=planes).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in ann.ann_topk_multiprobe(
+            corpus, q, k=5, n_probes=3, planes=planes
+        ).collect()
+    }
+    assert single <= multi
