@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.operators import layout as L
 from flight_delay_prediction_using_pyspark_spark.operators import relational as R
 from flight_delay_prediction_using_pyspark_spark.operators import windows as W
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
@@ -214,6 +215,36 @@ def q_nation_revenue_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_revenue_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe rewrite of segment_revenue: operators/layout.py's
+    salted_join spreads each customer key over `factor` salt buckets
+    (fact side hashed to a bucket, dim side replicated across all),
+    so one power-law hot key lands on `factor` reducers instead of
+    one. Same oracle as the plain join — salting must be a pure
+    physical rewrite with identical semantics."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = L.salted_join(orders, customer, "custkey", factor=4)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        A.exact_decimal_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
     "customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name
@@ -349,6 +380,72 @@ def q_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return A.pearson_corr(lineitem, "l_extendedprice", "l_quantity").select(
         F.round("corr", 6).alias("corr_val")
+    )
+
+
+@query(
+    "grouped_corr_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_val
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_grouped_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 grouped form: per-group Pearson correlation in one hash agg
+    (corr is a mergeable 6-moment sketch — partial-aggregates like
+    sum/count, so skew and scale behave exactly like a grouped sum)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_val")
+    )
+
+
+@query(
+    "orders_priority_quartiles",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           ROUND(MAX(pr), 6) AS max_pct_rank
+    FROM w
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def q_orders_priority_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank windows (the W-family beyond row_number/
+    lag): per-priority price quartiles with a unique (price, orderkey)
+    sort so bucket assignment is engine-deterministic. One shuffle on
+    the partition key, then in-partition sort — the same physics as
+    rank_lineitems_in_order."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.max("pr"), 6).alias("max_pct_rank"),
+        )
     )
 
 

@@ -160,3 +160,43 @@ def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"streaming_dedup_{next(_dedup_run)}"
     S.run_to_memory_sink(S.streaming_dedup(stream), sink, output_mode="append")
     return spark.table(sink)
+
+
+@query(
+    "events_streaming_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via the applyInPandasWithState counter
+    operator, end-to-end through Structured Streaming (readStream ->
+    GroupState -> availableNow memory sink). The value column is
+    floored to integer cents BEFORE the stateful sum, so the Python
+    accumulation is exact integer-valued-double arithmetic — immune to
+    float summation order — and the batch GROUP BY oracle matches
+    bit-for-bit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="stream_totals_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select(
+            "user_id",
+            F.floor(F.coalesce("value", F.lit(0.0)) * 100)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    sink = f"streaming_totals_{next(_dedup_run)}"
+    S.run_to_memory_sink(S.running_user_totals(stream), sink, output_mode="update")
+    return spark.table(sink)
