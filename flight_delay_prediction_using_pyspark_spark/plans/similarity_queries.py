@@ -151,6 +151,39 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT i - 1 AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_scaled,
+           MIN(CAST(embedding[i] AS DOUBLE)) AS min_val,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS max_val
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics via posexplode (the unnest /
+    lateral-view family): one explode (row count × dim, map-side) into
+    one hash agg keyed by dimension — 64 groups, so the shuffle is
+    tiny regardless of corpus size. Sums are floor-scaled to integer
+    micros before aggregation: exact integers are summation-order
+    immune, so the oracle matches bit-for-bit where a float sum would
+    drift."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("x") * 1000000)).cast("bigint").alias("sum_scaled"),
+        F.min("x").alias("min_val"),
+        F.max("x").alias("max_val"),
+    )
+
+
+@query(
     "ann_bucket_histogram",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
