@@ -200,3 +200,36 @@ def q_events_streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"streaming_totals_{next(_dedup_run)}"
     S.run_to_memory_sink(S.running_user_totals(stream), sink, output_mode="update")
     return spark.table(sink)
+
+
+@query(
+    "events_cdc_merge",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY event_id DESC) = 1
+    """,
+)
+def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert end-to-end: readStream -> foreachBatch
+    CDC merge (streaming/ops.cdc_merge_sink) into a parquet target,
+    keeping the max-event_id row per user. max() per key is
+    associative, so the final target is batching-independent and the
+    batch QUALIFY-latest oracle is exact. On Delta/Iceberg the batch
+    body becomes MERGE INTO with identical semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="cdc_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select("user_id", "event_id", "event_type")
+    )
+    target = tempfile.mkdtemp(prefix="cdc_target_")
+    os.rmdir(target)  # sink creates it on first merge
+    S.cdc_merge_sink(stream, target, key_cols=["user_id"], order_col="event_id")
+    return spark.read.parquet(target)

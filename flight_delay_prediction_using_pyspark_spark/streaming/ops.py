@@ -222,3 +222,61 @@ def streaming_dedup(events: DataFrame, key_col: str = "user_id", hash_col: str =
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_merge_sink(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming upsert (CDC merge) via foreachBatch: every micro-batch
+    is merged into a parquet target keeping, per key, the row with the
+    highest `order_col` (later micro-batch wins exact ties). This is
+    the keyed-upsert half of a CDC pipeline; on Delta/Iceberg the body
+    becomes a single MERGE INTO with identical semantics — here merge =
+    read target ∪ batch → window-dedup → rewrite via tmp-dir swap
+    (atomic on a rename-capable FS).
+
+    Because max(order_col) per key is associative, the final target is
+    independent of how rows were batched — which is what makes the
+    operation oracle-checkable end-to-end.
+
+    At scale: the rewrite cost is O(target) per batch — real
+    deployments partition the target and rewrite only touched
+    partitions (or use a MERGE-capable format); the window dedup
+    shuffles (existing ∪ batch) by key exactly once."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        incoming = batch_df.withColumn("__src", F.lit(1))
+        if os.path.isdir(target_dir):
+            existing = spark.read.parquet(target_dir).withColumn("__src", F.lit(0))
+            allrows = existing.unionByName(incoming)
+        else:
+            allrows = incoming
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col("__src").desc()
+        )
+        merged = (
+            allrows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        tmp = f"{target_dir}__tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()

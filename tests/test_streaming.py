@@ -142,3 +142,36 @@ def test_streaming_dedup_stateful(spark, events_dir, tmp_path):
     # emitted event_ids are a subset of the input's
     in_ids = {r.event_id for r in spark.read.parquet(hashed_dir).collect()}
     assert {r.event_id for r in got.collect()} <= in_ids
+
+
+def test_cdc_merge_sink_upserts_across_batches(spark, tmp_path):
+    """foreachBatch CDC merge: two micro-batches upsert the same keys;
+    the target ends with exactly the highest-order row per key."""
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id long, event_id long, event_type string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 20, "c"), (3, 12, "d")], "user_id long, event_id long, event_type string"
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(str(src / "*"))
+    )
+    target = str(tmp_path / "target")
+    S.cdc_merge_sink(
+        stream,
+        target,
+        key_cols=["user_id"],
+        order_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: (20, "c"), 2: (11, "b"), 3: (12, "d")}
