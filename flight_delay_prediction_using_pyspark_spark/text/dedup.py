@@ -383,6 +383,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     graph_partitions: int = 8,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     near-dup pair graph via iterative min-label propagation. Returns
@@ -390,12 +391,19 @@ def connected_components(
     cluster_id is the smallest node id in the component (the canonical
     representative).
 
-    Each iteration is one distributed join+agg (labels x edges -> min
-    over neighborhood); the driver only checks the converged flag.
+    Hybrid execution: the pair graph is orders of magnitude smaller
+    than the corpus, and when it fits comfortably on the driver
+    (<= driver_threshold edges, a few MB) a local union-find beats
+    paying diameter-many shuffle rounds for a graph one task could
+    hold. Above the threshold — LSH over a 100 TB corpus can still
+    emit billions of pairs — the distributed min-label loop runs:
+    each iteration is one join+agg (labels x edges -> min over
+    neighborhood); the driver only checks the converged flag.
     Iterations needed = graph diameter — near-dup clusters are
     shallow (usually <= 3) so this converges in a few rounds; max_iter
     bounds pathological chains. The loop persists each generation and
-    unpersists the last — lineage stays O(1) per round.
+    unpersists the last — lineage stays O(1) per round. Both paths
+    return identical labels (min node id of the component).
     """
     # The pair graph is orders of magnitude smaller than the corpus
     # (duplicate pairs, not documents): iterate at a narrow shuffle
@@ -408,6 +416,33 @@ def connected_components(
         .repartition(graph_partitions, F.col("u"))
         .persist()
     )
+    n_edges = edges.count()  # also materializes the persisted frontier
+    if n_edges <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in edges.toLocalIterator():
+            u, v = int(r.u), int(r.v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:  # union by min id -> root IS the component min
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        edges.unpersist()
+        spark = pairs.sparkSession
+        if not parent:
+            return spark.createDataFrame([], "node long, cluster_id long")
+        return spark.createDataFrame(
+            [(n, find(n)) for n in parent], "node long, cluster_id long"
+        )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()

@@ -137,8 +137,16 @@ def test_connected_components_chain_and_islands(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         ["id_a", "id_b"],
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # driver union-find path (small graph) and distributed min-label
+    # loop (forced via driver_threshold=0) must agree exactly
     out = {r.node: r.cluster_id for r in TD.connected_components(pairs).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert out == expected
+    dist = {
+        r.node: r.cluster_id
+        for r in TD.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == expected
 
 
 def test_dedup_keep_canonical(spark, docs):
