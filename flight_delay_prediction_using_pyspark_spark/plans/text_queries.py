@@ -250,8 +250,11 @@ def q_dedup_exact_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_ctes(threshold: float, source: str = "documents") -> str:
     k, bands, rows = TD.MINHASH_K, TD.LSH_BANDS, TD.LSH_ROWS
+    # Mirrors dedup.minhash_signature: one md5 per shingle (the hs
+    # column), k affine variants (A[i]*h + B[i]) % P over it.
     sig_exprs = ", ".join(
-        "list_min(list_transform(s, x -> " + _md5i(f"concat('{i}:', x)") + "))"
+        f"list_min(list_transform(hs, h -> (h * {TD.MINHASH_A[i]} "
+        f"+ {TD.MINHASH_B[i]}) % {TD.MINHASH_P}))"
         for i in range(k)
     )
     band_selects = " UNION ALL ".join(
@@ -275,7 +278,10 @@ def _minhash_ctes(threshold: float, source: str = "documents") -> str:
       FROM toks
     ),
     sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
-    sig AS (SELECT doc_id, s, [{sig_exprs}] AS sig FROM sh2),
+    sigbase AS (
+      SELECT doc_id, s, list_transform(s, x -> {_md5i('x')}) AS hs FROM sh2
+    ),
+    sig AS (SELECT doc_id, s, [{sig_exprs}] AS sig FROM sigbase),
     bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

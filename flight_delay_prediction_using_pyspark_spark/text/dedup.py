@@ -33,6 +33,8 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,6 +46,17 @@ from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
+
+#: Affine minhash family over ONE portable base hash per shingle:
+#: h_i(x) = (A[i] * md5_32(x) + B[i]) mod P. One md5 digest per
+#: shingle instead of k — the k variants are integer transforms.
+#: A odd < 2^30 and md5_32 < 2^32 keep A*h < 2^62: no int64 overflow
+#: in either engine. Fixed seed ⇒ the same literals embed in the
+#: generated oracle SQL.
+MINHASH_P = (1 << 61) - 1
+_mh_rng = random.Random(20240613)
+MINHASH_A: list[int] = [2 * _mh_rng.randrange(1 << 29) + 1 for _ in range(MINHASH_K)]
+MINHASH_B: list[int] = [_mh_rng.randrange(1 << 30) for _ in range(MINHASH_K)]
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -63,21 +76,26 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def seeded_hash(col: Column, seed: int) -> Column:
-    """The i-th independent portable hash function: md5 over a
-    seed-prefixed value."""
-    return md5_hash32(F.concat(F.lit(f"{seed}:"), col))
-
-
 def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
     """k-minhash signature → array<long>; element i is
-    min over shingles of hash_i(shingle). One pass per row."""
-    def hash_i(i):  # closure factory: PySpark lambda arity must stay 1
-        return lambda s: seeded_hash(s, i)
+    min over shingles of (A[i]*md5_32(shingle) + B[i]) mod P.
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, hash_i(i))) for i in range(k)]
-    )
+    The base md5 array is let-bound via a transform over a
+    single-element wrapper array, so the digests run ONCE per shingle
+    no matter how many affine variants consume them — Catalyst's
+    CollapseProject would otherwise re-inline a "materialized"
+    projection into all k consumers (k× the digest cost)."""
+
+    def affine(i):  # closure factory: PySpark lambda arity must stay 1
+        return lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+
+    def sig_from(base):  # base: lambda-bound array<long>, evaluated once
+        return F.array(
+            *[F.array_min(F.transform(base, affine(i))) for i in range(k)]
+        )
+
+    hashed_wrapped = F.array(F.transform(shingle_col, lambda s: md5_hash32(s)))
+    return F.element_at(F.transform(hashed_wrapped, sig_from), 1)
 
 
 def minhash_signatures(
