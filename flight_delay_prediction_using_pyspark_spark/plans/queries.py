@@ -450,6 +450,46 @@ def q_orders_priority_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "argmax_price_per_flag",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             MAX(struct_pack(p := l_extendedprice, o := l_orderkey,
+                             l := l_linenumber)) AS b
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           b.p AS max_price,
+           b.o AS argmax_orderkey,
+           b.l AS argmax_linenumber
+    FROM m
+    """,
+)
+def q_argmax_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (the max_by family) WITHOUT a window: one
+    hash agg carrying max(struct(price, orderkey, linenumber)) —
+    lexicographic struct order makes tie-breaks deterministic where
+    bare max_by picks an arbitrary row. Partial-aggregates like any
+    max: no sort, no per-group row shuffle — the scalable top-1-per-
+    group form (the window row_number form shuffles whole groups)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    best = F.max(
+        F.struct("l_extendedprice", "l_orderkey", "l_linenumber")
+    ).alias("b")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(best)
+        .select(
+            "l_returnflag",
+            F.col("b.l_extendedprice").alias("max_price"),
+            F.col("b.l_orderkey").alias("argmax_orderkey"),
+            F.col("b.l_linenumber").cast("int").alias("argmax_linenumber"),
+        )
+    )
+
+
+@query(
     "crosstab_returnflag_linestatus",
     oracle="""
     SELECT l_returnflag,
