@@ -89,3 +89,53 @@ def range_join_broadcast(
     big×big banded joins, bucket both sides first."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(bands), cond, "left")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    unit: str = "hour",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regular-grid resample + forward fill (LOCF) — the gap-filling
+    operator every time-series store ships (timescale/influx style),
+    absent from Spark's builtins. Per key: bucket timestamps to the
+    grid, keep each bucket's LATEST value (max over struct(ts, tie,
+    value) — struct order makes intra-bucket ties deterministic),
+    explode the key's [min, max] bucket range into a dense grid, and
+    carry the last observation forward across empty buckets.
+
+    Plan shape: one hash agg (bucketing) + one tiny per-key agg
+    (bounds) + a key-partitioned join and window — everything shuffles
+    on the key once; grid rows ∝ time span / step, independent of
+    event count. No driver round-trips, no range join.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    latest = (
+        df.groupBy(F.col(key_col), bucket)
+        .agg(F.max(F.struct(ts_col, tie_col, value_col)).alias("__b"))
+        .select(key_col, "bucket", F.col(f"__b.{value_col}").alias("__v"))
+    )
+    grid = (
+        latest.groupBy(key_col)
+        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(latest, [key_col, "bucket"], "left").select(
+        key_col,
+        "bucket",
+        F.last("__v", ignorenulls=True).over(w).alias(value_col),
+    )

@@ -214,6 +214,44 @@ def q_custkeys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             (MAX(struct_pack(t := ts, e := event_id, v := value))).v AS v
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM b GROUP BY user_id)
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, b.v
+      FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+    )
+    SELECT user_id, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM j
+    """,
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: resample each user's event stream to a
+    dense hourly grid and forward-fill the last observed value
+    (operators/temporal.resample_ffill — LOCF, deterministic
+    intra-bucket latest via struct-max). Values pass through without
+    aggregation, so doubles compare exactly."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return TP.resample_ffill(
+        events, "user_id", "ts", "value", tie_col="event_id"
+    )
+
+
+@query(
     "grouped_quantiles_quantity",
     oracle="""
     SELECT l_returnflag,

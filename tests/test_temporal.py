@@ -43,3 +43,34 @@ def test_range_join_broadcast(spark):
     )
     out = {r.id: r.band for r in TP.range_join_broadcast(fact, bands, "v").collect()}
     assert out == {1: "low", 2: "mid", 3: None}  # left join keeps unmatched
+
+
+def test_resample_ffill_gap_filling(spark):
+    import datetime as dt
+
+    from flight_delay_prediction_using_pyspark_spark.operators.temporal import resample_ffill
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        # user 1: events at 00 and 03 -> grid 00..03, 01/02 forward-filled
+        (1, t(0, 15), 100, 1.0),
+        (1, t(3, 5), 101, 4.0),
+        # user 1, two events in hour 3: later ts wins
+        (1, t(3, 45), 102, 5.0),
+        # user 2: single event -> single-bucket grid
+        (2, t(10), 200, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        (r.user_id, r.bucket.hour): r.value
+        for r in resample_ffill(df, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert out == {
+        (1, 0): 1.0,
+        (1, 1): 1.0,   # filled
+        (1, 2): 1.0,   # filled
+        (1, 3): 5.0,   # latest-in-bucket wins
+        (2, 10): 9.0,
+    }
