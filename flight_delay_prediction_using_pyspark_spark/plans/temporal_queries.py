@@ -252,6 +252,53 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_trailing_3h_stats",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_trailing
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 10800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_trailing_3h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window (not row-count frames): per event, count and
+    value mass of the user's trailing 3 hours — rangeBetween over
+    epoch seconds, the sliding-lookback shape fraud/rate-limit
+    features use. One shuffle on the key, in-partition sort; frame
+    bounds are values, so Spark keeps a running frame (no per-row
+    rescan). Cents are floor-scaled ints — order-immune sums."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-10800, Window.currentRow)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum("cents").over(w).cast("bigint").alias("sum_cents_trailing"),
+    )
+
+
+@query(
     "grouped_quantiles_quantity",
     oracle="""
     SELECT l_returnflag,
