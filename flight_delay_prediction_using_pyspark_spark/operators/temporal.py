@@ -108,34 +108,38 @@ def resample_ffill(
     explode the key's [min, max] bucket range into a dense grid, and
     carry the last observation forward across empty buckets.
 
-    Plan shape: one hash agg (bucketing) + one tiny per-key agg
-    (bounds) + a key-partitioned join and window — everything shuffles
-    on the key once; grid rows ∝ time span / step, independent of
-    event count. No driver round-trips, no range join.
+    Plan shape: one hash agg (bucketing) + one key-partitioned window,
+    then a shuffle-free explode of each observed bucket into its gap
+    range — no self-join, no grid/observed recompute. Per observed
+    bucket: LOCF the sparse values (observed-but-null buckets inherit
+    the previous non-null, matching `last_value IGNORE NULLS` on the
+    dense grid), take lead(bucket), and emit
+    sequence(bucket, next - step) all carrying this bucket's value.
+    Grid rows ∝ time span / step, independent of event count.
     """
+    stepi = F.expr(f"INTERVAL {step}")
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     latest = (
         df.groupBy(F.col(key_col), bucket)
         .agg(F.max(F.struct(ts_col, tie_col, value_col)).alias("__b"))
         .select(key_col, "bucket", F.col(f"__b.{value_col}").alias("__v"))
     )
-    grid = (
-        latest.groupBy(key_col)
-        .agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
-        .select(
-            key_col,
-            F.explode(
-                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
-            ).alias("bucket"),
-        )
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    locf = F.last("__v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = F.lead("bucket").over(w)
+    sparse = latest.select(
+        key_col, "bucket", locf.alias("__v2"), nxt.alias("__nxt")
     )
-    return grid.join(latest, [key_col, "bucket"], "left").select(
+    return sparse.select(
         key_col,
-        "bucket",
-        F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        F.explode(
+            F.sequence(
+                "bucket",
+                F.coalesce(F.col("__nxt") - stepi, F.col("bucket")),
+                stepi,
+            )
+        ).alias("bucket"),
+        F.col("__v2").alias(value_col),
     )
