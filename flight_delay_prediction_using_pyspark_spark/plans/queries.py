@@ -490,6 +490,79 @@ def q_argmax_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_heavy_hitters",
+    oracle="""
+    SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY n_orders DESC, custkey
+    LIMIT 25
+    """,
+)
+def q_orders_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (the freqItems/top-k-frequency family,
+    reference's A4 cardinality probes taken to scale): top-25
+    customers by order count. Plan: partial-agg groupBy then
+    TakeOrderedAndProject — per-partition top-k heaps merge on the
+    driver, no global sort stage. Ties at the cutoff break on custkey
+    so the selected SET is deterministic. The sketch companion
+    (df.stat.freqItems, count-min-shaped) is exercised in
+    tests/test_aggregates.py — its false positives make it
+    un-oracle-able."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            A.exact_decimal_sum("o_totalprice").alias("spend"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("custkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "lineitem_unpivot_metrics",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM long
+    GROUP BY metric
+    """,
+)
+def q_lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (df.unpivot, the A11 summary family reshaped):
+    four measure columns unpivoted to (metric, value) rows, then one
+    grouped profile per metric. Expand is generated in-task (no
+    shuffle added beyond the 4-group agg); column pruning still
+    reaches the scan — only the four measures are read."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    long = lineitem.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count("value").alias("n"),
+        A.exact_decimal_sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
     "crosstab_returnflag_linestatus",
     oracle="""
     SELECT l_returnflag,

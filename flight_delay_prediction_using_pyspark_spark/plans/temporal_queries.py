@@ -322,3 +322,34 @@ def q_grouped_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")]
         ]
     )
+
+
+@query("events_daily_users_hll")
+def q_events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-day unique users via
+    Apache DataSketches HLL (F.hll_sketch_agg → hll_sketch_estimate),
+    the pattern that replaces COUNT(DISTINCT) at 100 TB — sketches
+    partial-aggregate map-side and merge associatively, so the shuffle
+    carries ~KB per group instead of every distinct key; sketches also
+    union across days/partitions without rescanning. Exact per-day
+    distinct rides along for error inspection (the expensive path the
+    sketch replaces; at scale you'd drop it). Rows-only check —
+    DuckDB's approx_distinct is a different sketch, and the estimate
+    itself is only merge-structure-deterministic (HIP estimator on
+    streamed inserts, composite estimator after partial-sketch
+    merges); relative error <5% is asserted in
+    tests/test_sketches.py."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "day",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+            "exact_users",
+        )
+    )

@@ -1,0 +1,49 @@
+"""Sketch-aggregate tests: DataSketches HLL distinct estimation and
+freqItems heavy-hitter candidates — the approximate companions to the
+exact oracle-gated queries (events_daily_users_hll,
+orders_heavy_hitters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_sketch_estimate_within_5pct(spark):
+    # 5000 distinct keys, each appearing 1-3 times, scattered over
+    # 16 partitions so map-side partial sketches genuinely merge.
+    df = (
+        spark.range(0, 12000, 1, 16)
+        .select((F.col("id") % 5000).alias("user"))
+    )
+    row = (
+        df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user")).alias("approx"),
+            F.count_distinct("user").alias("exact"),
+        )
+        .first()
+    )
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_hll_estimate_stable_across_partitionings(spark):
+    # The estimate is NOT bit-stable across merge structures (HIP
+    # estimator for streamed inserts, composite estimator after
+    # merges) — but any partitioning of the same key set must land
+    # within the sketch's error envelope of the truth.
+    for parts in (1, 3, 8):
+        df = spark.range(0, 1000, 1, parts).select(
+            (F.col("id") % 700).alias("u")
+        )
+        est = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("u"))).first()[0]
+        assert abs(est - 700) / 700 < 0.05
+
+
+def test_freq_items_contains_true_heavy_hitter(spark):
+    # One key owns ~33% of rows; freqItems(support=0.2) must surface it
+    # (it may also return false positives — that is the sketch contract,
+    # and why the exact top-k query is the oracle-gated one).
+    df = spark.range(0, 3000, 1, 8).select(
+        F.when(F.col("id") % 3 == 0, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    [items] = df.stat.freqItems(["k"], support=0.2).first()
+    assert 7 in items
