@@ -54,7 +54,36 @@ def main() -> None:
             }
         )
     )
+    _report_regressions(timings, sf)
     spark.stop()
+
+
+def _report_regressions(timings: dict[str, float], sf: float) -> None:
+    """Compare against the committed baseline (bench_baseline.json) and
+    write per-query regressions to STDERR (stdout stays the one-line
+    driver contract). Box contention can inflate wall-clock 1.5x+, so
+    flag only >1.5x AND >0.5s absolute; rerun isolated before believing
+    a regression."""
+    path = os.environ.get(
+        "SPARK_GRAFT_BASELINE", os.path.join(REPO_ROOT, "bench_baseline.json")
+    )
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        base = json.load(f)
+    if base.get("sf") != sf:
+        return
+    ref = base.get("queries", {})
+    regressions = [
+        (n, ref[n], t)
+        for n, t in timings.items()
+        if n in ref and t > 1.5 * ref[n] and t - ref[n] > 0.5
+    ]
+    if regressions:
+        for n, b, t in sorted(regressions, key=lambda r: r[1] - r[2]):
+            print(f"REGRESSION {n}: {b:.2f}s -> {t:.2f}s", file=sys.stderr)
+    else:
+        print("bench: no regressions vs baseline", file=sys.stderr)
 
 
 if __name__ == "__main__":
