@@ -1365,3 +1365,4 @@ from flight_delay_prediction_using_pyspark_spark.plans import similarity_queries
 from flight_delay_prediction_using_pyspark_spark.plans import multimodal_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import streaming_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import temporal_queries  # noqa: E402,F401
+from flight_delay_prediction_using_pyspark_spark.plans import relational_queries  # noqa: E402,F401

@@ -1,0 +1,402 @@
+"""Relational gap-fills beyond the reference's own surface: UNION,
+gaps-and-islands sessionization, date-part trends, the string-function
+family, higher-order array functions, first/last/nth window values,
+decorrelated scalar subqueries, and median/mode aggregates.
+
+The reference never unions frames, never touches timestamps
+(/root/reference/src/main/dataset_utils.py keeps HHMM ints), and has
+no array columns — these are the SURVEY.md §2d/§2e/§2h "Spark gives
+free" extensions, each with an exact DuckDB oracle. Float discipline
+matches plans/queries.py: exact-decimal sums, identical per-row IEEE
+operand order, ROUND(x, 6) on both sides of any derived float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
+from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+
+@query(
+    "union_customer_supplier",
+    oracle="""
+    WITH u AS (
+      SELECT c_nationkey AS nationkey, 'customer' AS side, c_acctbal AS acctbal
+      FROM customer
+      UNION ALL
+      SELECT s_nationkey, 'supplier', s_acctbal FROM supplier
+    )
+    SELECT nationkey, side,
+           COUNT(*) AS n_accounts,
+           CAST(SUM(CAST(acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+    FROM u
+    GROUP BY nationkey, side
+    """,
+)
+def q_union_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogeneous tables (unionByName after
+    aligning a shared schema), then one grouped agg. Map-side union —
+    no shuffle until the aggregate; both scans prune to 2 columns."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("side"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp).groupBy("nationkey", "side").agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        A.exact_decimal_sum("acctbal").alias("sum_acctbal"),
+    )
+
+
+@query(
+    "events_lag_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sess AS (
+      SELECT user_id, sec,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             MAX(sec) - MIN(sec) AS duration_sec
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(duration_sec) AS BIGINT) AS sum_session_sec
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def q_events_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: lag → gap flag → running sum
+    gives variable-length sessions (30-min inactivity), the classic
+    clickstream shape `F.session_window` can't express when follow-up
+    per-session/per-user stats are needed in the same pass. ONE
+    shuffle total: the window hash-partitions on user_id, and both
+    downstream groupBys ((user_id, session_id), then user_id) reuse
+    that partitioning — Spark recognizes a superset grouping key.
+    All-integer arithmetic (epoch seconds) → order-immune."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    prev = F.lag("sec").over(w)
+    flagged = s.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.col("sec") - prev > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.sum("duration_sec").cast("bigint").alias("sum_session_sec"),
+    )
+
+
+@query(
+    "orders_monthly_trend",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY yr, mo
+    )
+    SELECT yr, mo, n_orders, revenue,
+           revenue - lag(revenue) OVER (ORDER BY yr, mo) AS revenue_delta
+    FROM m
+    """,
+)
+def q_orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (year/month) feeding a grouped agg, then a
+    month-over-month delta via lag on the AGGREGATED frame. The
+    unpartitioned window runs on post-agg data (≤ months-in-data rows)
+    — a deliberate small-side single partition, not the W2
+    anti-pattern (/root/reference/src/main/dataset_utils.py:57-59)
+    which windowed the full fact table. Subtraction of two exact
+    decimal-sum doubles is IEEE-deterministic."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        A.exact_decimal_sum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("yr", "mo")
+    return m.withColumn(
+        "revenue_delta", F.col("revenue") - F.lag("revenue").over(w)
+    )
+
+
+@query(
+    "part_string_functions",
+    oracle="""
+    SELECT split_part(p_type, ' ', 1) AS type_head,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(length(p_name) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_name_len,
+           COUNT(DISTINCT CAST(regexp_extract(p_brand, '(\\d+)$', 1) AS BIGINT)) AS n_brand_nums,
+           MIN(upper(substr(p_name, 1, 1))) AS min_initial,
+           MAX(upper(substr(p_name, 1, 1))) AS max_initial
+    FROM part
+    GROUP BY type_head
+    """,
+)
+def q_part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (split / substring / upper / length /
+    regexp_extract with a capture group) — all JVM built-ins inside
+    one whole-stage-codegen'd map, then a hash agg. The reference's
+    only string ops are regexp_replace and concat_ws
+    (/root/reference/src/main/dataset_utils.py:84,131); this covers
+    the rest of the §2h surface."""
+    part = load_table(spark, sf_dir, "part")
+    s = part.select(
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("p_brand", r"(\d+)$", 1).cast("bigint").alias("brand_num"),
+        F.upper(F.substring("p_name", 1, 1)).alias("initial"),
+    )
+    return s.groupBy("type_head").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("name_len").cast("double") / F.count(F.lit(1))).alias("avg_name_len"),
+        F.count_distinct(F.col("brand_num")).alias("n_brand_nums"),
+        F.min("initial").alias("min_initial"),
+        F.max("initial").alias("max_initial"),
+    )
+
+
+@query(
+    "embedding_hof_stats",
+    oracle="""
+    WITH p AS (
+      SELECT label,
+             ROUND(sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)), 6) AS l2_norm,
+             ROUND(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+               (a, b) -> a + b), 6) AS l1_norm,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(l2_norm AS DECIMAL(30,6))) AS DOUBLE) AS sum_l2,
+           CAST(SUM(CAST(l1_norm AS DECIMAL(30,6))) AS DOUBLE) AS sum_l1,
+           CAST(MAX(n_pos) AS BIGINT) AS max_pos_dims
+    FROM p GROUP BY label
+    """,
+)
+def q_embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (F.aggregate fold, F.transform,
+    F.filter) computing per-vector L2/L1 norms and positive-dim
+    counts WITHOUT exploding — the scale-path alternative to
+    posexplode (`embedding_dim_stats`): zero shuffle until the final
+    tiny per-label agg, no row-count blow-up by the vector dimension.
+    Left-fold addition order is identical in Spark and DuckDB
+    list_reduce → bit-stable before the ROUND."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    l1 = F.aggregate(
+        F.transform("embedding", lambda v: F.abs(v.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = emb.select(
+        "label",
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.size(F.filter("embedding", lambda v: v > 0)).cast("bigint").alias("n_pos"),
+    )
+    return p.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        A.exact_decimal_sum("l2_norm").alias("sum_l2"),
+        A.exact_decimal_sum("l1_norm").alias("sum_l1"),
+        F.max("n_pos").cast("bigint").alias("max_pos_dims"),
+    )
+
+
+@query(
+    "orders_first_last_per_customer",
+    oracle="""
+    SELECT o_custkey, first_price, last_price, second_price, n_orders
+    FROM (
+      SELECT o_custkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price,
+             COUNT(*) OVER w AS n_orders,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    """,
+)
+def q_orders_first_last_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    unbounded ROWS frame (the §2e gap: the reference only uses
+    row_number and a global max). One shuffle on o_custkey serves all
+    four window functions plus the row_number dedup-to-one-row; the
+    (o_orderdate, o_orderkey) sort key makes frame edges and the kept
+    row deterministic. Prices pass through untouched — no float
+    arithmetic to drift."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    ord_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full_w = ord_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(full_w).alias("first_price"),
+            F.last("o_totalprice").over(full_w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(full_w).alias("second_price"),
+            F.count(F.lit(1)).over(full_w).alias("n_orders"),
+            F.row_number().over(ord_w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+               OVER (PARTITION BY o_custkey) AS sum_price,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_above
+    FROM w
+    WHERE CAST(o_totalprice AS DECIMAL(30,6)) * cnt > sum_price
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: "orders above their customer's
+    average price", the shape `WHERE price > (SELECT AVG(..) ...
+    WHERE custkey = o.custkey)` decorrelates into — one window over
+    o_custkey instead of a per-row subquery (what Catalyst's
+    RewriteCorrelatedScalarSubquery does; written directly here).
+    The mean test is exact: price*n > sum compares decimals, no
+    float division on either engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec_price = F.col("o_totalprice").cast("decimal(30,6)")
+    flagged = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum(dec_price).over(w).alias("sum_price"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return (
+        flagged.filter(dec_price * F.col("cnt") > F.col("sum_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            A.exact_decimal_sum("o_totalprice").alias("sum_above"),
+        )
+    )
+
+
+@query(
+    "lineitem_median_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), m AS (
+      SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity ASC) AS rn
+      FROM c
+    ), med AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, mode_qty, mode_count, median_qty
+    FROM m JOIN med USING (l_returnflag)
+    WHERE rn = 1
+    """,
+)
+def q_lineitem_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact interpolated percentile) and a DETERMINISTIC
+    mode per group. Spark's F.mode breaks frequency ties arbitrarily,
+    so the mode is computed as count-per-value → struct-max on
+    (cnt, -value): most frequent, smallest-value-wins ties — same
+    total order as the oracle's ORDER BY cnt DESC, value ASC. Two
+    hash aggs + one 3-row broadcast join; no windows over the fact
+    table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mode = (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"), (-F.col("l_quantity")).alias("neg_qty")
+                )
+            ).alias("m")
+        )
+        .select(
+            "l_returnflag",
+            (-F.col("m.neg_qty")).alias("mode_qty"),
+            F.col("m.cnt").alias("mode_count"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty")
+    )
+    return mode.join(F.broadcast(med), "l_returnflag")
