@@ -108,3 +108,37 @@ def test_partitioned_write_prunes(spark, tmp_path):
     scan = spark.read.parquet(path).filter(F.col("part") == "b")
     plan = plan_of(scan)
     assert "PartitionFilters" in plan and scan.count() == 100
+
+
+def test_sessionize_single_shuffle(spark):
+    """Gaps-and-islands sessionize: the lag/running-sum window hash-
+    partitions on user_id, and BOTH downstream groupBys reuse that
+    partitioning (superset grouping keys) — exactly one Exchange."""
+    plan = plan_of(QUERIES["events_lag_sessionize"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) == 1
+
+
+def test_hof_stats_no_explode_single_shuffle(spark):
+    """Higher-order-function norms must not explode the vectors
+    (no Generate node) and shuffle only for the final per-label agg."""
+    plan = plan_of(QUERIES["embedding_hof_stats"](spark, SF_CORRECTNESS_DIR))
+    assert "Generate" not in plan
+    assert n_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan  # pure JVM fold, no Python UDF
+
+
+def test_union_is_map_side(spark):
+    """UNION ALL contributes no Exchange: the only shuffle is the
+    grouped aggregate after it."""
+    plan = plan_of(QUERIES["union_customer_supplier"](spark, SF_CORRECTNESS_DIR))
+    assert "Union" in plan
+    assert n_exchanges(plan) == 1
+
+
+def test_first_last_window_single_shuffle(spark):
+    """All four analytic functions + row_number share one window
+    shuffle on o_custkey."""
+    plan = plan_of(
+        QUERIES["orders_first_last_per_customer"](spark, SF_CORRECTNESS_DIR)
+    )
+    assert n_exchanges(plan) == 1
