@@ -233,3 +233,75 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.rmdir(target)  # sink creates it on first merge
     S.cdc_merge_sink(stream, target, key_cols=["user_id"], order_col="event_id")
     return spark.read.parquet(target)
+
+
+@query(
+    "events_stream_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT c.user_id,
+             CAST(floor(coalesce(p.value, 0) * 100) AS BIGINT) AS cents
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts - INTERVAL 30 MINUTE
+       AND p.ts <= c.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(cents) AS BIGINT) AS sum_purchase_cents
+    FROM j GROUP BY user_id
+    """,
+)
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join end-to-end: two readStream sources
+    over the same events parquet (clicks / purchases), watermarked
+    both sides, inner-joined on user_id with a 30-minute lookback
+    range (streaming/ops.interval_join) into an availableNow memory
+    sink; the emitted pair set is then aggregated in batch. Inner-join
+    match sets are batching-independent, so the batch range-join
+    oracle is exact. Nanos-long ts is converted with integer `div`
+    (no double round-trip — nanos exceed 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="stream_ssj_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    to_ts = F.expr("timestamp_micros(ts div 1000)")
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", to_ts.alias("click_ts"))
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            to_ts.alias("purchase_ts"),
+            F.floor(F.coalesce("value", F.lit(0.0)) * 100).alias("cents"),
+        )
+    )
+    joined = S.interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lookback="30 minutes",
+    )
+    sink = f"stream_ssj_{next(_dedup_run)}"
+    S.run_to_memory_sink(
+        joined.select("user_id", "cents"), sink, output_mode="append"
+    )
+    return spark.table(sink).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cents").cast("bigint").alias("sum_purchase_cents"),
+    )

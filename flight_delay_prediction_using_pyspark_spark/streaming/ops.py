@@ -280,3 +280,31 @@ def cdc_merge_sink(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: pair each left row with
+    every right row of the same key whose timestamp falls in
+    [left_ts - lookback, left_ts]. Both sides are watermarked, and the
+    time-range predicate lets Spark derive state-eviction bounds —
+    right-side state is dropped once the left watermark passes
+    right_ts + lookback, so state size is O(rows in the lookback
+    horizon per key), not O(stream length). Works identically on
+    batch inputs (plain range join) — the unified-API symmetry rule.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
