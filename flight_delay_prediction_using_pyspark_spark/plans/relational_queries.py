@@ -400,3 +400,137 @@ def q_lineitem_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty")
     )
     return mode.join(F.broadcast(med), "l_returnflag")
+
+
+@query(
+    "orders_with_heavy_items_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_orders_with_heavy_items_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the spark.sql surface (the
+    P8 expression-parser coverage at full-query granularity):
+    Catalyst decorrelates EXISTS into a left-semi join — the same
+    physical plan the DataFrame `left_semi` API produces. Verified
+    with the identical SQL text on DuckDB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "top_returned_revenue_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_top_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-table join (fact × fact × two dims) with a
+    pushed-down returnflag filter, grouped revenue, global top-20.
+    nation broadcasts; customer↔orders↔lineitem shuffle on their
+    keys; the final ORDER BY+LIMIT plans as TakeOrderedAndProject
+    (no full sort). revenue ties broken by c_custkey for a
+    deterministic row set."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(A.exact_decimal_sum(disc_price).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "lineitem_stratified_sample",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_returnflag, l_quantity,
+             CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR),
+                    '_', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 1000 AS bucket
+      FROM lineitem
+    )
+    WHERE (l_returnflag = 'A' AND bucket < 100)
+       OR (l_returnflag = 'N' AND bucket < 50)
+       OR (l_returnflag = 'R' AND bucket < 200)
+    GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (`sampleBy` semantics with
+    per-stratum fractions 10%/5%/20%, reproducible across runs,
+    partitionings, and engines): the portable md5-bucket of the row
+    key replaces Bernoulli RNG, so the sampled SET is exactly
+    re-derivable — what a 100 TB pipeline needs for auditable
+    train/eval subsets. Map-only until the per-stratum agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    fractions = {"A": 100, "N": 50, "R": 200}
+    keep = F.lit(False)
+    for flag, thresh in fractions.items():
+        keep = keep | ((F.col("l_returnflag") == flag) & (bucket < thresh))
+    return (
+        li.withColumn("bucket", bucket)
+        .filter(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+        )
+    )

@@ -553,3 +553,81 @@ def q_training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         A.exact_decimal_sum("quality").alias("sum_quality"),
     )
+
+
+@query(
+    "doc_tfidf_top_term",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfv AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             tf * CAST(floor(100000 * ln((n_docs + 1.0) / (df + 1.0)))
+                       AS BIGINT) AS tfidf_scaled
+      FROM tf JOIN dfv USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tf AS top_tf, df AS top_df,
+           tfidf_scaled
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_scaled DESC, term ASC) AS rn
+      FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def q_doc_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive term per document by TF-IDF (MLlib's smoothed
+    idf = ln((N+1)/(df+1)), corpus-wide df via a self-agg — the
+    inverted-index shuffle every retrieval/keyword pipeline needs).
+    Spark-first: explode → two hash aggs → term-keyed join → per-doc
+    struct-MIN argmax ((-score, term): top score, lexicographic-first
+    tie-break) — no window over the token table. The idf factor is
+    floor-quantized to 1e-5 so the cross-engine ln() comparison is on
+    integers; N arrives via a broadcast 1-row cross join, not a
+    driver collect (SURVEY.md §4 anti-pattern 2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TA.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfv = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfv, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_scaled",
+            F.col("tf")
+            * F.floor(
+                100000
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).cast("bigint"),
+        )
+    )
+    top = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("tfidf_scaled")).alias("neg_score"),
+                F.col("term"),
+                F.col("tf"),
+                F.col("df"),
+            )
+        ).alias("m")
+    )
+    return top.select(
+        "doc_id",
+        F.col("m.term").alias("top_term"),
+        F.col("m.tf").alias("top_tf"),
+        F.col("m.df").alias("top_df"),
+        (-F.col("m.neg_score")).alias("tfidf_scaled"),
+    )
