@@ -88,6 +88,39 @@ def train_linear_regression(
     return model, model.transform(val)
 
 
+def train_random_forest(
+    prepared: DataFrame,
+    label_col: str = "ArrDelay",
+    features_col: str = "features",
+    num_trees: int = 20,
+    max_depth: int = 10,
+    max_bins: int = 60,
+    subsampling_rate: float = 0.7,
+    seed: int = 42,
+) -> tuple[object, DataFrame]:
+    """Ensemble extension beyond the reference's single tree (L7):
+    RandomForestRegressor with bootstrap subsampling. Forests scale
+    BETTER than one deep tree on a cluster — trees train on shared
+    per-node statistics jobs, and depth-10x20 needs far fewer
+    sequential split rounds than one depth-15 tree while cutting
+    variance. Same fit/transform contract as train_decision_tree."""
+    from pyspark.ml.regression import RandomForestRegressor
+
+    prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+    train, val = split_train_validation(prepared)
+    rf = RandomForestRegressor(
+        labelCol=label_col,
+        featuresCol=features_col,
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        maxBins=max_bins,
+        subsamplingRate=subsampling_rate,
+        seed=seed,
+    )
+    model = rf.fit(train)
+    return model, model.transform(val)
+
+
 def evaluate_regression(
     predictions: DataFrame,
     label_col: str = "ArrDelay",

@@ -534,3 +534,59 @@ def q_lineitem_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             A.exact_decimal_sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "events_third_distinct_type",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, sec,
+             COUNT(DISTINCT event_type)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id) AS n_types
+      FROM s
+    )
+    SELECT user_id, sec AS third_type_sec,
+           CAST(event_id AS BIGINT) AS third_type_event_id
+    FROM (
+      SELECT user_id, sec, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS rn
+      FROM r WHERE n_types >= 3
+    )
+    WHERE rn = 1
+    """,
+)
+def q_events_third_distinct_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an ordered window — the "when did
+    each user first reach 3 distinct event types" funnel question.
+    Spark has no native windowed count-distinct, so the operator is
+    `size(collect_set(..))` over the running frame (set state is
+    bounded by the distinct-type cardinality, not the row count);
+    DuckDB's native COUNT(DISTINCT) OVER verifies it. One shuffle on
+    user_id, reused by the final group-agg; the first-crossing row is
+    an integer struct-min — deterministic."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = s.withColumn("n_types", F.size(F.collect_set("event_type").over(w)))
+    crossed = r.filter(F.col("n_types") >= 3)
+    return crossed.groupBy("user_id").agg(
+        F.min("sec").alias("third_type_sec"),
+        F.min(F.struct("sec", "event_id"))["event_id"]
+        .cast("bigint")
+        .alias("third_type_event_id"),
+    )

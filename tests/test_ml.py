@@ -170,3 +170,19 @@ def test_imputer_median_strategy(spark):
     out = impute_numeric(df, ["x"], strategy="median")
     filled = out.filter(F.col("x").isNull()).collect()[0]["x_imp"]
     assert filled == 2.0  # median, robust to the 100.0 outlier
+
+
+def test_random_forest_learns_planted_signal(spark, prepared):
+    from flight_delay_prediction_using_pyspark_spark.ml.train import train_random_forest
+
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    planted = prepared.withColumn(
+        "ArrDelay", (F.col("DepDelay") * 1.0).cast("double")
+    )
+    model = pipeline.fit(planted)
+    out = model.transform(planted)
+    _, val_preds = train_random_forest(out, num_trees=10, max_depth=8, max_bins=32)
+    metrics = evaluate_regression(val_preds)
+    stddev = planted.agg(F.stddev("ArrDelay")).first()[0]
+    assert metrics["mae"] < stddev / 4
+    assert metrics["rmse"] >= metrics["mae"]
