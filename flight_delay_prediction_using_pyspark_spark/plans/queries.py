@@ -1293,15 +1293,18 @@ def q_ml_linear_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFram
 @query("ml_random_forest_metrics")
 def q_ml_random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble extension beyond the reference's L7 single tree:
-    RandomForestRegressor (20 trees, depth 10, bins 60, 70% bootstrap,
-    seed 42) on the same encoded frame and 90/10 split — the
-    variance-reduction upgrade a production delay model would ship.
-    Rows-only check (training is iterative, not SQL-expressible);
-    the MAE/RMSE envelope is asserted in tests/test_ml.py."""
+    RandomForestRegressor (catalog config: 10 trees, depth 8, bins 60,
+    70% bootstrap, seed 42) on the same encoded frame and 90/10 split
+    — the variance-reduction upgrade a production delay model would
+    ship. Rows-only check (training is iterative, not
+    SQL-expressible); the MAE/RMSE envelope is asserted in
+    tests/test_ml.py. Shallower-than-DT depth is deliberate: forests
+    trade per-tree depth for averaging, and each depth level is a
+    sequential round of per-node stats jobs over the cluster."""
     from flight_delay_prediction_using_pyspark_spark.ml.train import train_random_forest
 
     _, encoded = _encoded_flights(spark)
-    _, val_preds = train_random_forest(encoded)
+    _, val_preds = train_random_forest(encoded, num_trees=10, max_depth=8)
     metrics = evaluate_regression(val_preds)
     n_val = val_preds.count()
     return spark.createDataFrame(

@@ -26,6 +26,25 @@ from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
 _dedup_run = itertools.count()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_state_partitions(spark: SparkSession, n: int = 8):
+    """Pin `spark.sql.shuffle.partitions` for the duration of a
+    stream run, then restore. The streaming state-store instance
+    count is fixed at stream start from this conf; every instance is
+    a long-lived per-partition service with checkpoint I/O per
+    micro-batch, so a bounded replay wants stores sized to the data
+    (production sizes it to key cardinality × throughput instead)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @query(
     "events_session_windows",
     oracle="""
@@ -158,7 +177,8 @@ def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"streaming_dedup_{next(_dedup_run)}"
-    S.run_to_memory_sink(S.streaming_dedup(stream), sink, output_mode="append")
+    with _scoped_state_partitions(spark):
+        S.run_to_memory_sink(S.streaming_dedup(stream), sink, output_mode="append")
     return spark.table(sink)
 
 
@@ -198,7 +218,10 @@ def q_events_streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"streaming_totals_{next(_dedup_run)}"
-    S.run_to_memory_sink(S.running_user_totals(stream), sink, output_mode="update")
+    with _scoped_state_partitions(spark):
+        S.run_to_memory_sink(
+            S.running_user_totals(stream), sink, output_mode="update"
+        )
     return spark.table(sink)
 
 
@@ -298,9 +321,10 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback="30 minutes",
     )
     sink = f"stream_ssj_{next(_dedup_run)}"
-    S.run_to_memory_sink(
-        joined.select("user_id", "cents"), sink, output_mode="append"
-    )
+    with _scoped_state_partitions(spark):
+        S.run_to_memory_sink(
+            joined.select("user_id", "cents"), sink, output_mode="append"
+        )
     return spark.table(sink).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("cents").cast("bigint").alias("sum_purchase_cents"),
