@@ -74,3 +74,21 @@ def salted_join(
     )
     out = l_salted.join(r_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, sort_col: str, n_files: int = 8
+) -> None:
+    """Range-partition + sort-within-partitions parquet write: each
+    output file covers a disjoint range of `sort_col` (repartitionByRange
+    samples the column for balanced boundaries), so parquet min/max
+    statistics prune whole files/row-groups for range predicates — the
+    single-dimension clustering a 100 TB fact table wants on its
+    dominant filter column. Sorting within files additionally tightens
+    per-row-group stats and improves encodings (RLE/delta)."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -143,3 +143,28 @@ def resample_ffill(
         ).alias("bucket"),
         F.col("__v2").alias(value_col),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    sec_col: str,
+    tie_col: str,
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: assign a per-key `session_id`
+    (0-based running count of gap breaks) ordered by (sec_col,
+    tie_col). A new session starts when the gap since the previous
+    event STRICTLY exceeds `gap_sec`. One shuffle on the key; any
+    downstream groupBy on (key, session_id) or (key) reuses that
+    partitioning. All-integer arithmetic — deterministic under any
+    partitioning or engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(sec_col, tie_col)
+    prev = F.lag(sec_col).over(w)
+    flag = F.when(prev.isNull() | (F.col(sec_col) - prev > gap_sec), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
 from flight_delay_prediction_using_pyspark_spark.plans.queries import query
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
@@ -102,16 +103,7 @@ def q_events_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events.select(
         "user_id", "event_id", F.col("ts").cast("long").alias("sec")
     )
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    prev = F.lag("sec").over(w)
-    flagged = s.withColumn(
-        "new_sess",
-        F.when(prev.isNull() | (F.col("sec") - prev > 1800), 1).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "session_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = TP.sessionize(s, key="user_id", sec_col="sec", tie_col="event_id")
     per_sess = sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("sec") - F.min("sec")).alias("duration_sec"),
@@ -589,4 +581,53 @@ def q_events_third_distinct_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("sec", "event_id"))["event_id"]
         .cast("bigint")
         .alias("third_type_event_id"),
+    )
+
+
+@query(
+    "orders_scd2_intervals",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS from_sec,
+             lead(CAST(floor(epoch(o_orderdate)) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS to_sec
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CASE WHEN to_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open,
+           CAST(SUM(to_sec - from_sec) AS BIGINT) AS sum_interval_sec
+    FROM s GROUP BY o_custkey
+    """,
+)
+def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals via `lead`: each order's record
+    is valid from its date until the customer's next order (NULL =
+    still current) — the slowly-changing-dimension build every
+    warehouse runs, as one window pass instead of a self-join. The
+    lead shuffle on o_custkey is reused by the per-customer rollup;
+    epoch-second integers keep the interval arithmetic exact."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; route through a (UTC-session)
+    # timestamp cast to get epoch seconds — matches DuckDB's epoch()
+    # on the same naive values.
+    s = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("from_sec"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("from_sec", "o_orderkey")
+    s = s.withColumn("to_sec", F.lead("from_sec").over(w))
+    return s.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.when(F.col("to_sec").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open"),
+        F.sum(F.col("to_sec") - F.col("from_sec"))
+        .cast("bigint")
+        .alias("sum_interval_sec"),
     )

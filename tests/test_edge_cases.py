@@ -61,3 +61,75 @@ def test_asof_join_empty_right(spark):
 def test_quality_gate_filters_everything(spark):
     docs = spark.createDataFrame([(0, "tiny"), (1, "small")], ["doc_id", "text"])
     assert TD.prepare_training_corpus(docs, min_quality=0.4).count() == 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap == gap_sec continues the session; gap_sec+1 starts a new
+    one (strict inequality). Singleton users get session 1."""
+    rows = [
+        (1, 10, 0),
+        (1, 11, 1800),   # exactly 1800s later -> same session
+        (1, 12, 3601),   # 1801s later -> new session
+        (2, 20, 50),     # singleton
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, sec long")
+    out = TP.sessionize(
+        df, key="user_id", sec_col="sec", tie_col="event_id", gap_sec=1800
+    )
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {10: 1, 11: 1, 12: 2, 20: 1}
+
+
+def test_sessionize_orders_ties_deterministically(spark):
+    """Equal timestamps fall back to the tie column for ordering, so
+    session assignment is stable under any partitioning."""
+    rows = [(1, i, 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, sec long")
+    out = TP.sessionize(df, key="user_id", sec_col="sec", tie_col="event_id")
+    assert {r["session_id"] for r in out.collect()} == {1}
+
+
+def test_int8_quantize_bounds_and_dot(spark):
+    """Quantized values stay in [-127, 127]; the int8 dot of a vector
+    with itself approximates 127^2 for unit-norm input."""
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
+    q8 = ann.int8_quantize(F2.col("v"))
+    out = df.select(
+        q8.alias("q"), ann.int8_dot(q8, q8).alias("self_dot")
+    ).first()
+    assert all(-127 <= x <= 127 for x in out["q"])
+    # unit-normalized (0.6, 0.8) -> floor(76.2), floor(101.6)
+    assert out["q"] == [76, 101]
+    assert out["self_dot"] == 76 * 76 + 101 * 101
+    assert abs(out["self_dot"] - 127 * 127) / (127 * 127) < 0.05
+
+
+def test_write_range_sorted_disjoint_file_ranges(spark, tmp_path):
+    """Each output file covers a disjoint range of the sort column —
+    parquet min/max stats can prune whole files for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flight_delay_prediction_using_pyspark_spark.operators import layout as L2
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 37 % 10000).cast("double").alias("x")
+    )
+    path = str(tmp_path / "range_sorted")
+    L2.write_range_sorted(df, path, "x", n_files=4)
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary equality allowed)
