@@ -631,3 +631,68 @@ def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_interval_sec"),
     )
+
+
+@query(
+    "copurchase_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 15
+    """,
+)
+def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: parts appearing in the same order
+    (self equi-join on l_orderkey with a `<` dedup predicate so each
+    unordered pair counts once), pair-frequency agg, global top-15.
+    The self-join shuffles each side once on l_orderkey; pair blow-up
+    is quadratic only in PER-ORDER line count (bounded ≤ 7 in TPC-H
+    shape), never in table size — the property that keeps basket
+    analysis tractable at 100 TB. Deterministic tiebreak on the pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(15)
+    )
+
+
+@query(
+    "customer_order_count_histogram",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q_customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate (the TPC-H Q13 distribution shape):
+    orders per customer, then the histogram of those counts. Two hash
+    aggs; the second input is already one row per customer, so the
+    second shuffle moves ≤ |customers| tiny rows — the classic
+    "distribution of activity" report."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
