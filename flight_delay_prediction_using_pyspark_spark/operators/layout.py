@@ -92,3 +92,32 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files. Streaming sinks and
+    fine-grained partition writes accumulate small files that bloat
+    the NameNode/listing path and defeat row-group pruning; periodic
+    compaction is standard table maintenance (what OPTIMIZE does on
+    Delta/Iceberg). Uses coalesce (no shuffle) since output count only
+    shrinks. Returns the new file count."""
+    import glob
+    import math
+    import os
+
+    files = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
+        os.path.join(path, "part-*")
+    )
+    total = sum(os.path.getsize(f) for f in set(files))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_out

@@ -353,3 +353,40 @@ def q_events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+@query(
+    "events_variant_extract",
+    oracle="""
+    SELECT CAST(k // 10 AS BIGINT) AS k_decile,
+           COUNT(*) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL
+    )
+    GROUP BY k_decile
+    """,
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4's VARIANT type:
+    parse_json → binary-encoded variant → typed variant_get path
+    access. Unlike per-query get_json_object/from_json (which
+    re-parse text per access, cf. `events_json_extract`), a variant
+    column is parsed ONCE at ingest and every downstream path access
+    is a cheap binary probe — the 100 TB answer for wide sparse
+    event properties. Grouped decile histogram keeps the oracle
+    integer-exact."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select(k.alias("k"))
+        .groupBy(F.floor(F.col("k") / 10).cast("bigint").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

@@ -142,3 +142,17 @@ def test_first_last_window_single_shuffle(spark):
         QUERIES["orders_first_last_per_customer"](spark, SF_CORRECTNESS_DIR)
     )
     assert n_exchanges(plan) == 1
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny files compact to the computed target count and the
+    data round-trips exactly."""
+    path = str(tmp_path / "frag")
+    spark.range(0, 1000).repartition(20).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 20
+    n_out = L.compact_small_files(spark, path, target_file_bytes=1 << 40)
+    assert n_out == 1
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 1000
