@@ -631,3 +631,45 @@ def q_doc_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.df").alias("top_df"),
         (-F.col("m.neg_score")).alias("tfidf_scaled"),
     )
+
+
+@query(
+    "dedup_lsh_levenshtein",
+    oracle=f"""
+    WITH {_minhash_ctes(0.5)}
+    SELECT id_a, id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist
+    FROM verified
+    JOIN documents da ON da.doc_id = id_a
+    JOIN documents db ON db.doc_id = id_b
+    """,
+)
+def q_dedup_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on LSH candidates: the O(n·m)
+    Levenshtein DP runs ONLY on the near-dup pairs MinHash-LSH
+    surfaces — the staged candidates-then-verify pattern that makes
+    character-exact dedup affordable (all-pairs edit distance is
+    quadratic in corpus size and impossible at 100 TB; candidate
+    pairs are ~linear). Pure JVM `F.levenshtein`, doc texts fetched
+    by two id-keyed joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = TD.minhash_lsh_pairs(
+        docs,
+        threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    da = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("lev_dist"),
+        )
+    )
