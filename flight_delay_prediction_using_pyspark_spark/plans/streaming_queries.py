@@ -329,3 +329,49 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("cents").cast("bigint").alias("sum_purchase_cents"),
     )
+
+
+@query(
+    "events_streaming_dedup_builtin",
+    oracle="""
+    SELECT DISTINCT user_id,
+           CAST(concat('0x', substr(md5(coalesce(props, '')), 1, 8)) AS BIGINT)
+             % 64 AS content_hash
+    FROM events
+    """,
+)
+def q_events_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in watermarked streaming dedup:
+    `dropDuplicatesWithinWatermark` keeps one row per key with state
+    auto-evicted once the event-time watermark passes — the
+    no-custom-code answer when dedup keys only repeat within a bounded
+    time horizon (vs our applyInPandasWithState operator
+    `events_streaming_dedup`, whose per-key state lives forever).
+    Emitting ONLY the key columns makes the surviving set equal to
+    the batch DISTINCT — batching-independent and oracle-exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="stream_dedup_wm_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select(
+            "user_id",
+            (
+                F.conv(F.substring(F.md5(F.coalesce("props", F.lit(""))), 1, 8), 16, 10)
+                .cast("long")
+                % 64
+            ).alias("content_hash"),
+            F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+        )
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "content_hash"])
+        .select("user_id", "content_hash")
+    )
+    sink = f"stream_dedup_wm_{next(_dedup_run)}"
+    with _scoped_state_partitions(spark):
+        S.run_to_memory_sink(stream, sink, output_mode="append")
+    return spark.table(sink)

@@ -673,3 +673,49 @@ def q_dedup_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("text_a", "text_b").cast("bigint").alias("lev_dist"),
         )
     )
+
+
+@query(
+    "doc_tokens_udtf",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - 1 AS BIGINT) AS max_pos
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    WHERE len(t) > 0
+    """,
+)
+def q_doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) surface:
+    a lateral `ws_tokenize(text)` emitting (pos, token) rows per doc,
+    rolled up to per-doc counts. API-parity demo ONLY — UDTFs run
+    row-at-a-time in Python workers; the hot path for this exact job
+    is `explode(split(...))` (JVM, codegen, see `doc_tfidf_top_term`).
+    The UDTF class is self-contained (no module references) so it
+    pickles cleanly to executors from any cwd."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class WsTokenize:
+        def eval(self, text):
+            if text:
+                for i, tok in enumerate(text.split()):
+                    yield (i, tok)
+
+    spark.udtf.register("ws_tokenize", WsTokenize)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(MAX(pos) AS BIGINT) AS max_pos
+        FROM docs_udtf_src, LATERAL ws_tokenize(text)
+        GROUP BY doc_id
+        """
+    )
