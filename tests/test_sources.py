@@ -62,3 +62,31 @@ def test_csv_safe_projection(spark):
         [(1, "x", [1.0, 2.0])], "id long, s string, arr array<double>"
     )
     assert csv_safe_columns(df) == ["id", "s"]  # array dropped (S6)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively —
+    write/read preserves schema and values (vectorized reader,
+    predicate pushdown like parquet)."""
+    path = str(tmp_path / "orc_rt")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 100
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    """JSON-lines source with an explicit schema (never inferSchema —
+    SURVEY.md §4 anti-pattern 6 applies to JSON's sampling scan too)."""
+    path = str(tmp_path / "json_rt")
+    df = spark.range(0, 50).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("id long, name string").json(path)
+    assert back.count() == 50
+    assert back.filter(F.col("name") == "u7").first()["id"] == 7
