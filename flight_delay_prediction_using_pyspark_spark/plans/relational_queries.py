@@ -696,3 +696,49 @@ def q_customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFr
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "lineitem_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS sum_winsorized
+    FROM lineitem, q
+    """,
+)
+def q_lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at p05/p95) — the outlier-robust
+    normalization step feature pipelines run before scaling. The
+    percentile pair is ONE scalar-agg row broadcast-cross-joined back
+    (the W2 global-window rewrite, SURVEY.md §4 item 1), so the plan
+    is two passes over the fact table and zero wide shuffles.
+    Percentiles are rounded to 6dp on both engines before clipping so
+    the boundary comparisons and the decimal sum are bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return li.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        A.exact_decimal_sum(clipped).alias("sum_winsorized"),
+    )
