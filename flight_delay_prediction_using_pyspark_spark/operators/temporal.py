@@ -26,6 +26,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(c: Column | str) -> Column:
+    """Epoch seconds from any timestamp flavor.
+
+    Parquet timestamps without UTC adjustment load as TIMESTAMP_NTZ
+    in Spark 4, which cannot cast straight to BIGINT. Casting through
+    TIMESTAMP first is a no-op for LTZ and a session-timezone (pinned
+    UTC by our session factory) conversion for NTZ — either way the
+    result matches DuckDB's ``epoch(ts)`` on the same parquet.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp").cast("long")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -101,7 +101,7 @@ def q_events_lag_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events")
     s = events.select(
-        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+        "user_id", "event_id", TP.epoch_seconds("ts").alias("sec")
     )
     sess = TP.sessionize(s, key="user_id", sec_col="sec", tie_col="event_id")
     per_sess = sess.groupBy("user_id", "session_id").agg(
@@ -567,7 +567,7 @@ def q_events_third_distinct_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.col("ts").cast("long").alias("sec"),
+        TP.epoch_seconds("ts").alias("sec"),
     )
     w = (
         Window.partitionBy("user_id")

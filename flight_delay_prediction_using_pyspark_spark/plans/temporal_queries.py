@@ -282,7 +282,7 @@ def q_events_trailing_3h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("sec"),
+        TP.epoch_seconds("ts").alias("sec"),
         F.floor(F.coalesce("value", F.lit(0.0)) * 100).alias("cents"),
     )
     w = (
