@@ -155,7 +155,6 @@ def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch emits MIN(event_id) per (user_id, hash), so the batch
     GROUP BY oracle is exact — the stateful operator itself is under
     the correctness gate, not just its batch shadow."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource requires a directory; stage the single parquet
     # file behind a symlink (no copy).
     stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
@@ -201,7 +200,6 @@ def q_events_streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation is exact integer-valued-double arithmetic — immune to
     float summation order — and the batch GROUP BY oracle matches
     bit-for-bit."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="stream_totals_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     stream = (
@@ -241,7 +239,6 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative, so the final target is batching-independent and the
     batch QUALIFY-latest oracle is exact. On Delta/Iceberg the batch
     body becomes MERGE INTO with identical semantics."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="cdc_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     stream = (
@@ -286,16 +283,17 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     range (streaming/ops.interval_join) into an availableNow memory
     sink; the emitted pair set is then aggregated in batch. Inner-join
     match sets are batching-independent, so the batch range-join
-    oracle is exact. Nanos-long ts is converted with integer `div`
-    (no double round-trip — nanos exceed 2^53)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    oracle is exact. The events parquet stores ts as microsecond
+    TIMESTAMP_NTZ; reading it through the explicit `ts long` stream
+    schema yields the raw µs integer, so `timestamp_micros(ts)` is the
+    exact (lossless) conversion."""
     stage = tempfile.mkdtemp(prefix="stream_ssj_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"
     )
-    to_ts = F.expr("timestamp_micros(ts div 1000)")
+    to_ts = F.expr("timestamp_micros(ts)")
     clicks = (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -349,7 +347,6 @@ def q_events_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFr
     `events_streaming_dedup`, whose per-key state lives forever).
     Emitting ONLY the key columns makes the surviving set equal to
     the batch DISTINCT — batching-independent and oracle-exact."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stage = tempfile.mkdtemp(prefix="stream_dedup_wm_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     stream = (
@@ -365,7 +362,7 @@ def q_events_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFr
                 .cast("long")
                 % 64
             ).alias("content_hash"),
-            F.expr("timestamp_micros(ts div 1000)").alias("event_time"),
+            F.expr("timestamp_micros(ts)").alias("event_time"),
         )
         .withWatermark("event_time", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "content_hash"])
