@@ -40,21 +40,26 @@ def main() -> None:
         df = fn(spark, sf_dir)
         # Force full execution incl. result materialization to driver.
         df.collect()
-        timings[name] = round(time.perf_counter() - start, 4)
+        timings[name] = round(time.perf_counter() - start, 2)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(timings.values()), 2)
+    # Diagnostics go to stderr FIRST; the contract JSON line is the very
+    # last thing on stdout (compact encoding keeps it small so a
+    # tail-capturing harness still sees the whole line), mirrored to
+    # bench_last.json as a belt-and-braces copy.
     _report_regressions(timings, sf)
+    sys.stderr.flush()
+    payload = {
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(REPO_ROOT, "bench_last.json"), "w") as f:
+        f.write(line + "\n")
+    print(line, flush=True)
     spark.stop()
 
 

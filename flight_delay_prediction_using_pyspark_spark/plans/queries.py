@@ -1178,7 +1178,10 @@ from flight_delay_prediction_using_pyspark_spark.ml.train import (  # noqa: E402
     train_linear_regression,
 )
 
-_ML_N = 4000  # small synthetic frame: queries re-run per driver round
+_ML_N = 2000  # small synthetic frame: queries re-run per driver round;
+# sized so the whole ml_* block (3 fits) stays a few seconds — the
+# catalog entries demonstrate the L1-L12 operators, not model quality
+# (tests/test_ml.py asserts learning on its own 4000-row frame).
 
 
 def _prepared_flights(spark: SparkSession):
