@@ -212,3 +212,51 @@ def cross_validate_tree(
     prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
     cv_model = cv.fit(prepared)
     return cv_model.bestModel, list(cv_model.avgMetrics)
+
+
+def cross_validation_summary(
+    prepared: DataFrame,
+    label_col: str = "ArrDelay",
+    features_col: str = "features",
+    max_depth_grid: list[int] | None = None,
+    max_bins_grid: list[int] | None = None,
+    num_folds: int = 3,
+    seed: int = 42,
+    parallelism: int = 4,
+) -> list[tuple[int, int, float, bool]]:
+    """L10 grid-results surface (notebook cells 17-18: avgMetrics +
+    best-params extraction): one row per grid point —
+    (max_depth, max_bins, avg_rmse, is_best). Param maps come back in
+    ParamGridBuilder's deterministic product order, so zip(grid,
+    avgMetrics) is exact."""
+    tree = DecisionTreeRegressor(labelCol=label_col, featuresCol=features_col, seed=seed)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(tree.maxDepth, max_depth_grid or [5, 10, 15])
+        .addGrid(tree.maxBins, max_bins_grid or [32, 64])
+        .build()
+    )
+    evaluator = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="rmse"
+    )
+    cv = CrossValidator(
+        estimator=tree,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        seed=seed,
+        parallelism=parallelism,
+    )
+    prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+    cv_model = cv.fit(prepared)
+    metrics = list(cv_model.avgMetrics)
+    best_i = min(range(len(metrics)), key=metrics.__getitem__)
+    return [
+        (
+            pm[tree.maxDepth],
+            pm[tree.maxBins],
+            float(m),
+            i == best_i,
+        )
+        for i, (pm, m) in enumerate(zip(grid, metrics))
+    ]

@@ -115,6 +115,35 @@ def pearson_corr(df: DataFrame, x: str, y: str) -> DataFrame:
     return df.agg(F.corr(F.col(x), F.col(y)).alias("corr"))
 
 
+def correlation_matrix(df: DataFrame, cols: Sequence[str], digits: int = 6) -> DataFrame:
+    """EDA correlation matrix (reference helper_methods.py:82-90,
+    notebook cells 4-9) as ONE hash aggregate: all k·(k-1)/2 upper-
+    triangle Pearson pairs (plus the unit diagonal) computed in a
+    single pass, then unpivoted with `stack` to long form
+    (x, y, corr_val). Equivalent to ml.stat.Correlation on an
+    assembled vector, but stays inside whole-stage codegen — corr is a
+    mergeable 6-moment sketch, so the pass partial-aggregates map-side
+    and the shuffle carries k² scalars regardless of input size."""
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i:]]
+    aggs = [
+        (
+            F.lit(1.0) if x == y else F.round(F.corr(x, y), digits)
+        ).alias(f"__c_{i}")
+        for i, (x, y) in enumerate(pairs)
+    ]
+    stack_args = ", ".join(
+        f"'{x}', '{y}', __c_{i}" for i, (x, y) in enumerate(pairs)
+    )
+    return (
+        df.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(pairs)}, {stack_args}) AS (x, y, corr_val)"
+            )
+        )
+    )
+
+
 def crosstab_counts(df: DataFrame, row_col: str, col_col: str, col_values: Sequence[str]) -> DataFrame:
     """Contingency counts (A10) as conditional aggregates: one hash agg,
     explicit pivot values so the schema is static (no extra distinct-job

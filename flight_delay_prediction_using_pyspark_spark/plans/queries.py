@@ -403,6 +403,56 @@ def q_grouped_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "corr_matrix_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem
+      WHERE CAST(concat('0x', substr(md5(concat_ws('_', l_orderkey, l_linenumber)), 1, 8)) AS BIGINT) % 4 = 0
+    ), a AS (
+      SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c_qp,
+             ROUND(corr(l_quantity, l_discount), 6) AS c_qd,
+             ROUND(corr(l_quantity, l_tax), 6) AS c_qt,
+             ROUND(corr(l_extendedprice, l_discount), 6) AS c_pd,
+             ROUND(corr(l_extendedprice, l_tax), 6) AS c_pt,
+             ROUND(corr(l_discount, l_tax), 6) AS c_dt
+      FROM s
+    )
+    SELECT 'l_quantity' AS x, 'l_quantity' AS y, 1.0 AS corr_val FROM a
+    UNION ALL SELECT 'l_quantity', 'l_extendedprice', c_qp FROM a
+    UNION ALL SELECT 'l_quantity', 'l_discount', c_qd FROM a
+    UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM a
+    UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', 1.0 FROM a
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', c_pd FROM a
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', c_pt FROM a
+    UNION ALL SELECT 'l_discount', 'l_discount', 1.0 FROM a
+    UNION ALL SELECT 'l_discount', 'l_tax', c_dt FROM a
+    UNION ALL SELECT 'l_tax', 'l_tax', 1.0 FROM a
+    """,
+)
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA sample→correlation-matrix composite (reference
+    helper_methods.py:82-90, notebook cells 4-9): deterministic 25%
+    hash sample (portable md5 — reproducible across engines and
+    partitionings, unlike the reference's seeded sample), then ALL
+    upper-triangle Pearson pairs in one hash aggregate
+    (operators.aggregates.correlation_matrix), unpivoted to long form.
+    One scan, one k²-scalar shuffle — the sample predicate is a plain
+    filter that pushes into the scan."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sampling import hash_sample
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sampled = hash_sample(
+        lineitem,
+        F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")),
+        denominator=4,
+    )
+    return A.correlation_matrix(
+        sampled, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@query(
     "orders_priority_quartiles",
     oracle="""
     WITH w AS (
@@ -1313,6 +1363,28 @@ def q_ml_random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
         "mae double, rmse double, n_val long",
+    )
+
+
+@query("ml_cross_validation")
+def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 CrossValidator surface (notebook cells 17-18): 3-fold CV
+    over a maxDepth×maxBins grid on the shared encoded frame, one row
+    per grid point with its avgMetrics RMSE and a best-params flag.
+    Rows-only check (CV training is iterative, not SQL-expressible);
+    the grid is kept to 2 points so the catalog entry demonstrates the
+    operator without dominating round runtime (the full reference grid
+    runs through the same ml.train.cross_validation_summary)."""
+    from flight_delay_prediction_using_pyspark_spark.ml.train import (
+        cross_validation_summary,
+    )
+
+    _, encoded = _encoded_flights(spark)
+    rows = cross_validation_summary(
+        encoded, max_depth_grid=[5, 10], max_bins_grid=[60]
+    )
+    return spark.createDataFrame(
+        rows, "max_depth int, max_bins int, avg_rmse double, is_best boolean"
     )
 
 

@@ -131,6 +131,21 @@ def test_cross_validator_smoke(spark, prepared):
     assert best.getMaxDepth() in (3, 6)
 
 
+def test_cross_validation_summary_grid_order(spark, prepared):
+    from flight_delay_prediction_using_pyspark_spark.ml.train import cross_validation_summary
+
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    sample = prepared.sample(0.3, seed=42)
+    out = pipeline.fit(sample).transform(sample)
+    rows = cross_validation_summary(
+        out, max_depth_grid=[3, 6], max_bins_grid=[16], num_folds=2
+    )
+    assert [(d, b) for d, b, _, _ in rows] == [(3, 16), (6, 16)]
+    assert sum(is_best for _, _, _, is_best in rows) == 1
+    best = min(rows, key=lambda r: r[2])
+    assert best[3] and all(math.isfinite(r[2]) for r in rows)
+
+
 def test_imputer_fills_all_nulls(spark):
     from flight_delay_prediction_using_pyspark_spark.ml.pipeline import impute_numeric
     from flight_delay_prediction_using_pyspark_spark.sources.synthetic import flights_df

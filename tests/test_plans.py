@@ -127,6 +127,39 @@ def test_hof_stats_no_explode_single_shuffle(spark):
     assert "BatchEvalPython" not in plan  # pure JVM fold, no Python UDF
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "dedup_lsh_levenshtein",
+        "ann_lsh_bucket_topk",
+        "ann_multiprobe_topk",
+    ],
+)
+def test_candidate_generation_never_cartesian(spark, name):
+    """Every near-dup / ANN candidate generator must pair rows through
+    a bucketed equi-join (LSH bands, simhash chunks, hyperplane
+    buckets) — an all-pairs fallback (CartesianProduct or nested-loop
+    join) would be the 100 TB scale-killer."""
+    plan = plan_of(QUERIES[name](spark, SF_CORRECTNESS_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corr_matrix_single_pass(spark):
+    """The correlation matrix computes all pairs in ONE scan + ONE
+    global-agg exchange; the long-form unpivot (stack) adds no
+    shuffle and no Python evaluation."""
+    import re
+
+    plan = plan_of(QUERIES["corr_matrix_lineitem"](spark, SF_CORRECTNESS_DIR))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) == 1
+    assert n_exchanges(plan) == 1
+    assert "partial_corr" in plan  # map-side partial moments
+    assert "BatchEvalPython" not in plan
+
+
 def test_union_is_map_side(spark):
     """UNION ALL contributes no Exchange: the only shuffle is the
     grouped aggregate after it."""
