@@ -252,7 +252,7 @@ def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="cdc_target_")
     os.rmdir(target)  # sink creates it on first merge
     S.cdc_merge_sink(stream, target, key_cols=["user_id"], order_col="event_id")
-    return spark.read.parquet(target)
+    return spark.read.parquet(target).drop("__bucket")
 
 
 @query(

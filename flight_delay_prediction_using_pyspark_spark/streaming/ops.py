@@ -23,7 +23,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -172,33 +172,63 @@ DEDUP_SCHEMA = T.StructType(
 _SEEN_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()))])
 
 
-def streaming_dedup(events: DataFrame, key_col: str = "user_id", hash_col: str = "content_hash") -> DataFrame:
+def streaming_dedup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    hash_col: str = "content_hash",
+    state_ttl_ms: int | None = None,
+    event_time_col: str = "event_time",
+) -> DataFrame:
     """Ingest-time exact dedup as a custom stateful operator: per key,
     remember every content hash seen so far (GroupState) and emit only
     first-seen rows. The streaming half of text.dedup.dedup_exact —
     batch dedup cleans the corpus, this keeps duplicates from ever
     landing.
 
-    State is the per-key hash set; at scale, key-partitioning spreads
-    it across executors and a real deployment would add state TTL
-    (GroupStateTimeout) or swap the exact set for a Bloom filter once
-    per-key cardinality grows. Emitted rows: (event_id, key, hash),
-    one per hash on its first micro-batch, carrying the MIN event_id
-    among that batch's rows for the hash — deterministic regardless of
-    partition/file arrival order, so a single-batch (availableNow) run
-    equals the batch `GROUP BY key, hash -> MIN(event_id)` exactly.
+    State is the per-key hash set, key-partitioned across executors.
+    `state_ttl_ms` bounds it with an EVENT-TIME timeout: a key's set
+    is evicted once the stream's watermark passes the key's last event
+    time + TTL, so state size is O(keys active in the TTL horizon)
+    instead of O(all keys ever) — the 100 TB deployment setting when
+    duplicates only repeat within a bounded window. Event time (not
+    processing time) keeps eviction replay-deterministic and, with the
+    availableNow trigger, lets the query terminate when the data is
+    exhausted (a processing-time timeout keeps the engine running
+    state-cleanup batches forever). A hash re-arriving after eviction
+    is re-emitted — the standard at-least-once dedup trade-off; swap
+    the set for a Bloom filter instead if the horizon must stay
+    unbounded. With a TTL, `events` must carry a watermarked
+    `event_time_col` (withWatermark before this operator).
 
-    The UDF closure is self-contained (no module globals)."""
+    Default None keeps exact forever-state, where a single-batch
+    (availableNow) run equals the batch
+    `GROUP BY key, hash -> MIN(event_id)` oracle exactly.
+
+    Emitted rows: (event_id, key, hash), one per hash on its first
+    micro-batch, carrying the MIN event_id among that batch's rows for
+    the hash — deterministic regardless of partition/file arrival
+    order. The UDF closure is self-contained (no module globals)."""
 
     def dedup(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry: the watermark passed this key's last
+            # activity + TTL — evict its hash set entirely.
+            state.remove()
+            yield pd.DataFrame({"event_id": [], "user_id": [], "content_hash": []})
+            return
         (seen_list,) = state.get if state.exists else ([],)
         seen = set(seen_list)
         fresh: dict[int, int] = {}  # hash -> min event_id this batch
+        last_ms = None
         for pdf in batches:
+            if state_ttl_ms is not None and len(pdf):
+                batch_max = pdf[event_time_col].max()
+                ms = int(batch_max.timestamp() * 1000)
+                last_ms = ms if last_ms is None else max(last_ms, ms)
             for eid, h in zip(pdf["event_id"], pdf["content_hash"]):
                 h = int(h)
                 if h not in seen:
@@ -207,6 +237,13 @@ def streaming_dedup(events: DataFrame, key_col: str = "user_id", hash_col: str =
                         fresh[h] = eid
         seen.update(fresh)
         state.update((list(seen),))
+        if state_ttl_ms is not None and last_ms is not None:
+            # must stay ahead of the current watermark or Spark rejects
+            # the timestamp; a key whose data is already late gets the
+            # minimum legal horizon instead
+            state.setTimeoutTimestamp(
+                max(last_ms + state_ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             {
                 "event_id": list(fresh.values()),
@@ -215,12 +252,17 @@ def streaming_dedup(events: DataFrame, key_col: str = "user_id", hash_col: str =
             }
         )
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy(key_col).applyInPandasWithState(
         dedup,
         outputStructType=DEDUP_SCHEMA,
         stateStructType=_SEEN_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -231,33 +273,62 @@ def cdc_merge_sink(
     order_col: str,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
 ) -> None:
     """Streaming upsert (CDC merge) via foreachBatch: every micro-batch
     is merged into a parquet target keeping, per key, the row with the
     highest `order_col` (later micro-batch wins exact ties). This is
     the keyed-upsert half of a CDC pipeline; on Delta/Iceberg the body
-    becomes a single MERGE INTO with identical semantics — here merge =
-    read target ∪ batch → window-dedup → rewrite via tmp-dir swap
-    (atomic on a rename-capable FS).
+    becomes a single MERGE INTO with identical semantics.
+
+    The target is hash-partitioned on the key into `n_buckets`
+    directories (`__bucket=<i>/`), and each merge batch rewrites ONLY
+    the buckets its keys touch (dynamic partition overwrite): read
+    target WHERE __bucket IN touched ∪ batch → window-dedup → overwrite
+    those partition dirs. Merge cost is O(touched buckets), not
+    O(target) — at 100 TB, n_buckets scales up so a batch touching few
+    keys rewrites a small fraction of the table; untouched partition
+    files are never read or rewritten. The per-bucket partition filter
+    is partition-pruned at the scan (directory skip, no file I/O).
 
     Because max(order_col) per key is associative, the final target is
     independent of how rows were batched — which is what makes the
-    operation oracle-checkable end-to-end.
+    operation oracle-checkable end-to-end. Readers should drop the
+    internal `__bucket` partition column.
 
-    At scale: the rewrite cost is O(target) per batch — real
-    deployments partition the target and rewrite only touched
-    partitions (or use a MERGE-capable format); the window dedup
-    shuffles (existing ∪ batch) by key exactly once."""
+    The bucket function is md5-based (text.analysis.md5_hash32 shape,
+    inlined here so executors don't import this package) —
+    deterministic across sessions and engines, unlike F.hash whose
+    seed is fixed but JVM-specific encodings make cross-engine
+    reproducibility a non-goal."""
     import os
-    import shutil
 
     from pyspark.sql import Window
 
+    def bucket_col() -> Column:
+        key_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+        return (
+            F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__bucket")
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        incoming = batch_df.withColumn("__src", F.lit(1))
+        incoming = batch_df.withColumn("__bucket", bucket_col()).withColumn(
+            "__src", F.lit(1)
+        )
         if os.path.isdir(target_dir):
-            existing = spark.read.parquet(target_dir).withColumn("__src", F.lit(0))
+            # Touched-bucket list is at most n_buckets small integers —
+            # safe to collect; it prunes the target scan to those
+            # partition directories only.
+            touched = [
+                r[0] for r in incoming.select("__bucket").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(target_dir)
+                .filter(F.col("__bucket").isin(touched))
+                .withColumn("__src", F.lit(0))
+            )
             allrows = existing.unionByName(incoming)
         else:
             allrows = incoming
@@ -269,11 +340,14 @@ def cdc_merge_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
-        tmp = f"{target_dir}__tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_dir):
-            shutil.rmtree(target_dir)
-        os.rename(tmp, target_dir)
+        # Dynamic mode replaces only the partition dirs present in
+        # `merged` (= the touched buckets); all others survive as-is.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(target_dir)
+        )
 
     writer = stream_df.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
     if checkpoint_dir is not None:

@@ -144,6 +144,118 @@ def test_streaming_dedup_stateful(spark, events_dir, tmp_path):
     assert {r.event_id for r in got.collect()} <= in_ids
 
 
+def test_streaming_dedup_ttl_evicts_state(spark, tmp_path):
+    """With an event-time TTL, a key's hash-set state is evicted once
+    the watermark passes its last activity + TTL, so the same
+    (key, hash) re-emits on a later re-arrival — bounded state,
+    at-least-once dedup. Without the TTL the duplicate is suppressed
+    forever."""
+    import datetime as dt
+    import os
+    import time
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    schema = "event_id long, user_id long, content_hash long, event_time timestamp"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h = dt.timedelta(hours=1)
+    # TTL = 30 min. Batch k's data advances the watermark seen by
+    # batch k+1, so: f1 seeds key 1; f2 (t0+2h) pushes the watermark
+    # past key 1's t0+30min horizon; f3's batch processes that
+    # timeout (evicting key 1) while its filler key keeps the files
+    # distinct; f4 re-delivers (1, 7) onto empty state -> re-emitted.
+    frames = [
+        [(100, 1, 7, t0)],
+        [(200, 2, 9, t0 + 2 * h)],
+        [(300, 3, 5, t0 + 2 * h + dt.timedelta(minutes=1))],
+        [(400, 1, 7, t0 + 2 * h + dt.timedelta(minutes=2))],
+    ]
+    for i, rows in enumerate(frames):
+        path = str(src / f"f{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        # distinct ascending mtimes pin the file pickup order
+        mtime = time.time() - 50 + i * 10
+        for root, _, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    def run(name: str, ttl_ms: int | None) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(str(src / "*"))
+            .withWatermark("event_time", "0 seconds")
+        )
+        out = S.streaming_dedup(stream, state_ttl_ms=ttl_ms)
+        S.run_to_memory_sink(out, name, output_mode="append")
+
+    run("dedup_ttl_out", 30 * 60 * 1000)
+    # (1, 7) emitted twice: once per arrival, state evicted in between
+    assert spark.table("dedup_ttl_out").filter(
+        "user_id = 1 AND content_hash = 7"
+    ).count() == 2
+    # the no-TTL operator on the same input collapses it to one row
+    run("dedup_nottl_out", None)
+    assert spark.table("dedup_nottl_out").filter(
+        "user_id = 1 AND content_hash = 7"
+    ).count() == 1
+
+
+def test_cdc_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Partition-pruned CDC merge: a batch touching one key rewrites
+    only that key's hash-bucket partition; every other bucket's files
+    survive byte-for-byte (same paths, same mtimes)."""
+    import hashlib
+    import os
+
+    def bucket_of(user_id: int, n: int = 16) -> int:
+        return int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16) % n
+
+    target = str(tmp_path / "bucketed_target")
+    seed = spark.createDataFrame(
+        [(u, 10 + u, "seed") for u in range(1, 41)],
+        "user_id long, event_id long, event_type string",
+    )
+    src1 = tmp_path / "cdc_b1"
+    seed.coalesce(1).write.parquet(str(src1))
+    stream1 = spark.readStream.schema(
+        "user_id long, event_id long, event_type string"
+    ).parquet(str(src1))
+    S.cdc_merge_sink(stream1, target, key_cols=["user_id"], order_col="event_id")
+
+    def file_mtimes() -> dict[str, float]:
+        out = {}
+        for root, _, files in os.walk(target):
+            for fn in files:
+                p = os.path.join(root, fn)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_mtimes()
+    upsert_key = 1
+    src2 = tmp_path / "cdc_b2"
+    spark.createDataFrame(
+        [(upsert_key, 99, "upd")], "user_id long, event_id long, event_type string"
+    ).coalesce(1).write.parquet(str(src2))
+    stream2 = spark.readStream.schema(
+        "user_id long, event_id long, event_type string"
+    ).parquet(str(src2))
+    S.cdc_merge_sink(stream2, target, key_cols=["user_id"], order_col="event_id")
+
+    after = file_mtimes()
+    touched = f"__bucket={bucket_of(upsert_key)}"
+    untouched_before = {p: m for p, m in before.items() if touched not in p}
+    for p, m in untouched_before.items():
+        assert p in after and after[p] == m, f"untouched file rewritten: {p}"
+    # merge semantics still hold
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).drop("__bucket").collect()
+    }
+    assert got[upsert_key] == (99, "upd")
+    assert got[2] == (12, "seed") and len(got) == 40
+
+
 def test_cdc_merge_sink_upserts_across_batches(spark, tmp_path):
     """foreachBatch CDC merge: two micro-batches upsert the same keys;
     the target ends with exactly the highest-order row per key."""
