@@ -27,13 +27,21 @@ from pyspark.sql import functions as F
 
 
 def epoch_seconds(c: Column | str) -> Column:
-    """Epoch seconds from any timestamp flavor.
+    """Epoch seconds from a TIMESTAMP or TIMESTAMP_NTZ column.
 
     Parquet timestamps without UTC adjustment load as TIMESTAMP_NTZ
     in Spark 4, which cannot cast straight to BIGINT. Casting through
-    TIMESTAMP first is a no-op for LTZ and a session-timezone (pinned
-    UTC by our session factory) conversion for NTZ — either way the
-    result matches DuckDB's ``epoch(ts)`` on the same parquet.
+    TIMESTAMP first is a no-op for LTZ and a session-timezone
+    conversion for NTZ — either way the result matches DuckDB's
+    ``epoch(ts)`` on the same parquet.
+
+    PRECONDITION: for NTZ inputs the caller must have pinned the
+    session timezone to UTC (``session.ensure_utc(spark)`` — every
+    catalog query that touches timestamps does) or the NTZ→LTZ cast
+    shifts the epoch by the session offset. Do NOT pass raw integer
+    epoch columns: ``cast('timestamp')`` interprets numerics as epoch
+    SECONDS, so a micros/nanos long yields garbage — convert with
+    ``F.timestamp_micros`` first (see sources.readers.load_events).
     """
     c = F.col(c) if isinstance(c, str) else c
     return c.cast("timestamp").cast("long")

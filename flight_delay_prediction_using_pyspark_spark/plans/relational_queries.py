@@ -612,13 +612,10 @@ def q_orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-second integers keep the interval arithmetic exact."""
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders")
-    # o_orderdate is TIMESTAMP_NTZ; route through a (UTC-session)
-    # timestamp cast to get epoch seconds — matches DuckDB's epoch()
-    # on the same naive values.
     s = orders.select(
         "o_custkey",
         "o_orderkey",
-        F.col("o_orderdate").cast("timestamp").cast("long").alias("from_sec"),
+        TP.epoch_seconds("o_orderdate").alias("from_sec"),
     )
     w = Window.partitionBy("o_custkey").orderBy("from_sec", "o_orderkey")
     s = s.withColumn("to_sec", F.lead("from_sec").over(w))
