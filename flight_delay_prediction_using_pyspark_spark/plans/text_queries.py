@@ -727,3 +727,128 @@ def q_doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: decontamination / quota mixture / sequence packing
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTES = f"""toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [] END AS s
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, source, list_transform(s, x -> {_md5i('x')}) AS hs FROM sh
+    )"""
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    bh AS (
+      SELECT DISTINCT unnest(hs) AS h FROM hashed WHERE doc_id % 50 = 0
+    ),
+    corpus AS (SELECT * FROM hashed WHERE doc_id % 50 <> 0),
+    cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest(hs) AS h FROM corpus) c
+      JOIN bh ON c.h = bh.h
+    )
+    SELECT corpus.source,
+           COUNT(*) AS n_docs,
+           COUNT(cont.doc_id) AS n_contaminated
+    FROM corpus LEFT JOIN cont ON corpus.doc_id = cont.doc_id
+    GROUP BY corpus.source
+    """,
+)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (text.corpus.decontaminate): every
+    50th doc plays the eval set; the rest is the corpus, and any
+    corpus doc sharing a token 3-gram with the eval set is flagged.
+    Per-source contamination census. The join currency is the portable
+    32-bit shingle hash on BOTH engines, so hash-collision flags agree
+    bit-for-bit; the eval hash set broadcasts."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    flagged = TC.decontaminate(corpus, bench)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
+    )
+
+
+@query(
+    "corpus_language_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, len({_TOKS}) AS n_tokens
+      FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY {_md5i("CAST(doc_id AS VARCHAR)")}, doc_id) <= 20
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM ranked GROUP BY lang
+    """,
+)
+def q_corpus_language_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture quota sampling (text.corpus.language_quota_sample):
+    at most 20 docs per language, chosen by deterministic md5 order —
+    the reproducible corpus rebalance. One shuffle on lang; the rank
+    window truncates heavy strata in-partition."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TC.language_quota_sample(docs, quota=20)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(TA.tokens("text")).cast("long")).alias("sum_tokens"),
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tokens,
+             {_md5i("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT source,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (text.corpus.pack_sequences):
+    docs laid end-to-end in deterministic md5 order within each source
+    shard, cut into 256-token packs; per-(shard, pack) doc and token
+    counts. Shard-local windows — no global serialization point. The
+    downstream groupBy reuses the window's source partitioning."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = TC.pack_sequences(docs, ctx_len=256)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )

@@ -1,0 +1,125 @@
+"""Training-corpus assembly operators: the steps between a deduped
+document pool and a training run — benchmark decontamination, mixture
+quota sampling, and sequence packing. (LLM-data-pipeline extensions;
+no reference counterpart — the reference stops at model features.)
+
+Scale rules shared by all three:
+- candidate joins ride short hash keys (never text);
+- the benchmark side of decontamination is small by construction
+  (eval sets are thousands of docs) and broadcasts;
+- ordering is by portable md5 hash — deterministic across engines,
+  partitionings, and reruns, unlike seeded RNG sampling;
+- packing's running sum is windowed PER SHARD KEY (source), never a
+  single global partition — the 100 TB version packs each shard
+  independently, which is also what training-data loaders expect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32, tokens
+from flight_delay_prediction_using_pyspark_spark.text.dedup import shingles
+
+
+def shingle_hashes(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles hashed to portable 32-bit longs
+    — the join currency of decontamination (hashes shuffle, text
+    never does)."""
+    return F.transform(shingles(text_col, n), lambda s: md5_hash32(s))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY
+    token n-gram with a benchmark/eval set, so training data can't
+    memorize test answers. Returns the corpus with a boolean
+    `contaminated` column.
+
+    Plan: benchmark → explode shingle hashes → distinct (small);
+    corpus → explode shingle hashes → LEFT SEMI join on the broadcast
+    hash set → distinct contaminated ids → left join flag back. The
+    corpus side shuffles only (id, hash) pairs; the broadcast side is
+    the eval set's distinct shingle hashes (eval sets are tiny
+    relative to any training corpus — if yours isn't, swap the
+    broadcast for a bucketed shuffle join, the semantics hold)."""
+    bench_hashes = (
+        benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("__h"))
+        .distinct()
+    )
+    corpus_pairs = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("__h")
+    )
+    contaminated_ids = (
+        corpus_pairs.join(F.broadcast(bench_hashes), "__h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__contaminated", F.lit(True))
+    )
+    return (
+        corpus.join(contaminated_ids, id_col, "left")
+        .withColumn("contaminated", F.coalesce("__contaminated", F.lit(False)))
+        .drop("__contaminated")
+    )
+
+
+def language_quota_sample(
+    docs: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture quota sampling: keep at most `quota` documents per
+    stratum (language/source/domain), selected by deterministic
+    md5-hash order — the reproducible way to rebalance a skewed corpus
+    into a target mixture. One shuffle on the stratum; rank is a
+    window, so heavy strata never materialize beyond the shuffle."""
+    order = md5_hash32(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order, id_col)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    deterministic (md5, id) order within each shard and cut the stream
+    into `ctx_len`-token packs — `pack_id` is which pack a document
+    STARTS in (documents may straddle a boundary, exactly like the
+    standard causal-LM packing loader). Adds `n_tokens`, `pack_id`.
+
+    Plan: one shuffle on the shard key, one running-sum window within
+    it. Packing per shard (not globally) is deliberate: a global
+    running sum would serialize through a single partition at 100 TB,
+    while shard-local packing is embarrassingly parallel and matches
+    how training shards are consumed."""
+    n_tok = F.size(tokens(text_col))
+    order = md5_hash32(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("__cum") - F.col("n_tokens")) / ctx_len).cast("long"),
+        )
+        .drop("__cum")
+    )

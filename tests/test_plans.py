@@ -147,6 +147,24 @@ def test_candidate_generation_never_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set shingle-hash side of decontamination must ride a
+    broadcast join (semi), never a cartesian or shuffled big-big
+    join."""
+    plan = plan_of(QUERIES["corpus_decontaminate"](spark, SF_CORRECTNESS_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Shard-local packing: the running-sum window partitions on
+    source and the per-(source, pack) rollup reuses that partitioning
+    — exactly one Exchange, no global sort."""
+    plan = plan_of(QUERIES["corpus_pack_sequences"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) == 1
+
+
 def test_corr_matrix_single_pass(spark):
     """The correlation matrix computes all pairs in ONE scan + ONE
     global-agg exchange; the long-form unpivot (stack) adds no

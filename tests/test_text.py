@@ -181,3 +181,67 @@ def test_prepare_training_corpus_stages(spark):
     assert ids == [0, 5]
     cols = set(kept.columns)
     assert {"quality", "pred_lang", "text", "doc_id"} <= cols
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly operators (text/corpus.py)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the 3-gram "capital of france" -> contaminated
+            (1, "my essay about the capital of france and its museums"),
+            # no shared 3-gram
+            (2, "a completely unrelated document about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.contaminated for r in TC.decontaminate(corpus, bench).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_language_quota_is_capped_and_partition_insensitive(spark):
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 30 else "de", f"text {i}") for i in range(40)],
+        ["doc_id", "lang", "text"],
+    )
+    kept1 = sorted(r.doc_id for r in TC.language_quota_sample(docs, 5).collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in TC.language_quota_sample(docs.repartition(7, "doc_id"), 5).collect()
+    )
+    assert kept1 == kept2  # md5 order, not partition order
+    by_lang = TC.language_quota_sample(docs, 5).groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in by_lang} == {"en": 5, "de": 5}
+
+
+def test_pack_sequences_matches_manual_layout(spark):
+    import hashlib
+
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    rows = [(i, "s", " ".join(["tok"] * (3 + i))) for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in TC.pack_sequences(docs, ctx_len=7).collect()
+    }
+    # reproduce the deterministic layout driver-side
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    order = sorted(range(6), key=lambda i: (h(i), i))
+    cum = 0
+    for i in order:
+        n = 3 + i
+        assert got[i] == (n, (cum // 7)), f"doc {i}"
+        cum += n
