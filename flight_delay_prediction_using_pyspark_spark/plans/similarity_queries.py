@@ -298,3 +298,45 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("int8_dot"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    {_E_CTE}{_MULTIPROBE_CTES},
+    exact AS (
+      SELECT vec_id FROM e, q
+      ORDER BY {_cosine_sql('e.v', 'q.qv')} DESC, vec_id
+      LIMIT 10
+    ),
+    approx AS (
+      SELECT vec_id FROM e, q
+      WHERE {_bucket_sql('e.v')} IN (SELECT b FROM probes)
+      ORDER BY {_cosine_sql('e.v', 'q.qv')} DESC, vec_id
+      LIMIT 10
+    )
+    SELECT CAST(10 AS INT) AS k,
+           COUNT(*) AS n_overlap,
+           ROUND(COUNT(*) / 10.0, 6) AS recall
+    FROM exact JOIN approx USING (vec_id)
+    """,
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the multi-probe LSH path against the exact
+    brute-force ranking — the quality metric every production ANN
+    deployment tracks to retune plane/probe counts as the corpus
+    drifts (alongside `ann_bucket_histogram` for occupancy). Both
+    rankings are deterministic (cosine DESC, vec_id tiebreak), so the
+    overlap is exact and oracle-checkable. Plan: two small top-k scans
+    joined on 10-row sets — negligible next to either scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = ann.cosine_topk(emb, qv, k=10).select("vec_id")
+    approx = ann.ann_topk_multiprobe(emb, qv, k=10, n_probes=_N_PROBES).select(
+        "vec_id"
+    )
+    return exact.join(approx, "vec_id", "inner").agg(
+        F.lit(10).alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
+    )
