@@ -121,3 +121,64 @@ def compact_small_files(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_out
+
+
+def scaled_int(col: F.Column, lo: F.Column, hi: F.Column, bits: int = 8) -> F.Column:
+    """Scale an integer column into [0, 2^bits) with pure integer
+    arithmetic — ((col - lo) * (2^bits - 1)) div max(hi - lo, 1).
+    Integer-only so the mapping is bit-identical across engines
+    (no float rounding at bucket boundaries)."""
+    span = F.greatest(hi - lo, F.lit(1)).cast("long")
+    num = ((col - lo) * F.lit((1 << bits) - 1)).cast("long")
+    # exact integer division: subtract the remainder first so the
+    # double division is of an exact multiple (no boundary rounding,
+    # matches DuckDB's `//` bit-for-bit)
+    return ((num - num % span) / span).cast("long")
+
+
+def z_value(xi: F.Column, yi: F.Column, bits: int = 8) -> F.Column:
+    """Morton/Z-order interleave of two `bits`-bit integers: bit b of
+    xi lands at position 2b, of yi at 2b+1. Nearby (xi, yi) points get
+    nearby z values, so range-partitioning by z clusters BOTH
+    dimensions at once — the multi-column data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER) built from plain bit arithmetic."""
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftrightunsigned(xi, b).bitwiseAND(F.lit(1)), 2 * b))
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(yi, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-ordered parquet write: scale (x, y) to `bits`-bit ints,
+    interleave to a z value, range-partition + sort by it. Each output
+    file then covers a compact rectangle-ish region of (x, y) space,
+    so parquet min/max stats prune files for predicates on EITHER
+    column — where a single-column sort only prunes its own column.
+    The min/max scalars are one tiny driver-side agg (two values per
+    column), not a per-row window."""
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
+    ).first()
+    xi = scaled_int(F.col(x_col), F.lit(lo_x), F.lit(hi_x), bits).cast("long")
+    yi = scaled_int(F.col(y_col), F.lit(lo_y), F.lit(hi_y), bits).cast("long")
+    (
+        df.withColumn("__z", z_value(xi, yi, bits))
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

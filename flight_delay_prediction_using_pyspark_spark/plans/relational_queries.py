@@ -739,3 +739,96 @@ def q_lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clipped_high"),
         A.exact_decimal_sum(clipped).alias("sum_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering quality (operators/layout.py z_value / write_zordered)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """DuckDB Morton interleave — same bit loop as layout.z_value."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_clustering_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_custkey AS x,
+             CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS y
+      FROM orders
+    ),
+    m AS (SELECT MIN(x) xmin, MAX(x) xmax, MIN(y) ymin, MAX(y) ymax FROM d),
+    s AS (
+      SELECT ((x - xmin) * 255) // greatest(xmax - xmin, 1) AS xi,
+             ((y - ymin) * 255) // greatest(ymax - ymin, 1) AS yi
+      FROM d, m
+    ),
+    z AS (SELECT xi, yi, {_interleave_sql('xi', 'yi')} AS z FROM s),
+    zb AS (SELECT z // 4096 AS bucket, MAX(xi) - MIN(xi) AS sx,
+                  MAX(yi) - MIN(yi) AS sy
+           FROM z GROUP BY 1),
+    lb AS (SELECT xi // 16 AS bucket, MAX(xi) - MIN(xi) AS sx,
+                  MAX(yi) - MIN(yi) AS sy
+           FROM z GROUP BY 1)
+    SELECT 'zorder' AS layout, COUNT(*) AS n_buckets,
+           ROUND(AVG(sx), 6) AS avg_x_span, ROUND(AVG(sy), 6) AS avg_y_span
+    FROM zb
+    UNION ALL
+    SELECT 'linear', COUNT(*), ROUND(AVG(sx), 6), ROUND(AVG(sy), 6) FROM lb
+    """,
+)
+def q_zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering quality: scale (o_custkey, order epoch-day)
+    to 8-bit ints, Morton-interleave (operators.layout.z_value), cut
+    z-space into 16 fixed-width buckets, and measure each bucket's
+    per-dimension span — against the same data cut by a single-column
+    (linear) sort. Z buckets bound BOTH dimensions (~1/4 of each
+    range); linear buckets bound only their own column — the
+    quantified case for write_zordered's multi-column data skipping.
+    All-integer bit math, so Spark and DuckDB agree exactly; the
+    min/max scalars ride a broadcast (no per-row window)."""
+    from flight_delay_prediction_using_pyspark_spark.operators import layout as LY
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    sec = TP.epoch_seconds("o_orderdate")
+    d = orders.select(
+        F.col("o_custkey").alias("x"),
+        ((sec - sec % 86400) / 86400).cast("long").alias("y"),
+    )
+    for agg, name in [
+        (F.min("x"), "xmin"), (F.max("x"), "xmax"),
+        (F.min("y"), "ymin"), (F.max("y"), "ymax"),
+    ]:
+        d = with_global_agg(d, agg, name)
+    s = d.select(
+        LY.scaled_int(F.col("x"), F.col("xmin"), F.col("xmax"), _Z_BITS).alias("xi"),
+        LY.scaled_int(F.col("y"), F.col("ymin"), F.col("ymax"), _Z_BITS).alias("yi"),
+    )
+    z = s.withColumn("z", LY.z_value(F.col("xi"), F.col("yi"), _Z_BITS))
+
+    def spans(bucket: F.Column, layout: str) -> DataFrame:
+        per_bucket = z.groupBy(bucket.alias("bucket")).agg(
+            (F.max("xi") - F.min("xi")).alias("sx"),
+            (F.max("yi") - F.min("yi")).alias("sy"),
+        )
+        return per_bucket.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg("sx"), 6).alias("avg_x_span"),
+            F.round(F.avg("sy"), 6).alias("avg_y_span"),
+        )
+
+    zcol, xicol = F.col("z"), F.col("xi")
+    return spans(((zcol - zcol % 4096) / 4096).cast("long"), "zorder").unionByName(
+        spans(((xicol - xicol % 16) / 16).cast("long"), "linear")
+    )

@@ -209,6 +209,44 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover compact (x, y) rectangles: per-file spans
+    of BOTH dimensions are a fraction of the full range, where a
+    single-column range sort leaves the other dimension unbounded —
+    the min/max-stat pruning win write_zordered exists for."""
+    import glob
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    def avg_spans(path):
+        files = glob.glob(f"{path}/part-*.parquet")
+        assert len(files) > 1
+        sx = sy = 0.0
+        for f in files:
+            r = spark.read.parquet(f).agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            ).first()
+            sx += r.sx
+            sy += r.sy
+        return sx / len(files), sy / len(files)
+
+    zpath = str(tmp_path / "zordered")
+    L.write_zordered(df, zpath, "x", "y", n_files=16)
+    lpath = str(tmp_path / "xsorted")
+    L.write_range_sorted(df, lpath, "x", n_files=16)
+
+    zx, zy = avg_spans(zpath)
+    lx, ly = avg_spans(lpath)
+    # linear: tight on x, blind on y
+    assert lx < 8 and ly > 55
+    # zorder: BOTH dims bounded well below the full 0..63 range
+    assert zx < 32 and zy < 32
+    # and the data round-trips
+    assert spark.read.parquet(zpath).count() == 64 * 64
+
+
 def test_coverage_doc_names_every_query():
     """COVERAGE.md (the judge-facing operator map) must mention every
     catalog query by name — a new query without a coverage row fails
