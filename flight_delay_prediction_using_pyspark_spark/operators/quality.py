@@ -1,0 +1,63 @@
+"""Data-quality constraint checking — the dbt-test / Deequ-style
+validation pass a production table runs before it is published.
+
+`constraint_report` evaluates ALL row-level checks in ONE hash
+aggregate over a single scan (each check is an aggregate expression
+producing its violation count), then unpivots to a (check_name,
+n_violations) report with `stack`. Adding a check adds a counter to
+the same pass, not another job — the difference between O(checks)
+scans and O(1) at 100 TB.
+
+Referential checks need a second table, so they are their own
+(anti-join shaped) operator and union into the same report schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def violations_where(pred: Column) -> Column:
+    """Aggregate violation counter for a row-level predicate."""
+    return F.count(F.when(pred, 1))
+
+
+def duplicate_rows(key: Column | str) -> Column:
+    """Aggregate counter for uniqueness: rows beyond the first per
+    key value (COUNT(*) - COUNT(DISTINCT key))."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.count(F.lit(1)) - F.count_distinct(k)
+
+
+def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Evaluate every check (an aggregate Column yielding a violation
+    count) in one pass; returns (check_name, n_violations) rows."""
+    names = list(checks)
+    aggs = [checks[n].cast("long").alias(f"__c_{i}") for i, n in enumerate(names)]
+    stack_args = ", ".join(f"'{n}', __c_{i}" for i, n in enumerate(names))
+    return df.agg(*aggs).select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (check_name, n_violations)")
+    )
+
+
+def fk_violation_report(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    check_name: str,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key has no match
+    in the parent (left anti join on the key only — the parent side
+    prunes to its key column and broadcasts when small). Same report
+    schema as `constraint_report` for unioning."""
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(
+        F.lit(check_name).alias("check_name"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )

@@ -832,3 +832,57 @@ def q_zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans(((zcol - zcol % 4096) / 4096).cast("long"), "zorder").unionByName(
         spans(((xicol - xicol % 16) / 16).cast("long"), "linear")
     )
+
+
+@query(
+    "dq_orders_constraints",
+    oracle="""
+    SELECT 'orderkey_unique' AS check_name,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           COUNT(*) FILTER (WHERE o_orderdate IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_min_5000',
+           COUNT(*) FILTER (WHERE o_totalprice < 5000)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk_customer', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators.quality): uniqueness, null, and
+    domain checks for the orders table in ONE aggregate pass over one
+    scan, plus a referential check against customer as a key-only
+    anti join — the dbt-test/Deequ publication gate. Adding a check
+    adds a counter to the same pass, not another table scan."""
+    from flight_delay_prediction_using_pyspark_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    row_checks = Q.constraint_report(
+        orders,
+        {
+            "orderkey_unique": Q.duplicate_rows("o_orderkey"),
+            "totalprice_positive": Q.violations_where(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+            ),
+            "orderdate_not_null": Q.violations_where(F.col("o_orderdate").isNull()),
+            # a deliberately-firing business rule so the report shows
+            # non-zero counters alongside the passing invariants
+            "totalprice_min_5000": Q.violations_where(F.col("o_totalprice") < 5000),
+        },
+    )
+    fk = Q.fk_violation_report(
+        orders, customer, "o_custkey", "c_custkey", "custkey_fk_customer"
+    )
+    return row_checks.unionByName(fk)
