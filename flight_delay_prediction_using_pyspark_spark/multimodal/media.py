@@ -128,6 +128,57 @@ def decode_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def decode_resize_stats(df: DataFrame, target: int = 8) -> DataFrame:
+    """Deterministic FAKE codec end-to-end: decode each payload as a
+    row-major byte-tiled (height × width) grayscale image, nearest-
+    neighbor resize to (target × target), and emit the sampled-pixel
+    sum/mean — the full decode → transform → feature pipeline a real
+    image stage runs, with the codec swapped for pure index
+    arithmetic (pixel(r, c) = payload[(r·w + c) mod n]). Unlike the
+    `use_codec` stub, every stage here EXECUTES, and the math is
+    engine-portable (oracle-verified in SQL via ord/substring).
+
+    Arrow batches via mapInPandas; the per-row work is O(target²)
+    regardless of payload size — a real resize's output-bound cost
+    shape. The UDF closure is self-contained."""
+
+    src = df.filter(F.octet_length("payload") > 0).select(
+        "doc_id",
+        "payload",
+        F.greatest(F.col("media_meta.width"), F.lit(1)).alias("w"),
+        F.greatest(F.col("media_meta.height"), F.lit(1)).alias("h"),
+    )
+    out_cols = [f.name for f in RESIZE_STATS_SCHEMA.fields]
+    t = target
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                raw = bytes(payload)
+                n, w, h = len(raw), int(w), int(h)
+                s = 0
+                for r in range(t):
+                    src_r = (r * h) // t
+                    for c in range(t):
+                        s += raw[(src_r * w + (c * w) // t) % n]
+                rows.append((int(doc_id), s, round(s / (t * t), 6)))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return src.mapInPandas(resize, schema=RESIZE_STATS_SCHEMA)
+
+
 def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video-style frame sampling: split each payload into n_frames
     even chunks ("frames"), emit per-frame size + md5. One input row →

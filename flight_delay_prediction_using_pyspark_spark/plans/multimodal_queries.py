@@ -104,3 +104,38 @@ def q_media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.n_bytes").alias("n_bytes"),
     )
+
+
+@query(
+    "media_decode_resize_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(length(text) % 640, 1) AS w,
+             greatest(length(text) % 480, 1) AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+      SELECT doc_id,
+             CAST(ascii(substring(
+               text,
+               1 + (((r.g * h) // 8) * w + ((c.g * w) // 8)) % n,
+               1)) AS BIGINT) AS v
+      FROM d, generate_series(0, 7) r(g), generate_series(0, 7) c(g)
+    )
+    SELECT doc_id,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           ROUND(SUM(v) / 64.0, 6) AS px_mean
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_media_decode_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-codec decode → nearest-neighbor 8×8 resize → pixel stats,
+    end-to-end through mapInPandas (media.decode_resize_stats). Every
+    stage executes — the payload is 'decoded' as a byte-tiled
+    grayscale image by index arithmetic — and the SQL oracle recomputes
+    the identical sampled pixels with ord/substring (ASCII corpus:
+    byte == character), so the whole pipeline is value-verified, not
+    just schema-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_resize_stats(M.attach_media(docs), target=8)

@@ -75,3 +75,28 @@ def test_corpus_is_ascii(spark):
     docs = spark.read.parquet(f"{SF_CORRECTNESS_DIR}/documents.parquet")
     non_ascii = docs.filter(~F.col("text").rlike(r"^[\x00-\x7F]*$")).count()
     assert non_ascii == 0
+
+
+def test_decode_resize_stats_matches_hand_computation(spark):
+    """4-char payload, meta dims forced to w=2, h=2 (len 4: 4%640=4 ...
+    so build a frame whose text length gives known small dims is
+    fiddly — instead verify against a direct python recomputation of
+    the same index arithmetic for a couple of documents."""
+    text = "abcdefghij"  # n=10, w = 10 % 640 = 10, h = 10 % 480 = 10
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = M.decode_resize_stats(M.attach_media(docs), target=8).first()
+    raw = text.encode()
+    n, w, h = len(raw), 10, 10
+    expect = sum(
+        raw[(((r * h) // 8) * w + (c * w) // 8) % n]
+        for r in range(8)
+        for c in range(8)
+    )
+    assert out.px_sum == expect
+    assert out.px_mean == round(expect / 64, 6)
+
+
+def test_decode_resize_skips_empty_payloads(spark):
+    docs = spark.createDataFrame([(1, ""), (2, "xyz")], ["doc_id", "text"])
+    out = M.decode_resize_stats(M.attach_media(docs)).collect()
+    assert [r.doc_id for r in out] == [2]
