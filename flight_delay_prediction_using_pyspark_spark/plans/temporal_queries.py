@@ -390,3 +390,42 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators.incremental.merge_rollup_delta): the events table
+    arrives as two deltas (split by event_id parity) folded one at a
+    time into a hash-bucketed rollup target — each merge
+    pre-aggregates its delta, reads only touched buckets, and
+    dynamic-overwrites them. Because count and integer-cent sums are
+    mergeable, the final state equals the one-shot GROUP BY over all
+    events exactly, which is precisely what the oracle checks."""
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.operators import incremental as IC
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    target = tempfile.mkdtemp(prefix="rollup_target_")
+    import os
+
+    os.rmdir(target)
+    for parity in (0, 1):
+        delta = events.filter(F.col("event_id") % 2 == parity).drop("event_id")
+        IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"])
+    return IC.read_rollup(spark, target)

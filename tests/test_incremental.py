@@ -1,0 +1,61 @@
+"""Incremental rollup maintenance (operators/incremental.py):
+merge-equals-batch exactness and touched-bucket-only rewrites."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators import incremental as IC
+
+
+def _bucket_of(key: int, n: int = 16) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % n
+
+
+def test_incremental_merges_equal_batch_aggregate(spark, tmp_path):
+    target = str(tmp_path / "rollup")
+    rows = [(i, i % 7, (i * 13) % 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, cents long")
+    for parity in (0, 1):
+        delta = df.filter(F.col("event_id") % 2 == parity).drop("event_id")
+        IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"])
+    got = {
+        r.user_id: (r.n_rows, r.cents)
+        for r in IC.read_rollup(spark, target).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    target = str(tmp_path / "rollup")
+    seed = spark.createDataFrame(
+        [(u, 100) for u in range(1, 41)], "user_id long, cents long"
+    )
+    IC.merge_rollup_delta(spark, target, seed, ["user_id"], ["cents"])
+
+    def mtimes():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{target}/{IC.BUCKET_COL}=*/*.parquet")
+        }
+
+    before = mtimes()
+    delta = spark.createDataFrame([(1, 5)], "user_id long, cents long")
+    IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"])
+    after = mtimes()
+    touched = f"{IC.BUCKET_COL}={_bucket_of(1)}"
+    for p, m in before.items():
+        if touched not in p:
+            assert p in after and after[p] == m, f"untouched rewritten: {p}"
+    got = {r.user_id: (r.n_rows, r.cents) for r in IC.read_rollup(spark, target).collect()}
+    assert got[1] == (2, 105) and got[2] == (1, 100) and len(got) == 40

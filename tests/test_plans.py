@@ -278,3 +278,59 @@ def test_observation_metrics_piggyback(spark):
     n = observed.count()
     assert obs.get["n_groups"] == n
     assert obs.get["n_rows_total"] > 0
+
+
+def test_z_value_properties(spark):
+    """Morton interleave invariants, property-tested driver-side and
+    checked against the Spark expression on a sampled batch: z is a
+    bijection of (xi, yi) on the 8-bit domain, monotone per dimension
+    holding the other at zero, and bounded by 16 bits."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    def z_py(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+    def props(x1, y1, x2, y2):
+        z1, z2 = z_py(x1, y1), z_py(x2, y2)
+        assert 0 <= z1 < (1 << 16)
+        assert (z1 == z2) == ((x1, y1) == (x2, y2))  # bijection
+        assert z_py(x1, 0) < z_py(x1 + 1, 0) if x1 < 255 else True
+
+    props()
+
+    # the Spark expression computes the same function
+    rng = random.Random(42)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+    df = spark.createDataFrame(pts, "xi long, yi long")
+    got = {
+        (r.xi, r.yi): r.z
+        for r in df.withColumn("z", L.z_value(F.col("xi"), F.col("yi"))).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == z_py(x, y)
+
+
+def test_scaled_int_bounds_and_integer_exactness(spark):
+    """scaled_int maps [lo, hi] onto [0, 255] with exact integer
+    division — endpoints hit the bounds, and results match Python's
+    // for arbitrary inputs."""
+    rows = [(v,) for v in [7, 8, 100, 995, 1000, 123, 456, 789]]
+    df = spark.createDataFrame(rows, "x long")
+    lo, hi = 7, 1000
+    got = {
+        r.x: r.xi
+        for r in df.withColumn(
+            "xi", L.scaled_int(F.col("x"), F.lit(lo), F.lit(hi))
+        ).collect()
+    }
+    for v in [x for (x,) in rows]:
+        assert got[v] == ((v - lo) * 255) // (hi - lo)
+    assert got[7] == 0 and got[1000] == 255
