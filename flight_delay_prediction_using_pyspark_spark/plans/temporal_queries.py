@@ -429,3 +429,78 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = events.filter(F.col("event_id") % 2 == parity).drop("event_id")
         IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"])
     return IC.read_rollup(spark, target)
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS v FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS c
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= t1.v
+        AND e.ts <= t1.v + INTERVAL 24 HOUR
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS p
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= t2.c
+        AND e.ts <= t2.c + INTERVAL 24 HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM t1) AS n_view,
+           (SELECT COUNT(*) FROM t2) AS n_click,
+           (SELECT COUNT(*) FROM t3) AS n_purchase
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with a 24 h conversion window per
+    stage (view → click within 24 h of first view → purchase within
+    24 h of that click): the product-analytics staple. Staged as three
+    shrinking aggregates — each stage joins the big events scan
+    against the PREVIOUS stage's per-user frame (users ≪ events, so
+    those sides broadcast) and re-aggregates; work decreases
+    monotonically down the funnel, and no window ever sorts the full
+    fact table. Timestamps compare exactly (microsecond integers under
+    the hood), so the staged MIN chain is oracle-exact."""
+    ensure_utc(spark)
+    window = F.expr("INTERVAL 24 HOUR")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter((F.col("ts") >= F.col("v")) & (F.col("ts") <= F.col("v") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter((F.col("ts") >= F.col("c")) & (F.col("ts") <= F.col("c") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    n_users = events.select("user_id").distinct().count()
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .select(
+            F.lit(n_users).cast("long").alias("n_users"),
+            F.col("n_view"),
+            F.col("n_click"),
+            F.col("n_purchase"),
+        )
+    )

@@ -287,3 +287,4 @@ def test_cdc_merge_sink_upserts_across_batches(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == {1: (20, "c"), 2: (11, "b"), 3: (12, "d")}
+
