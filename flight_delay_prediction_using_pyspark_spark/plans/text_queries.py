@@ -852,3 +852,137 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+def _full_pipeline_oracle() -> str:
+    """The entire round-2 corpus pipeline in SQL: gates → exact dedup
+    → LSH near-dup clusters → canonical keep (the training_corpus_prep
+    oracle), then benchmark decontamination (hash-shingle semi join),
+    per-source quota, and sequence packing. Every fragment is the
+    same SQL the stage-level oracles use, so the composition cannot
+    drift from the parts."""
+    return f"""
+    WITH RECURSIVE {_PROFILE_CTES},
+    gated AS (
+      SELECT doc_id, text, n_tokens, ROUND({_QUALITY_SQL}, 6) AS quality
+      FROM scored
+      WHERE doc_id % 50 <> 0
+        AND ROUND({_QUALITY_SQL}, 6) >= 0.4
+        AND {_pred_lang_sql()} = 'en'
+    ),
+    ded AS (
+      SELECT * FROM gated
+      QUALIFY row_number() OVER (PARTITION BY {_md5i('text')} ORDER BY doc_id) = 1
+    ),
+    {_minhash_ctes(0.5, source='ded')},
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(node, peer) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+    ),
+    clusters AS (
+      SELECT node, least(node, MIN(peer)) AS cluster_id FROM reach GROUP BY node
+    ),
+    kept AS (
+      SELECT d.* FROM ded d
+      LEFT JOIN clusters c ON d.doc_id = c.node AND c.node != c.cluster_id
+      WHERE c.node IS NULL
+    ),
+    bench_toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 50 = 0
+    ),
+    bench_sh AS (
+      SELECT DISTINCT unnest(list_transform(
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                    ELSE [] END,
+               x -> {_md5i('x')})) AS h
+      FROM bench_toks
+    ),
+    kept_sh AS (
+      SELECT k.doc_id,
+             CASE WHEN len({_TOKS.replace('text', 'k.text')}) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len({_TOKS.replace('text', 'k.text')}) - 2),
+                         i -> concat_ws(' ', {_TOKS.replace('text', 'k.text')}[i],
+                                        {_TOKS.replace('text', 'k.text')}[i+1],
+                                        {_TOKS.replace('text', 'k.text')}[i+2])))
+                  ELSE [] END AS s
+      FROM kept k
+    ),
+    cont AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, {_md5i('unnest(s)')} AS h FROM kept_sh) c
+      JOIN bench_sh b ON c.h = b.h
+    ),
+    clean AS (
+      SELECT k.doc_id, k.n_tokens, d.source
+      FROM kept k
+      JOIN documents d ON k.doc_id = d.doc_id
+      LEFT JOIN cont ON k.doc_id = cont.doc_id
+      WHERE cont.doc_id IS NULL
+    ),
+    quota AS (
+      SELECT * FROM clean
+      QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY {_md5i("CAST(doc_id AS VARCHAR)")}, doc_id) <= 40
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY {_md5i("CAST(doc_id AS VARCHAR)")}, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM quota
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT))
+             AS n_packs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY source
+    """
+
+
+@query("corpus_full_pipeline", oracle=_full_pipeline_oracle())
+def q_corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data pipeline as ONE composition:
+    quality + language gates → deterministic exact dedup → MinHash-LSH
+    near-dup removal (prepare_training_corpus) → benchmark
+    decontamination (every 50th doc is the eval set, excluded up
+    front) → per-source quota (40, md5 order) → 256-token sequence
+    packing; reported per source as (docs, packs, token mass). Every
+    stage is independently oracle-verified elsewhere; this entry
+    verifies the END-TO-END composition — the strongest single
+    correctness statement the catalog makes about the corpus family."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus0 = docs.filter(F.col("doc_id") % 50 != 0)
+    kept = TD.prepare_training_corpus(
+        corpus0,
+        min_quality=0.4,
+        lang="en",
+        jaccard_threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    clean = TC.decontaminate(kept, bench).filter(~F.col("contaminated"))
+    with_source = clean.select("doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    quota = TC.language_quota_sample(with_source, quota=40, strata_col="source")
+    packed = TC.pack_sequences(quota, ctx_len=256, shard_col="source")
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
