@@ -115,6 +115,47 @@ def pearson_corr(df: DataFrame, x: str, y: str) -> DataFrame:
     return df.agg(F.corr(F.col(x), F.col(y)).alias("corr"))
 
 
+def salted_grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    count_alias: str,
+    sum_cols: dict[str, str],
+    factor: int = 8,
+) -> DataFrame:
+    """Skew-resistant grouped count+sum: phase 1 aggregates on
+    (keys, salt) so a hot key's rows spread over `factor` reduce
+    tasks, phase 2 merges the partials per key. Spark's own map-side
+    partials help only before the shuffle — when one key dominates,
+    its FINAL reduce task still receives everything; salting splits
+    that reduce `factor` ways (AQE has skew-join handling but no
+    skew-agg). Sums use exact decimal addition, so the two-phase
+    result is bit-identical to the direct groupBy — mergeability is
+    what makes the rewrite free.
+
+    `sum_cols` maps input column -> output alias. Salt is a
+    deterministic hash of the whole row, not a random number: reruns
+    and retries produce identical partials."""
+    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])), F.lit(factor))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.col(c).cast("decimal(30,6)")).alias(f"__s_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias(count_alias),
+        *[
+            F.sum(f"__s_{c}").cast("double").alias(alias)
+            for c, alias in sum_cols.items()
+        ],
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: Sequence[str], digits: int = 6) -> DataFrame:
     """EDA correlation matrix (reference helper_methods.py:82-90,
     notebook cells 4-9) as ONE hash aggregate: all k·(k-1)/2 upper-

@@ -886,3 +886,32 @@ def q_dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, customer, "o_custkey", "c_custkey", "custkey_fk_customer"
     )
     return row_checks.unionByName(fk)
+
+
+@query(
+    "pricing_summary_salted",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS count_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS sum_base_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pricing_summary_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation
+    (operators.aggregates.salted_grouped_agg): group by l_returnflag —
+    a 3-value key where every reduce task is by definition hot — via
+    (key, salt) partials merged per key. Exact-decimal sums make the
+    rewrite bit-identical to the direct groupBy (same oracle as
+    pricing_summary's flag-level rollup); the plan shows two exchanges
+    buying `factor`× fan-out of each hot key's reduce work."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return A.salted_grouped_agg(
+        lineitem.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        keys=["l_returnflag"],
+        count_alias="count_order",
+        sum_cols={"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price"},
+    )

@@ -334,3 +334,12 @@ def test_scaled_int_bounds_and_integer_exactness(spark):
     for v in [x for (x,) in rows]:
         assert got[v] == ((v - lo) * 255) // (hi - lo)
     assert got[7] == 0 and got[1000] == 255
+
+
+def test_salted_agg_two_phase(spark):
+    """Two-phase salted aggregation: (key, salt) partial then per-key
+    merge — exactly two Exchanges, both with partial aggregation
+    before them."""
+    plan = plan_of(QUERIES["pricing_summary_salted"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) == 2
+    assert "partial_" in plan

@@ -90,3 +90,19 @@ def test_json_lines_roundtrip(spark, tmp_path):
     back = spark.read.schema("id long, name string").json(path)
     assert back.count() == 50
     assert back.filter(F.col("name") == "u7").first()["id"] == 7
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet files: an old file without a
+    column and a new file with it read together under mergeSchema —
+    the added column backfills NULL for old rows. The standard
+    long-lived-table read path."""
+    path = str(tmp_path / "evo")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
