@@ -372,3 +372,92 @@ def q_events_streaming_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFr
     with _scoped_state_partitions(spark):
         S.run_to_memory_sink(stream, sink, output_mode="append")
     return spark.table(sink)
+
+
+@query(
+    "events_streaming_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, sec, cents,
+             CASE WHEN lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ),
+    g AS (
+      SELECT user_id, sec, cents,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM d
+    )
+    SELECT user_id,
+           MIN(sec) AS start_sec,
+           MAX(sec) AS end_sec,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q_events_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-on-close custom sessionization end-to-end through
+    Structured Streaming (streaming/ops.streaming_sessionize):
+    per-user gaps-and-islands with a 30-min gap, sessions emitted
+    exactly once — mid-stream when a later event breaks the gap,
+    or via event-time timeout once the watermark passes
+    last + gap. Two far-future sentinel files (negative user_ids,
+    filtered from the result) advance the watermark across two extra
+    micro-batches so every real user's trailing session closes; the
+    sentinels' own sessions never time out and are never emitted.
+    The batch gaps-and-islands oracle is exact because session
+    boundaries and integer-cent sums are order-immune."""
+    stage = tempfile.mkdtemp(prefix="stream_sess_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    max_ts = (
+        spark.read.schema(schema)
+        .parquet(f"{stage}/events.parquet")
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    import time as _time
+
+    hour_us = 3_600 * 1_000_000
+    for i, (uid, ts_us) in enumerate(
+        [(-1, max_ts + 2 * hour_us), (-2, max_ts + 4 * hour_us)]
+    ):
+        spark.createDataFrame(
+            [(0, ts_us, uid, "sentinel", 0.0, None)], schema
+        ).coalesce(1).write.parquet(f"{stage}/sentinel_{i}")
+        mtime = _time.time() + i  # after the (old) events.parquet mtime
+        for root, _, files in os.walk(f"{stage}/sentinel_{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/*")
+        .select(
+            "user_id",
+            (F.col("ts") / 1_000_000).cast("long").alias("sec"),
+            F.floor(F.coalesce("value", F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("cents"),
+            F.expr("timestamp_micros(ts)").alias("event_time"),
+        )
+        .withWatermark("event_time", "0 seconds")
+    )
+    sink = f"stream_sess_{next(_dedup_run)}"
+    with _scoped_state_partitions(spark):
+        S.run_to_memory_sink(
+            S.streaming_sessionize(stream), sink, output_mode="append"
+        )
+    return spark.table(sink).filter(F.col("user_id") >= 0)

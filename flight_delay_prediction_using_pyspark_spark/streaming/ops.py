@@ -266,6 +266,91 @@ def streaming_dedup(
     )
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_sec", T.LongType()),
+        T.StructField("end_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    event_time_col: str = "event_time",
+) -> DataFrame:
+    """Custom emit-on-close sessionizer via applyInPandasWithState +
+    EventTimeTimeout — the stateful shape `session_window` can't
+    express when sessions must be EMITTED exactly once, when they
+    close, with custom per-session accumulators.
+
+    Per user: gaps-and-islands within (open state ∪ batch) sorted by
+    second — a gap strictly greater than `gap_sec` closes a session
+    and emits (start, end, n, integer-cent sum); the trailing open
+    session stays in state with an event-time timeout at
+    last + gap_sec, so the watermark passing that horizon closes and
+    emits it with NO further data — replay-deterministic, and state
+    is always exactly one open session per active user (bounded).
+    `events` must be watermarked on `event_time_col` and carry
+    (user_id, sec, cents). Integer seconds/cents keep every emitted
+    value order-immune and oracle-exact."""
+
+    def sessionize(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["user_id", "start_sec", "end_sec", "n_events", "sum_cents"]
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, start, last, n, cents)], columns=cols)
+            return
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values("sec", kind="mergesort")
+        if state.exists:
+            start, last, n, cents = state.get
+        else:
+            start = last = None
+            n = cents = 0
+        closed = []
+        for sec, c in zip(pdf["sec"], pdf["cents"]):
+            sec, c = int(sec), int(c)
+            if start is None:
+                start, last, n, cents = sec, sec, 1, c
+            elif sec - last > gap_sec:
+                closed.append((uid, start, last, n, cents))
+                start, last, n, cents = sec, sec, 1, c
+            else:
+                last, n, cents = sec, n + 1, cents + c
+        state.update((start, last, n, cents))
+        state.setTimeoutTimestamp(
+            max((last + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(closed, columns=cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def cdc_merge_sink(
     stream_df: DataFrame,
     target_dir: str,
