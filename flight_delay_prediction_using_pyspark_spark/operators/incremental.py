@@ -17,18 +17,13 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators.layout import md5_key_bucket
 
 #: partition column of the rollup target
 BUCKET_COL = "__bucket"
-
-
-def _bucket_expr(key_cols: Sequence[str], n_buckets: int) -> Column:
-    key_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    return (
-        F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long") % n_buckets
-    )
 
 
 def merge_rollup_delta(
@@ -53,7 +48,7 @@ def merge_rollup_delta(
     partial = (
         delta.groupBy(*key_cols)
         .agg(*aggs)
-        .withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+        .withColumn(BUCKET_COL, md5_key_bucket(key_cols, n_buckets))
     )
     import os
 

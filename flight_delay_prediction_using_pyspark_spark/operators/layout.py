@@ -123,6 +123,18 @@ def compact_small_files(
     return n_out
 
 
+def md5_key_bucket(key_cols, n_buckets: int) -> F.Column:
+    """Deterministic hash bucket of a (possibly composite) key:
+    portable md5 (engine-stable, unlike F.hash's JVM-coupled
+    encodings) of the \\x1f-joined key strings, mod n_buckets. The
+    partitioning currency shared by the CDC merge sink and the
+    incremental rollup target."""
+    key_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
 def scaled_int(col: F.Column, lo: F.Column, hi: F.Column, bits: int = 8) -> F.Column:
     """Scale an integer column into [0, 2^bits) with pure integer
     arithmetic — ((col - lo) * (2^bits - 1)) div max(hi - lo, 1).

@@ -391,11 +391,9 @@ def cdc_merge_sink(
     from pyspark.sql import Window
 
     def bucket_col() -> Column:
-        key_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-        return (
-            F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long")
-            % n_buckets
-        ).alias("__bucket")
+        from flight_delay_prediction_using_pyspark_spark.operators.layout import md5_key_bucket
+
+        return md5_key_bucket(key_cols, n_buckets).alias("__bucket")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
