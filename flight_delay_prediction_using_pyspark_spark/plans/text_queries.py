@@ -986,3 +986,41 @@ def q_corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE (len(t) - 64 + 47) // 48 + 1 END AS n_chunks
+      FROM toks
+    ),
+    ids AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM sized
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             t[(chunk_id * 48 + 1):(chunk_id * 48 + 64)] AS ct
+      FROM ids
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(ct) AS BIGINT) AS chunk_n_tokens,
+           {_md5i("array_to_string(ct, ' ')")} AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (text.corpus.chunk_documents): 64-token windows
+    with 16-token overlap, one row per chunk with a portable content
+    hash — the retrieval-index build step. All-JVM array ops; chunk
+    boundaries are integer arithmetic, so the SQL oracle reproduces
+    every chunk hash exactly."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TC.chunk_documents(docs, chunk_tokens=64, overlap=16)

@@ -89,6 +89,48 @@ def language_quota_sample(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style chunking: split each document into overlapping
+    `chunk_tokens`-token windows (stride = chunk - overlap), one
+    output row per chunk with a portable content hash — the unit of
+    retrieval indexing. Pure JVM array ops (split → sequence →
+    explode → slice → hash): no Python in the pipeline, and chunk
+    boundaries are pure integer arithmetic, so chunking is
+    deterministic across engines and partitionings. A short document
+    yields exactly one (possibly short) chunk; the last window of a
+    long document clamps to the end."""
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    # integer ceil((n - chunk) / step) + 1, floored at 1
+    extra = n - chunk_tokens + step - 1
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1).cast("long")
+    ).otherwise(((extra - extra % step) / step).cast("long") + 1)
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"), (F.col("chunk_id") * step + 1).cast("int"), chunk_tokens
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk_toks).cast("long").alias("chunk_n_tokens"),
+        md5_hash32(F.concat_ws(" ", chunk_toks)).alias("chunk_hash"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     ctx_len: int,
