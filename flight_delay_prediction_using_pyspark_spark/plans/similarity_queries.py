@@ -340,3 +340,55 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall"),
     )
+
+
+@query(
+    "doc_embedding_join_profile",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             ROUND({_NORM.format(v='CAST(embedding AS DOUBLE[])')}, 6) AS nrm
+      FROM embeddings
+    )
+    SELECT d.lang, n.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT))
+                AS BIGINT) AS sum_tokens,
+           CAST(SUM(CAST(n.nrm AS DECIMAL(30,6))) AS DOUBLE) AS sum_norm
+    FROM documents d JOIN n ON d.doc_id = n.vec_id
+    GROUP BY d.lang, n.label
+    """,
+)
+def q_doc_embedding_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: the documents (text) table joined 1:1 to its
+    embeddings (vector) table on id — the shape every multimodal
+    training pipeline runs to marry raw content with model features.
+    Per (lang, label): doc count, token mass, and embedding L2-norm
+    mass. Norms fold in index order (sqrt is IEEE-correctly-rounded,
+    so both engines agree bit-for-bit) and are rounded then
+    decimal-summed for order-immune aggregation; the join keys are
+    pruned-column scans on both sides."""
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.round(ann.l2_norm(ann._as_double(F.col("embedding"))), 6).alias("nrm"),
+    )
+    return (
+        docs.select(
+            F.col("doc_id"),
+            "lang",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .join(emb, F.col("doc_id") == F.col("vec_id"))
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("nrm").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_norm"),
+        )
+    )
