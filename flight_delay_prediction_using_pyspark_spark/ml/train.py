@@ -121,6 +121,40 @@ def train_random_forest(
     return model, model.transform(val)
 
 
+def train_gbt(
+    prepared: DataFrame,
+    label_col: str = "ArrDelay",
+    features_col: str = "features",
+    max_iter: int = 10,
+    max_depth: int = 5,
+    max_bins: int = 60,
+    step_size: float = 0.1,
+    seed: int = 42,
+) -> tuple[object, DataFrame]:
+    """Gradient-boosted trees — the third tree family alongside the
+    reference's single DT (L7) and the RF extension: shallow trees fit
+    sequentially on residuals. Boosting's rounds are INHERENTLY
+    sequential (each tree needs the previous ensemble's predictions),
+    so on a cluster GBT trades RF's tree-parallelism for usually-better
+    accuracy per tree — the classic bias/variance/wall-clock triangle.
+    Same fit/transform contract as the other trainers."""
+    from pyspark.ml.regression import GBTRegressor
+
+    prepared = prepared.persist(StorageLevel.MEMORY_AND_DISK)
+    train, val = split_train_validation(prepared)
+    gbt = GBTRegressor(
+        labelCol=label_col,
+        featuresCol=features_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        maxBins=max_bins,
+        stepSize=step_size,
+        seed=seed,
+    )
+    model = gbt.fit(train)
+    return model, model.transform(val)
+
+
 def evaluate_regression(
     predictions: DataFrame,
     label_col: str = "ArrDelay",

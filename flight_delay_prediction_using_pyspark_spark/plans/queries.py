@@ -1366,6 +1366,25 @@ def q_ml_random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ml_gbt_metrics")
+def q_ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees (ml.train.train_gbt: 10 rounds of
+    depth-5 trees, bins 60, step 0.1, seed 42) on the shared encoded
+    frame and 90/10 split — completes the tree family (single DT,
+    random forest, GBT). Rows-only check (boosting is iterative);
+    the MAE/RMSE envelope is asserted in tests/test_ml.py."""
+    from flight_delay_prediction_using_pyspark_spark.ml.train import train_gbt
+
+    _, encoded = _encoded_flights(spark)
+    _, val_preds = train_gbt(encoded)
+    metrics = evaluate_regression(val_preds)
+    n_val = val_preds.count()
+    return spark.createDataFrame(
+        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
+        "mae double, rmse double, n_val long",
+    )
+
+
 @query("ml_cross_validation")
 def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10 CrossValidator surface (notebook cells 17-18): 3-fold CV

@@ -1024,3 +1024,62 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return TC.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "chunk_boilerplate_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE (len(t) - 64 + 47) // 48 + 1 END AS n_chunks
+      FROM toks
+    ),
+    ids AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM sized
+    ),
+    chunks AS (
+      SELECT doc_id,
+             {_md5i("array_to_string(t[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')")}
+               AS chunk_hash
+      FROM ids
+    ),
+    census AS (
+      SELECT chunk_hash,
+             COUNT(*) AS n_copies,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT COUNT(*) AS n_distinct_chunks,
+           CAST(SUM(n_copies) AS BIGINT) AS n_chunks,
+           COUNT(*) FILTER (WHERE n_docs > 1) AS n_boilerplate,
+           CAST(MAX(n_copies) AS BIGINT) AS max_copies
+    FROM census
+    """,
+)
+def q_chunk_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at chunk granularity: census of chunk
+    hashes across the corpus — a chunk hash appearing in MORE THAN ONE
+    document is shared boilerplate (headers, disclaimers, templated
+    spans), the thing chunk-level dedup strips before training or
+    indexing. Composition of chunk_documents with a hash census; the
+    shuffle carries only 8-byte hashes. Two-level aggregate (per-hash,
+    then global) — the second agg's input is one row per distinct
+    hash."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TC.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    census = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return census.agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum("n_copies").cast("bigint").alias("n_chunks"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_boilerplate"),
+        F.max("n_copies").cast("bigint").alias("max_copies"),
+    )

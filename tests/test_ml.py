@@ -201,3 +201,16 @@ def test_random_forest_learns_planted_signal(spark, prepared):
     stddev = planted.agg(F.stddev("ArrDelay")).first()[0]
     assert metrics["mae"] < stddev / 4
     assert metrics["rmse"] >= metrics["mae"]
+
+
+def test_gbt_learns_planted_signal(spark, prepared):
+    from flight_delay_prediction_using_pyspark_spark.ml.train import train_gbt
+
+    pipeline = build_feature_pipeline(CATEGORICAL_FEATURES, NUMERIC_FEATURES)
+    planted = prepared.withColumn("ArrDelay", (F.col("DepDelay") * 1.0).cast("double"))
+    out = pipeline.fit(planted).transform(planted)
+    _, val_preds = train_gbt(out, max_iter=5)
+    metrics = evaluate_regression(val_preds)
+    stddev = planted.agg(F.stddev("ArrDelay")).first()[0]
+    assert metrics["mae"] < stddev / 2
+    assert metrics["rmse"] >= metrics["mae"]

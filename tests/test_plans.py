@@ -343,3 +343,13 @@ def test_salted_agg_two_phase(spark):
     plan = plan_of(QUERIES["pricing_summary_salted"](spark, SF_CORRECTNESS_DIR))
     assert n_exchanges(plan) == 2
     assert "partial_" in plan
+
+
+def test_funnel_stages_broadcast(spark):
+    """Each funnel stage joins events against the previous stage's
+    small per-user frame — all joins must be broadcast hash joins, no
+    sort-merge of the fact table and no full-table window sort."""
+    plan = plan_of(QUERIES["events_funnel"](spark, SF_CORRECTNESS_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

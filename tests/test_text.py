@@ -245,3 +245,43 @@ def test_pack_sequences_matches_manual_layout(spark):
         n = 3 + i
         assert got[i] == (n, (cum // 7)), f"doc {i}"
         cum += n
+
+
+def test_chunk_documents_boundaries(spark):
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks -> 2 chunks
+            (2, "short doc"),                            # 1 clamped chunk
+            (3, ""),                                     # split('') -> [''] -> 1 chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = TC.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    got = {(r.doc_id, r.chunk_id): r.chunk_n_tokens for r in out.collect()}
+    # doc 1: ceil((100-64)/48)+1 = 2 chunks; second starts at token 49,
+    # so it holds tokens 49..100 = 52
+    assert got[(1, 0)] == 64 and got[(1, 1)] == 52
+    assert got[(2, 0)] == 2
+    assert got[(3, 0)] == 1  # the empty-string token
+    assert len(got) == 4
+
+
+def test_pack_sequences_empty_and_single(spark):
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert TC.pack_sequences(empty, ctx_len=8).count() == 0
+    one = spark.createDataFrame([(1, "s", "a b c")], ["doc_id", "source", "text"])
+    row = TC.pack_sequences(one, ctx_len=8).first()
+    assert (row.n_tokens, row.pack_id) == (3, 0)
+
+
+def test_decontaminate_empty_benchmark(spark):
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    corpus = spark.createDataFrame([(1, "some document text here")], ["doc_id", "text"])
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    out = TC.decontaminate(corpus, bench).collect()
+    assert len(out) == 1 and out[0].contaminated is False
