@@ -970,3 +970,43 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "custkeys_all_years_division",
+    oracle="""
+    WITH yrs AS (
+      SELECT COUNT(DISTINCT year(o_orderdate)) AS n_years FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey, COUNT(DISTINCT year(o_orderdate)) AS ny
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT (SELECT n_years FROM yrs) AS n_years,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE ny = (SELECT n_years FROM yrs))
+             AS n_full_coverage
+    FROM per_cust
+    """,
+)
+def q_custkeys_all_years_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the classic for-all query): customers who
+    placed orders in EVERY year the table spans — rewritten as
+    count-distinct-equality instead of the textbook double-NOT-EXISTS,
+    which is the scalable form (two aggregates + a broadcast scalar,
+    no correlated subquery, no anti-join explosion)."""
+    ensure_utc(spark)
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    n_years = orders.agg(F.countDistinct("yr").alias("n")).first()[0]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.countDistinct("yr").alias("ny")
+    )
+    return per_cust.agg(
+        F.lit(n_years).cast("long").alias("n_years"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(F.col("ny") == n_years, 1)).alias("n_full_coverage"),
+    )

@@ -461,3 +461,73 @@ def q_events_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
             S.streaming_sessionize(stream), sink, output_mode="append"
         )
     return spark.table(sink).filter(F.col("user_id") >= 0)
+
+
+@query(
+    "events_stream_static_join",
+    oracle="""
+    WITH totals AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+               AS lifetime_cents
+      FROM events GROUP BY user_id
+    ),
+    tiers AS (
+      SELECT user_id,
+             CASE WHEN lifetime_cents >= 350000 THEN 'whale'
+                  WHEN lifetime_cents >= 300000 THEN 'regular'
+                  ELSE 'casual' END AS tier
+      FROM totals
+    )
+    SELECT tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(coalesce(e.value, 0) * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN tiers USING (user_id)
+    GROUP BY tier
+    """,
+)
+def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the stateless streaming enrichment every
+    ingest pipeline runs: a readStream of events joined per
+    micro-batch against a STATIC user-tier dimension (derived in batch
+    from lifetime integer-cent totals), then a streaming per-tier
+    aggregate into a complete-mode sink. Stream-static joins keep no
+    join state (the static side re-broadcasts per batch), so the final
+    availableNow result equals the batch join exactly — which is what
+    the oracle checks."""
+    ensure_utc(spark)
+    cents = F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
+    static_events = load_table(spark, sf_dir, "events")
+    tiers = (
+        static_events.select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("lifetime_cents"))
+        .select(
+            "user_id",
+            F.when(F.col("lifetime_cents") >= 350000, "whale")
+            .when(F.col("lifetime_cents") >= 300000, "regular")
+            .otherwise("casual")
+            .alias("tier"),
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="stream_static_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select("user_id", cents.alias("cents"))
+        .join(tiers, "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    sink = f"stream_static_{next(_dedup_run)}"
+    with _scoped_state_partitions(spark):
+        S.run_to_memory_sink(stream, sink, output_mode="complete")
+    return spark.table(sink)

@@ -504,3 +504,59 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchase"),
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity
+    WHERE week_offset <= 8
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics triangle): users
+    grouped by first-activity week, counted as retained in each of
+    the next 8 weeks they show any activity. Plan: per-user first
+    week (one agg, users ≪ events), broadcast back onto the events
+    scan, distinct (user, cohort, offset), then the cohort rollup —
+    the distinct reuses the join's user partitioning. Week arithmetic
+    is integer (date_trunc + week diff), so cell counts are exact."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.date_trunc("week", F.col("ts")).cast("long")
+                        - F.col("cohort_week").cast("long")
+                    )
+                    / (7 * 86400)
+                )
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
