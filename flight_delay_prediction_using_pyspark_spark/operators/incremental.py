@@ -33,6 +33,7 @@ def merge_rollup_delta(
     key_cols: Sequence[str],
     sum_cols: Sequence[str],
     n_buckets: int = 16,
+    batch_id: str | None = None,
 ) -> None:
     """Fold one delta batch into the rollup target: pre-aggregate the
     delta (map-side partials + one shuffle on the keys), read ONLY the
@@ -41,7 +42,23 @@ def merge_rollup_delta(
     (key_cols..., n_rows long, <sum_col> long ...).
 
     `sum_cols` must be integer-valued (scale floats to cents first) so
-    the maintained sums are exact under any merge order."""
+    the maintained sums are exact under any merge order.
+
+    COUNTER MERGES ARE NOT IDEMPOTENT: re-delivering the same delta
+    double-counts (unlike the CDC max-wins upsert, which is). Under
+    at-least-once delivery, pass a stable `batch_id` — a ledger file
+    in the target records applied ids and a replayed batch becomes a
+    no-op, the same offsets-log discipline foreachBatch relies on.
+    The ledger write happens after the data commit: a crash between
+    the two re-applies the batch on retry, so ids must be stable
+    across retries (e.g. source partition/offset, never a timestamp)."""
+    import os
+
+    ledger = os.path.join(target_dir, "_applied_batches")
+    if batch_id is not None and os.path.exists(ledger):
+        with open(ledger) as fh:
+            if batch_id in {line.strip() for line in fh}:
+                return
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
         F.sum(c).cast("long").alias(c) for c in sum_cols
     ]
@@ -50,7 +67,6 @@ def merge_rollup_delta(
         .agg(*aggs)
         .withColumn(BUCKET_COL, md5_key_bucket(key_cols, n_buckets))
     )
-    import os
 
     if os.path.isdir(target_dir):
         touched = [r[0] for r in partial.select(BUCKET_COL).distinct().collect()]
@@ -73,6 +89,9 @@ def merge_rollup_delta(
         .partitionBy(BUCKET_COL)
         .parquet(target_dir)
     )
+    if batch_id is not None:
+        with open(ledger, "a") as fh:
+            fh.write(batch_id + "\n")
 
 
 def read_rollup(spark: SparkSession, target_dir: str) -> DataFrame:

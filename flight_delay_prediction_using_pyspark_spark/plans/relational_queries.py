@@ -1010,3 +1010,32 @@ def q_custkeys_all_years_division(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_customers"),
         F.count(F.when(F.col("ny") == n_years, 1)).alias("n_full_coverage"),
     )
+
+
+@query(
+    "top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def q_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k OUTPUT (not just ranking): the three largest
+    orders in each priority class via a rank-window filter — one
+    shuffle on the group key, rank computed in-partition and rows
+    beyond k dropped before anything leaves the executor. The
+    orderkey tiebreaker makes the selected row set deterministic."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )

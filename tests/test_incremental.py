@@ -59,3 +59,19 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path):
             assert p in after and after[p] == m, f"untouched rewritten: {p}"
     got = {r.user_id: (r.n_rows, r.cents) for r in IC.read_rollup(spark, target).collect()}
     assert got[1] == (2, 105) and got[2] == (1, 100) and len(got) == 40
+
+
+def test_incremental_merge_batch_id_idempotent(spark, tmp_path):
+    """Counter merges double-count on redelivery; the batch-id ledger
+    makes a replayed delta a no-op — the at-least-once guard."""
+    target = str(tmp_path / "rollup_idem")
+    delta = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, cents long")
+    IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"], batch_id="b0")
+    # replay of the SAME batch id: no-op
+    IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"], batch_id="b0")
+    got = {r.user_id: (r.n_rows, r.cents) for r in IC.read_rollup(spark, target).collect()}
+    assert got == {1: (1, 10), 2: (1, 20)}
+    # a new batch id applies normally
+    IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"], batch_id="b1")
+    got = {r.user_id: (r.n_rows, r.cents) for r in IC.read_rollup(spark, target).collect()}
+    assert got == {1: (2, 20), 2: (2, 40)}

@@ -285,3 +285,26 @@ def test_decontaminate_empty_benchmark(spark):
     bench = spark.createDataFrame([], "doc_id long, text string")
     out = TC.decontaminate(corpus, bench).collect()
     assert len(out) == 1 and out[0].contaminated is False
+
+
+def test_chunk_documents_count_sweep(spark):
+    """Chunk count and clamped sizes match the closed-form layout for
+    every token count 0..200 in one pass (chunk 64, overlap 16,
+    stride 48)."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(["t"] * n) if n else "") for n in range(0, 201)],
+        ["doc_id", "text"],
+    )
+    out = TC.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_n_tokens))
+    for n in range(0, 201):
+        toks = n if n else 1  # split('') yields one empty token
+        expect_chunks = 1 if toks <= 64 else (toks - 64 + 47) // 48 + 1
+        sizes = sorted(per_doc[n])
+        assert len(sizes) == expect_chunks, f"n={n}"
+        for cid, sz in sizes:
+            assert sz == min(64, toks - cid * 48), f"n={n} chunk={cid}"
