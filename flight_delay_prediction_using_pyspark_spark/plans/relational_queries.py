@@ -1039,3 +1039,42 @@ def q_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "custom_pysource_stats",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(t.g AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS val
+      FROM generate_series(0, 9999) t(g)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val
+    FROM g
+    """,
+)
+def q_custom_pysource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (sources.pysource): a custom
+    `detrange` format generating 10k deterministic md5-derived rows
+    across 8 reader partitions, aggregated like any scan. The source
+    declares partitions, so generation parallelizes across executors;
+    md5-portable values put the SOURCE itself under the oracle gate
+    (DuckDB reproduces every row from generate_series)."""
+    from flight_delay_prediction_using_pyspark_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("detrange")
+        .option("n", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.min("val").cast("bigint").alias("min_val"),
+        F.max("val").cast("bigint").alias("max_val"),
+    )

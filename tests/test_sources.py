@@ -106,3 +106,27 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_custom_python_datasource(spark):
+    """Spark 4 Python DataSource: the detrange format generates its
+    rows across the declared reader partitions, deterministically."""
+    import hashlib
+
+    from flight_delay_prediction_using_pyspark_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("detrange")
+        .option("n", 100)
+        .option("partitions", 5)
+        .load()
+    )
+    rows = {r.id: (r.val, r.part) for r in df.collect()}
+    assert len(rows) == 100
+    assert df.rdd.getNumPartitions() == 5
+    for ident in (0, 37, 99):
+        val = int(hashlib.md5(str(ident).encode()).hexdigest()[:8], 16) % 1000
+        assert rows[ident][0] == val
+    # contiguous 20-row slices per partition
+    assert rows[0][1] == 0 and rows[19][1] == 0 and rows[20][1] == 1 and rows[99][1] == 4
