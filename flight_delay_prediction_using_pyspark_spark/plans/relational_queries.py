@@ -1078,3 +1078,57 @@ def q_custom_pysource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").cast("bigint").alias("min_val"),
         F.max("val").cast("bigint").alias("max_val"),
     )
+
+
+@query(
+    "events_user_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (SELECT user_id, median(cents) AS med FROM s GROUP BY user_id),
+    dev AS (
+      SELECT s.user_id, s.cents, abs(s.cents - med.med) AS adev, med.med
+      FROM s JOIN med USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT dev.user_id,
+           COUNT(*) AS n_events,
+           ROUND(ANY_VALUE(dev.med), 6) AS med_cents,
+           ROUND(ANY_VALUE(mad.mad), 6) AS mad_cents,
+           COUNT(*) FILTER (WHERE dev.adev > 3 * mad.mad) AS n_outliers
+    FROM dev JOIN mad USING (user_id)
+    GROUP BY dev.user_id
+    """,
+)
+def q_events_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection (median/MAD, the z-score that
+    survives skew): two staged medians over integer cents — median
+    interpolation is exact on integers (.0/.5 doubles), |deviation|
+    arithmetic stays exact, so the 3×MAD flag compares identical
+    doubles in both engines and counts are oracle-exact. Plan: two
+    grouped aggregates with the per-user frames broadcast back onto
+    the events scan — no per-user sort beyond the medians' own
+    partial aggregation."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "user_id",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    med = s.groupBy("user_id").agg(F.median("cents").alias("med"))
+    dev = s.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    joined = dev.join(F.broadcast(mad), "user_id")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.any_value("med"), 6).alias("med_cents"),
+        F.round(F.any_value("mad"), 6).alias("mad_cents"),
+        F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+    )
