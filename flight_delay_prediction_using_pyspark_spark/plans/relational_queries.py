@@ -1132,3 +1132,61 @@ def q_events_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value("mad"), 6).alias("mad_cents"),
         F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
     )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(30,0))) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev
+    )
+    SELECT COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE 5 * cum <= 4 * total) AS n_top_80pct,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total_cents
+    FROM ranked
+    """,
+)
+def q_orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto / 80-20): how many of the
+    top-revenue customers it takes to cover 80% of total revenue.
+    The heavy work is the per-customer aggregate (one shuffle over the
+    fact table); the cumulative window then runs over the SMALL
+    aggregated frame — a deliberate small-side global sort, like
+    orders_monthly_trend's. All arithmetic in integer cents with the
+    5·cum ≤ 4·total comparison, so the boundary is exact in both
+    engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("decimal(30,0)")
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(5 * F.col("cum") <= 4 * F.col("total"), 1)).alias(
+            "n_top_80pct"
+        ),
+        F.any_value("total").cast("bigint").alias("total_cents"),
+    )
