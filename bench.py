@@ -1,12 +1,21 @@
 """Benchmark runner: the engine's headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "catalog_total", "value": <sec>, "unit": "sec",
+Prints ONE JSON line (the only stdout output, and the last line):
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
+The headline set is ~44 queries covering every family (core relational,
+flights-parity, ML, text/dedup, ANN, multimodal, streaming, temporal) —
+kept to a subset so the contract JSON line stays well under the
+driver's ~3 KB output-capture window (the full 132-query dict is ~4 KB
+and got truncated-and-unparsed in round 1).  Set SPARK_GRAFT_BENCH_FULL=1
+to time the full catalog instead (JSON then mirrored only to
+bench_last.json; stdout still prints the headline subset of it).
+
 Each query is timed end-to-end (plan build + execution to a driver-side
-count/collect of the result). Run locally at sf0.01 while iterating;
-the driver runs sf0.1 per-round.
+collect).  Regression diagnostics vs bench_baseline.json go to
+bench_regressions.txt, NOT to stdout/stderr, so no diagnostic line can
+displace the contract line in a merged-stream capture.
 """
 
 from __future__ import annotations
@@ -19,10 +28,66 @@ import time
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO_ROOT)
 
+HEADLINE = [
+    # core relational / aggregation / window
+    "pricing_summary",
+    "segment_revenue",
+    "nation_revenue_multijoin",
+    "orders_heavy_hitters",
+    "top10_orders",
+    "rank_lineitems_in_order",
+    "price_ratio_global_max",
+    "quantiles_quantity",
+    "crosstab_returnflag_linestatus",
+    "numeric_profile_orders",
+    "dedup_lineitem_per_order",
+    "corr_matrix_lineitem",
+    "lineitem_winsorized_stats",
+    "copurchase_part_pairs",
+    "tpch_q3_shipping_priority",
+    "orders_first_last_per_customer",
+    "lineitem_median_mode",
+    "zorder_clustering_stats",
+    "customer_order_count_histogram",
+    # reference-parity flights pipeline
+    "flights_prepare_summary",
+    "flights_cyclical_time",
+    "flights_enrich_manufacturer",
+    # ML
+    "ml_decision_tree_metrics",
+    "ml_feature_pipeline_stats",
+    # text / dedup / corpus
+    "dedup_exact_hash_stats",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "training_corpus_prep",
+    "doc_language_chargram_confusion",
+    "corpus_full_pipeline",
+    # similarity / ANN
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    # multimodal
+    "media_byte_stats",
+    "media_decode_resize_stats",
+    # streaming
+    "events_streaming_dedup",
+    "events_stream_stream_join",
+    "events_session_windows",
+    # temporal / events
+    "events_asof_join",
+    "events_resample_ffill",
+    "events_variant_extract",
+    "events_daily_users_hll",
+    "events_hourly_rollup",
+    "events_incremental_rollup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
 
     from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
     from flight_delay_prediction_using_pyspark_spark.session import get_spark
@@ -34,41 +99,41 @@ def main() -> None:
     # the queries, not session startup.
     QUERIES["pricing_summary"](spark, sf_dir).count()
 
+    names = list(QUERIES) if full else [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name in names:
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = QUERIES[name](spark, sf_dir)
         # Force full execution incl. result materialization to driver.
         df.collect()
         timings[name] = round(time.perf_counter() - start, 2)
 
-    total = round(sum(timings.values()), 2)
-    # Diagnostics go to stderr FIRST; the contract JSON line is the very
-    # last thing on stdout (compact encoding keeps it small so a
-    # tail-capturing harness still sees the whole line), mirrored to
-    # bench_last.json as a belt-and-braces copy.
     _report_regressions(timings, sf)
-    sys.stderr.flush()
+
+    headline = {n: t for n, t in timings.items() if n in set(HEADLINE)}
     payload = {
-        "metric": "catalog_total",
-        "value": total,
+        "metric": "headline_total",
+        "value": round(sum(headline.values()), 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": headline,
         "sf": sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
+    mirror = dict(payload, all_queries=timings) if full else payload
     with open(os.path.join(REPO_ROOT, "bench_last.json"), "w") as f:
-        f.write(line + "\n")
-    print(line, flush=True)
+        f.write(json.dumps(mirror, separators=(",", ":")) + "\n")
+    # Stop Spark BEFORE printing so no late JVM output can follow the
+    # contract line in a merged stdout/stderr capture.
     spark.stop()
+    print(line, flush=True)
 
 
 def _report_regressions(timings: dict[str, float], sf: float) -> None:
     """Compare against the committed baseline (bench_baseline.json) and
-    write per-query regressions to STDERR (stdout stays the one-line
-    driver contract). Box contention can inflate wall-clock 1.5x+, so
-    flag only >1.5x AND >0.5s absolute; rerun isolated before believing
-    a regression."""
+    write per-query regressions to bench_regressions.txt (never stdout:
+    the contract line must be the last thing a tail-capture sees).  Box
+    contention can inflate wall-clock 1.5x+, so flag only >1.5x AND
+    >0.5s absolute; rerun isolated before believing a regression."""
     path = os.environ.get(
         "SPARK_GRAFT_BASELINE", os.path.join(REPO_ROOT, "bench_baseline.json")
     )
@@ -79,16 +144,13 @@ def _report_regressions(timings: dict[str, float], sf: float) -> None:
     if base.get("sf") != sf:
         return
     ref = base.get("queries", {})
-    regressions = [
-        (n, ref[n], t)
-        for n, t in timings.items()
+    lines = [
+        f"REGRESSION {n}: {ref[n]:.2f}s -> {t:.2f}s"
+        for n, t in sorted(timings.items(), key=lambda r: ref.get(r[0], 0) - r[1])
         if n in ref and t > 1.5 * ref[n] and t - ref[n] > 0.5
-    ]
-    if regressions:
-        for n, b, t in sorted(regressions, key=lambda r: r[1] - r[2]):
-            print(f"REGRESSION {n}: {b:.2f}s -> {t:.2f}s", file=sys.stderr)
-    else:
-        print("bench: no regressions vs baseline", file=sys.stderr)
+    ] or ["bench: no regressions vs baseline"]
+    with open(os.path.join(REPO_ROOT, "bench_regressions.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
