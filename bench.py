@@ -95,9 +95,9 @@ def main() -> None:
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the queries, not session startup.
-    QUERIES["pricing_summary"](spark, sf_dir).count()
+    # Warm the JVM + parquet footers + Arrow/pandas conversion path once
+    # so per-query numbers measure the queries, not session startup.
+    QUERIES["pricing_summary"](spark, sf_dir).toPandas()
 
     names = list(QUERIES) if full else [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
@@ -105,7 +105,10 @@ def main() -> None:
         start = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         # Force full execution incl. result materialization to driver.
-        df.collect()
+        # Arrow toPandas, matching how the driver's correctness gate
+        # consumes results (collect()'s per-row Python objects would
+        # bill large-output queries ~2x for pure driver-side overhead).
+        df.toPandas()
         timings[name] = round(time.perf_counter() - start, 2)
 
     _report_regressions(timings, sf)

@@ -153,23 +153,32 @@ def language_scores(col: Column | str, profiles: dict[str, Sequence[str]] | None
 
 def argmax_label(scores: dict[str, Column], default: str = "und") -> Column:
     """Deterministic argmax over a labeled score dict: first-wins
-    tie-break in dict order; `default` when no score is positive."""
+    tie-break in dict order; `default` when no score is positive.
+
+    Shape matters for cost: a pairwise CASE cascade references every
+    score expression ~2·N times, and Catalyst's CollapseProject
+    re-inlines those references, recomputing each (possibly expensive —
+    tokenization, per-gram string scans) score per reference. Instead
+    build array<struct<s, ni>> with ni = -position and take
+    `array_max`: struct comparison is field-order, so ties on `s`
+    resolve to the largest ni = the EARLIEST label. Each score appears
+    exactly once in the plan."""
     langs = list(scores)
-    expr: Column = F.lit(default)
-    # Build the CASE cascade back-to-front so earlier labels win ties.
-    for lang in reversed(langs):
-        cond = scores[lang] > 0
-        for other in langs:
-            if other == lang:
-                continue
-            op = (
-                (scores[lang] >= scores[other])
-                if langs.index(lang) < langs.index(other)
-                else (scores[lang] > scores[other])
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].cast("long").alias("s"),
+                F.lit(-i).alias("ni"),
             )
-            cond = cond & op
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    label = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        (-best["ni"]).cast("int") + 1,
+    )
+    return F.when(best["s"] > 0, label).otherwise(F.lit(default))
 
 
 def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> Column:
