@@ -1,0 +1,82 @@
+"""Manual Bloom-filter runtime join pruning.
+
+Spark's own runtime row-group filtering (InjectRuntimeFilter) builds a
+Bloom filter on the selective build side of a join and pushes a
+`might_contain` probe into the big side's scan — but the SQL surface
+(`bloom_filter_agg` / `might_contain`) is not registered in the public
+function registry, so this module implements the same technique from
+first principles with portable integer math:
+
+1. BUILD (distributed): each build-side key sets k bit positions,
+   ``pos_i = ((md5_32(key) * A_i + B_i) mod P) mod m``; a distinct
+   over the (at most k·n, tiny) position set is the only shuffle.
+2. SHIP (driver): positions collapse to an m-char '0'/'1' string
+   (m = 16384 -> 16 KB literal) — the same driver round-trip Spark's
+   own runtime filters do before broadcasting the filter.
+3. PROBE (map-side): a row survives iff ALL k of its positions hit set
+   bits — pure `substr` probes into the literal inside the scan's
+   codegen stage. No join, no shuffle.
+
+False positives only (never false negatives), so `prune ∘ exact-join`
+is value-identical to the plain join — which is what makes a Bloom
+prune oracle-verifiable with the UNPRUNED join as the oracle.
+
+At 100 TB: the build side is the already-filtered dimension (small);
+the probe eliminates the dominant cost — shuffling fact rows that
+cannot match. Size m for the build-side NDV (~10 bits/key for ~1% fp).
+The reference never prunes joins at all (it collects keys to the
+driver and `isin`s them — /root/reference/src/main/helper_methods.py);
+this is the scale-safe version of that idea.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
+
+#: Affine family over one md5 base hash per key (same construction as
+#: text.dedup's minhash family): A odd < 2^29 keeps A*h < 2^61 — no
+#: int64 overflow in Spark or DuckDB.
+_BLOOM_P = (1 << 61) - 1
+_bloom_rng = random.Random(20240814)
+BLOOM_K = 3
+BLOOM_A: list[int] = [2 * _bloom_rng.randrange(1 << 28) + 1 for _ in range(BLOOM_K)]
+BLOOM_B: list[int] = [_bloom_rng.randrange(1 << 30) for _ in range(BLOOM_K)]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    base = md5_hash32(key.cast("string"))
+    return [
+        ((base * F.lit(BLOOM_A[i]) + F.lit(BLOOM_B[i])) % F.lit(_BLOOM_P))
+        % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 16384, k: int = BLOOM_K
+) -> str:
+    """Distributed Bloom build → driver-side bit string of length
+    `m_bits`. One explode(k)+distinct over the (small, pre-filtered)
+    build side; the collect ships at most k·n small ints, and the
+    returned literal is m_bits/8·2 bytes — runtime-filter sized."""
+    pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
+    set_bits = {row["pos"] for row in df.select(pos).distinct().collect()}
+    return "".join("1" if i in set_bits else "0" for i in range(m_bits))
+
+
+def bloom_probe(key: Column, bits: str, k: int = BLOOM_K) -> Column:
+    """Map-side membership predicate: true iff all k positions of
+    `key` are set in the `bits` string. Pure scalar expressions —
+    lives inside the scan's WholeStageCodegen, prunes before any
+    shuffle."""
+    m_bits = len(bits)
+    lit = F.lit(bits)
+    cond = F.lit(True)
+    for pos in _positions(key, m_bits, k):
+        cond = cond & (lit.substr(pos.cast("int") + 1, F.lit(1)) == "1")
+    return cond

@@ -1190,3 +1190,182 @@ def q_orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.any_value("total").cast("bigint").alias("total_cents"),
     )
+
+
+@query(
+    "orders_bloom_pruned_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+    GROUP BY yr
+    """,
+)
+def q_orders_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning, built manually (operators/bloom.py):
+    Bloom-build over the selective customer side (one tiny shuffle +
+    a ~2 KB driver round-trip, like Spark's InjectRuntimeFilter), then
+    a pure map-side k-bit probe inside the orders scan BEFORE the join.
+    Bloom passes false positives only, so probe→exact-join is
+    value-identical to the plain join — the oracle is the UNPRUNED
+    join. At 100 TB the probe eliminates shuffling fact rows that
+    cannot match; here the join is broadcast anyway, so the prune
+    demonstrates the shuffle-elimination technique end-to-end."""
+    from flight_delay_prediction_using_pyspark_spark.operators import bloom as BL
+
+    ensure_utc(spark)
+    vips = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500))
+        .select("c_custkey")
+    )
+    words = BL.bloom_build(vips, "c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        BL.bloom_probe(F.col("o_custkey"), words)
+    )
+    joined = orders.join(
+        F.broadcast(vips), orders.o_custkey == vips.c_custkey
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        A.exact_decimal_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade revenue between a nation pair
+    in both directions, by shipment year. Join strategy for scale:
+    nation-filter FIRST, then pre-join each dim chain into two tiny
+    broadcast frames (suppliers-of-nation-pair, customers-of-nation-
+    pair), so the only wide shuffle is lineitem⋈orders on l_orderkey;
+    the date filter pushes into the lineitem scan. The pair predicate
+    shrinks both broadcast sides ~12.5x before any fact row moves."""
+    ensure_utc(spark)
+    pair = ("NATION_3", "NATION_7")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+    ).agg(
+        A.exact_decimal_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+
+
+@query(
+    "orders_rank_distribution",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             ntile(10) OVER w AS decile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT),
+                            o_orderkey)
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(MAX(CASE WHEN pr <= 0.5 THEN cents END) AS BIGINT) AS median_cents,
+           ROUND(MAX(CASE WHEN cents <= 15000000 THEN cd END), 6) AS cume_le_150k,
+           CAST(SUM(CASE WHEN decile = 10 THEN cents ELSE 0 END) AS BIGINT) AS top_decile_cents
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def q_orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family in one pass: percent_rank
+    (median via max-cents-at-pr≤0.5), cume_dist (mass at a price
+    threshold), ntile (top-decile revenue share). One shuffle on the
+    partition key; ties are broken by (cents, o_orderkey) in BOTH
+    engines so rank/ntile assignment is bit-deterministic; all values
+    integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("decimal(30,0)")
+        .cast("long")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = orders.select(
+        F.col("o_orderpriority"), cents.alias("cents"), F.col("o_orderkey")
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.when(F.col("pr") <= 0.5, F.col("cents")))
+        .cast("bigint")
+        .alias("median_cents"),
+        F.round(F.max(F.when(F.col("cents") <= 15000000, F.col("cd"))), 6).alias(
+            "cume_le_150k"
+        ),
+        F.sum(F.when(F.col("decile") == 10, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("top_decile_cents"),
+    )

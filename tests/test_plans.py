@@ -353,3 +353,32 @@ def test_funnel_stages_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_bloom_prune_mapside_and_effective(spark):
+    """The Bloom probe must (a) never drop a true match (checked by
+    the oracle too, re-checked here against the exact semi-join),
+    (b) actually prune — pass rate well under 100% for a selective
+    build side, and (c) stay map-side: the probed scan adds ZERO
+    exchanges over the plain scan."""
+    from flight_delay_prediction_using_pyspark_spark.operators import bloom as BL
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+    vips = (
+        load_table(spark, SF_CORRECTNESS_DIR, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500))
+        .select("c_custkey")
+    )
+    bits = BL.bloom_build(vips, "c_custkey")
+    orders = load_table(spark, SF_CORRECTNESS_DIR, "orders")
+    probed = orders.filter(BL.bloom_probe(F.col("o_custkey"), bits))
+    true_matches = orders.join(
+        vips, orders.o_custkey == vips.c_custkey, "left_semi"
+    )
+    n_all, n_probed, n_true = orders.count(), probed.count(), true_matches.count()
+    # no false negatives: every true match survives the probe
+    assert (
+        true_matches.join(probed, "o_orderkey", "left_anti").count() == 0
+    )
+    assert n_true <= n_probed < n_all * 0.5, (n_true, n_probed, n_all)
+    assert n_exchanges(plan_of(probed)) == 0
