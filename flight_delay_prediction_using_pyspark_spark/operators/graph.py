@@ -1,0 +1,142 @@
+"""Distributed graph analytics over edge DataFrames.
+
+The reference has no graph surface at all; these are the item-graph
+operations a recommendation / data-curation pipeline runs over
+co-occurrence edges (SURVEY.md §2 extension families). Everything is
+plain DataFrame joins + aggs — no GraphFrames dependency — designed
+around the two classic scale tricks:
+
+- **Triangle counting, degree-oriented** (`triangle_stats`): orient
+  every undirected edge from the (degree, id)-smaller endpoint to the
+  larger. Each triangle then has exactly ONE wedge, at its minimum
+  vertex, and wedge generation is a self-join on the oriented source
+  whose fan-out is bounded by OUT-degree ≤ O(sqrt(m)) on any graph —
+  the Suri-Vassilvitskii / Schank trick that keeps hub vertices from
+  exploding the candidate set. Candidates close against the oriented
+  edge set with one more equi-join. Three shuffles total, all on
+  node/edge keys.
+- **PageRank, exact integer arithmetic** (`pagerank_integer`): the
+  damped power iteration with all values scaled to integer units and
+  `div`-based flooring, so every iteration is bit-identical in any
+  engine (an unrolled-CTE SQL oracle can replay it exactly — no IEEE
+  summation-order drift). Each iteration is one join edges⋈ranks on
+  src + one groupBy dst; ranks persist between iterations to truncate
+  lineage.
+
+Connected components live in text.dedup (minhash cluster stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000
+
+
+def degrees(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected degree per node from a distinct (a<b) edge list."""
+    nodes = edges.select(F.col(a).alias("node")).unionAll(
+        edges.select(F.col(b).alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """One-row frame: n_nodes, n_edges, n_wedges (undirected open
+    wedge count Σ d(d-1)/2), n_triangles, global clustering
+    coefficient ROUND(3·tri/wedges, 6). `edges` must be distinct with
+    a < b."""
+    deg = degrees(edges, a, b)
+
+    def keyed(col_node: str, alias_prefix: str) -> DataFrame:
+        return deg.select(
+            F.col("node").alias(col_node),
+            F.col("deg").alias(f"{alias_prefix}_deg"),
+        )
+
+    # Orient each edge from the (deg, id)-smaller endpoint.
+    e = (
+        edges.join(keyed(a, "a"), a)
+        .join(keyed(b, "b"), b)
+        .select(
+            F.when(
+                (F.col("a_deg") < F.col("b_deg"))
+                | ((F.col("a_deg") == F.col("b_deg")) & (F.col(a) < F.col(b))),
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+            )
+            .otherwise(F.struct(F.col(b).alias("src"), F.col(a).alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    # Total order for wedge-pair dedup must match the orientation order.
+    od = e.join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("dst_deg")), "dst"
+    )
+    wedges = (
+        od.alias("x")
+        .join(od.alias("y"), F.col("x.src") == F.col("y.src"))
+        .filter(
+            (F.col("x.dst_deg") < F.col("y.dst_deg"))
+            | (
+                (F.col("x.dst_deg") == F.col("y.dst_deg"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        )
+        .select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst"))
+    )
+    n_tri = wedges.join(e, ["src", "dst"], "left_semi").count()
+    base = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    dstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    return base.crossJoin(dstats).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.lit(n_tri).cast("bigint").alias("n_triangles"),
+        F.round(F.lit(3.0) * n_tri / F.col("n_wedges"), 6).alias("clustering"),
+    )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    iters: int = 3,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Damped PageRank over the symmetrized edge list, exact integer
+    arithmetic: pr0 = scale; pr' = 0.15·scale + floor(0.85·Σ
+    floor(pr_nbr/deg_nbr)) with all divisions integral (`div`), so the
+    fixed-iteration result is engine-portable bit-for-bit. Symmetric
+    graph ⇒ no dangling mass. Returns (node, pr)."""
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("pr"), "deg").persist()
+    ranks.count()
+    base = int(0.15 * scale)
+    for _ in range(iters):
+        contrib = sym.join(ranks, "src").select(
+            F.col("dst").alias("node"), F.expr("pr div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        nxt = (
+            deg.join(sums, deg.src == sums.node, "left")
+            .select(
+                F.col("src"),
+                (F.lit(base) + F.expr("coalesce((17 * s) div 20, 0)"))
+                .cast("long")
+                .alias("pr"),
+                F.col("deg"),
+            )
+            .persist()
+        )
+        nxt.count()
+        ranks.unpersist()
+        ranks = nxt
+    return ranks.select(F.col("src").alias("node"), "pr")

@@ -1483,3 +1483,4 @@ from flight_delay_prediction_using_pyspark_spark.plans import multimodal_queries
 from flight_delay_prediction_using_pyspark_spark.plans import streaming_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import temporal_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import relational_queries  # noqa: E402,F401
+from flight_delay_prediction_using_pyspark_spark.plans import graph_queries  # noqa: E402,F401

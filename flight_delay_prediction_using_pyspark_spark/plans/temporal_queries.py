@@ -560,3 +560,82 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_max_concurrent_sessions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), flagged AS (
+      SELECT user_id, sec, event_id,
+             CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sess AS (
+      SELECT user_id, sec,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, session_id, MIN(sec) AS st, MAX(sec) AS en
+      FROM sess GROUP BY user_id, session_id
+    ), d AS (
+      SELECT st AS sec, 1 AS delta FROM spans
+      UNION ALL
+      SELECT en + 1, -1 FROM spans
+    ), r AS (
+      SELECT sec,
+             SUM(delta) OVER (ORDER BY sec, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d
+    )
+    SELECT CAST(MAX(run) AS BIGINT) AS max_concurrent,
+           CAST(MIN(CASE WHEN run = (SELECT MAX(run) FROM r) THEN sec END) AS BIGINT)
+             AS first_sec_at_max,
+           (SELECT COUNT(*) FROM spans) AS n_sessions
+    FROM r
+    """,
+)
+def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: sessionize each user's events
+    (30-min gap), convert sessions to +1/-1 boundary deltas, and take
+    the running sum's peak — the classic max-concurrent-intervals
+    algorithm, distributed. The per-user sessionize shuffles once on
+    user_id; the sweep runs over SESSION BOUNDARIES (two rows per
+    session, ~n_sessions ≪ n_events), so the single-partition global
+    window is a deliberate small-side sort, like orders_monthly_trend.
+    Peak value and first peak second are tie-order independent (all
+    +1s at a second sort before its -1s; permuting equal deltas never
+    changes the post-group running value)."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", TP.epoch_seconds("ts").alias("sec")
+    )
+    sess = TP.sessionize(ev, "user_id", "sec", "event_id")
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("st"), F.max("sec").alias("en")
+    )
+    d = spans.select(F.col("st").alias("sec"), F.lit(1).alias("delta")).unionAll(
+        spans.select((F.col("en") + 1).alias("sec"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy(F.asc("sec"), F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select("sec", F.sum("delta").over(w).alias("run"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    peak = r.select("sec", "run", F.max("run").over(wall).alias("mx"))
+    n_sessions = spans.count()
+    return peak.agg(
+        F.max("run").cast("bigint").alias("max_concurrent"),
+        F.min(F.when(F.col("run") == F.col("mx"), F.col("sec")))
+        .cast("bigint")
+        .alias("first_sec_at_max"),
+        F.lit(n_sessions).cast("bigint").alias("n_sessions"),
+    )
