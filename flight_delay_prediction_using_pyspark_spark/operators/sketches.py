@@ -1,0 +1,91 @@
+"""Count-min sketch: mergeable frequency estimation as DataFrames.
+
+A CMS is d counter rows × w buckets; item x increments
+``counter[i][h_i(x) mod w]`` for each of the d hash rows, and its
+estimate is the MIN across rows — never an undercount, overcounts only
+from bucket collisions. The sketch here is a (row, bucket, count)
+DataFrame: the build is one explode(d)+groupBy (map-side combinable,
+mergeable across shards by summing counts — the property that makes
+CMS the streaming/distributed frequency sketch), and estimation is a
+broadcast join of the probe set against the d·w-row sketch.
+
+Unlike Spark's built-in ``count_min_sketch`` agg (opaque binary,
+implementation-defined hashing), this construction is engine-portable:
+the affine-over-md5 hash family is the same one the dedup/bloom
+operators use, so a SQL oracle rebuilds the identical sketch and the
+driver's correctness gate can hash-compare estimates exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
+
+_CMS_P = (1 << 61) - 1
+_cms_rng = random.Random(20240815)
+CMS_D = 3
+CMS_A: list[int] = [2 * _cms_rng.randrange(1 << 28) + 1 for _ in range(CMS_D)]
+CMS_B: list[int] = [_cms_rng.randrange(1 << 30) for _ in range(CMS_D)]
+
+
+def cms_bucket(item: Column, row: int, width: int) -> Column:
+    """Bucket of `item` in hash row `row` for a width-`width` sketch."""
+    base = md5_hash32(item.cast("string"))
+    return (
+        (base * F.lit(CMS_A[row]) + F.lit(CMS_B[row])) % F.lit(_CMS_P)
+    ) % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame, item_col: str, width: int = 64, d: int = CMS_D
+) -> DataFrame:
+    """Sketch frame (row, bucket, count) from one item per input row.
+    One explode(d) + groupBy over (d · width) keys — tiny shuffle,
+    map-side partials, mergeable by summing counts."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(F.col(item_col), i, width).alias("bucket"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, item_col: str, width: int, d: int = CMS_D
+) -> DataFrame:
+    """Per-probe CMS estimate: min over the d probed cells (missing
+    cell ⇒ 0). The probe side explodes to d rows per item and joins
+    the (small, broadcastable) sketch on (row, bucket)."""
+    probed = probes.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cms_bucket(F.col(item_col), i, width).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select(item_col, "cell.row", "cell.bucket")
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).cast("bigint").alias("est"))
+    )

@@ -1083,3 +1083,111 @@ def q_chunk_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_boilerplate"),
         F.max("n_copies").cast("bigint").alias("max_copies"),
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_minhash_ctes(0.5)}
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / least(len(sa.s), len(sb.s)), 6) AS containment
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / least(len(sa.s), len(sb.s)), 6) >= 0.6
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) near-dup: |A∩B| / min(|A|,|B|) ≥ 0.6
+    over shingle sets on the SAME LSH candidate stage as the Jaccard
+    pipeline (text.dedup.containment_pairs). Containment flags
+    quote/subset pairs — a short doc embedded in a long one — where
+    Jaccard stays low because the union is dominated by the long
+    side. No all-pairs stage; only the verify metric differs."""
+    return TD.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+_CMS_PROBES = ["table", "value", "spark", "window", "vector", "absent_token_zz"]
+_CMS_W = 64
+
+
+def _cms_oracle() -> str:
+    """Rebuild the identical count-min sketch in SQL (same affine
+    hash family and width as operators/sketches.py) and replay the
+    probe estimates."""
+    from flight_delay_prediction_using_pyspark_spark.operators import sketches as SK
+
+    md5i = _md5i("token")
+    p = (1 << 61) - 1
+
+    def cell(row: int, src: str) -> str:
+        keep = "token, " if src == "probes" else ""
+        return (
+            f"SELECT {keep}{row} AS row, ((({md5i}) * {SK.CMS_A[row]} "
+            f"+ {SK.CMS_B[row]}) % {p}) % {_CMS_W} AS bucket FROM {src}"
+        )
+
+    sketch_cells = " UNION ALL ".join(cell(i, "occ") for i in range(SK.CMS_D))
+    probe_cells = " UNION ALL ".join(cell(i, "probes") for i in range(SK.CMS_D))
+    vals = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    return f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    occ AS (SELECT unnest(t) AS token FROM toks),
+    sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM ({sketch_cells})
+      GROUP BY row, bucket
+    ),
+    probes(token) AS (VALUES {vals}),
+    pcell AS ({probe_cells}),
+    est AS (
+      SELECT token, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est
+      FROM pcell LEFT JOIN sketch USING (row, bucket)
+      GROUP BY token
+    ),
+    tru AS (
+      SELECT p.token,
+             (SELECT COUNT(*) FROM occ o WHERE o.token = p.token) AS true_cnt
+      FROM probes p
+    )
+    SELECT e.token, e.est, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.est - t.true_cnt AS BIGINT) AS overcount
+    FROM est e JOIN tru t ON e.token = t.token
+    """
+
+
+@query("doc_token_cms_estimate", oracle=_cms_oracle())
+def q_doc_token_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the token stream
+    (operators/sketches.py): d=3 × w=64 counters built in one
+    explode+groupBy (mergeable map-side partials — the
+    streaming/distributed frequency sketch), probed for a fixed token
+    set incl. an absent token. Width 64 is deliberately small so
+    collisions produce visible overcounts; est ≥ true always. The
+    portable affine-over-md5 hash family lets the oracle rebuild the
+    identical sketch — estimates compare exactly, which Spark's
+    built-in count_min_sketch (opaque binary) cannot do."""
+    from flight_delay_prediction_using_pyspark_spark.operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(TA.tokens(F.col("text"))).alias("token"))
+    sketch = SK.cms_build(occ, "token", width=_CMS_W)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
+    )
+    est = SK.cms_estimate(sketch, probes, "token", width=_CMS_W)
+    tru = (
+        probes.join(occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")), "token", "left")
+        .select("token", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("true_cnt"))
+    )
+    return est.join(tru, "token").select(
+        "token",
+        "est",
+        "true_cnt",
+        (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+    )

@@ -149,6 +149,30 @@ def lsh_band_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing ≥1 LSH band
+    bucket — the shared candidate-generation stage behind every
+    verify variant (Jaccard, containment, edit distance)."""
+    buckets = lsh_band_buckets(sig_df, id_col, bands, rows)
+    left = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    right = buckets.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -176,19 +200,7 @@ def minhash_lsh_pairs(
     exact-Jaccard filter. No all-pairs stage anywhere.
     """
     sigs = minhash_signatures(df, text_col, id_col, n, k, parallelism).persist()
-    buckets = lsh_band_buckets(sigs, id_col, bands, rows)
-    left = buckets.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
-    )
-    right = buckets.select(
-        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
-    )
-    candidates = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    candidates = lsh_candidate_pairs(sigs, id_col, bands, rows)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     verified = (
         candidates.join(
@@ -203,6 +215,44 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment = |A∩B| / min(|A|,|B|)
+    over shingle sets, on LSH candidates. Catches quote/subset
+    relationships (a short doc embedded in a long one) that Jaccard
+    misses — the long side's size swamps the union. Same bucketed
+    candidate stage as minhash_lsh_pairs, so no all-pairs anywhere;
+    only the verify metric differs. Returns (id_a, id_b, containment
+    ≥ threshold)."""
+    sigs = minhash_signatures(df, text_col, id_col, n, parallelism=parallelism).persist()
+    candidates = lsh_candidate_pairs(sigs, id_col)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    containment = F.round(
+        inter.cast("double")
+        / F.least(F.size("sh_a"), F.size("sh_b")),
+        6,
+    )
+    return (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
