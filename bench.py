@@ -74,6 +74,15 @@ HEADLINE = [
     "events_streaming_dedup",
     "events_stream_stream_join",
     "events_session_windows",
+    # graph / sketch / runtime-filter extensions
+    "orders_bloom_pruned_revenue",
+    "tpch_q7_nation_volume",
+    "orders_rank_distribution",
+    "copurchase_triangle_stats",
+    "copurchase_pagerank_top10",
+    "events_max_concurrent_sessions",
+    "dedup_containment_pairs",
+    "doc_token_cms_estimate",
     # temporal / events
     "events_asof_join",
     "events_resample_ffill",

@@ -59,24 +59,38 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
 
 def bloom_build(
     df: DataFrame, key_col: str, m_bits: int = 16384, k: int = BLOOM_K
-) -> str:
-    """Distributed Bloom build → driver-side bit string of length
-    `m_bits`. One explode(k)+distinct over the (small, pre-filtered)
+) -> list[int]:
+    """Distributed Bloom build → driver-side list of m_bits/32 32-bit
+    words. One explode(k)+distinct over the (small, pre-filtered)
     build side; the collect ships at most k·n small ints, and the
-    returned literal is m_bits/8·2 bytes — runtime-filter sized."""
+    returned literal is m_bits/8 bytes — runtime-filter sized.
+
+    32-bit (not 64-bit) words and an integer-array literal matter for
+    codegen cost: a first cut shipped the filter as an m_bits-char
+    '0'/'1' string probed with substr, and the 16 KB literal embedded
+    k times blew generated-code size up to multi-second Janino
+    compiles. A 512-int array referenced via element_at keeps the
+    generated code ~constants-sized."""
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
     set_bits = {row["pos"] for row in df.select(pos).distinct().collect()}
-    return "".join("1" if i in set_bits else "0" for i in range(m_bits))
+    words = [0] * (m_bits // 32)
+    for p in set_bits:
+        words[p // 32] |= 1 << (p % 32)
+    return words
 
 
-def bloom_probe(key: Column, bits: str, k: int = BLOOM_K) -> Column:
+def bloom_probe(key: Column, words: list[int], k: int = BLOOM_K) -> Column:
     """Map-side membership predicate: true iff all k positions of
-    `key` are set in the `bits` string. Pure scalar expressions —
-    lives inside the scan's WholeStageCodegen, prunes before any
-    shuffle."""
-    m_bits = len(bits)
-    lit = F.lit(bits)
+    `key` are set in `words`. Pure scalar expressions (element_at into
+    the word array + a 32-entry bit-mask lookup — no shift-by-column,
+    which PySpark's shiftleft cannot express) — lives inside the
+    scan's WholeStageCodegen, prunes before any shuffle."""
+    m_bits = len(words) * 32
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
     cond = F.lit(True)
     for pos in _positions(key, m_bits, k):
-        cond = cond & (lit.substr(pos.cast("int") + 1, F.lit(1)) == "1")
+        word = F.element_at(arr, (pos / 32).cast("int") + 1)
+        mask = F.element_at(masks, (pos % 32).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) != 0)
     return cond

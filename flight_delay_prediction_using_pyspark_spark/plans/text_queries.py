@@ -337,13 +337,27 @@ def _minhash_cluster_oracle(threshold: float) -> str:
 _PAIR_CACHE: dict = {}
 
 
+def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted minhash-signature frame per (session, sf_dir),
+    shared by every LSH verify variant (Jaccard, containment,
+    clusters, levenshtein) — the shingle+sign stage dominates their
+    cost."""
+    key = ("sigs", id(spark.sparkContext), sf_dir)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = TD.minhash_signatures(
+            load_table(spark, sf_dir, "documents"),
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).persist()
+    return _PAIR_CACHE[key]
+
+
 def _lsh_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir, threshold)
     if key not in _PAIR_CACHE:
         pairs = TD.minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"),
             threshold=threshold,
-            parallelism=spark.sparkContext.defaultParallelism,
+            sigs=_sigs_cached(spark, sf_dir),
         ).persist()
         _PAIR_CACHE[key] = pairs
     return _PAIR_CACHE[key]
@@ -1109,7 +1123,7 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.containment_pairs(
         load_table(spark, sf_dir, "documents"),
         threshold=0.6,
-        parallelism=spark.sparkContext.defaultParallelism,
+        sigs=_sigs_cached(spark, sf_dir),
     )
 
 

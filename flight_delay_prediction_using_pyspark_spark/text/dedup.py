@@ -190,6 +190,7 @@ def minhash_lsh_pairs(
     rows: int = LSH_ROWS,
     threshold: float = 0.5,
     parallelism: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via the full
     MinHash→LSH→verify pipeline.
@@ -198,8 +199,12 @@ def minhash_lsh_pairs(
     (band, band_hash) key → in-bucket self-join (tiny buckets) →
     distinct candidate pairs → verify join back to shingle sets →
     exact-Jaccard filter. No all-pairs stage anywhere.
+
+    `sigs`: pass a persisted minhash_signatures frame to share the
+    (CPU-dominant) shingle+sign stage across verify variants.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, k, parallelism).persist()
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n, k, parallelism).persist()
     candidates = lsh_candidate_pairs(sigs, id_col, bands, rows)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     verified = (
@@ -224,15 +229,18 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.6,
     parallelism: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs: containment = |A∩B| / min(|A|,|B|)
     over shingle sets, on LSH candidates. Catches quote/subset
     relationships (a short doc embedded in a long one) that Jaccard
     misses — the long side's size swamps the union. Same bucketed
     candidate stage as minhash_lsh_pairs, so no all-pairs anywhere;
-    only the verify metric differs. Returns (id_a, id_b, containment
+    only the verify metric differs (`sigs` shares the signature frame
+    with the Jaccard pipeline). Returns (id_a, id_b, containment
     ≥ threshold)."""
-    sigs = minhash_signatures(df, text_col, id_col, n, parallelism=parallelism).persist()
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n, parallelism=parallelism).persist()
     candidates = lsh_candidate_pairs(sigs, id_col)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
