@@ -40,12 +40,11 @@ def cms_bucket(item: Column, row: int, width: int) -> Column:
     ) % F.lit(width)
 
 
-def cms_build(
-    df: DataFrame, item_col: str, width: int = 64, d: int = CMS_D
-) -> DataFrame:
-    """Sketch frame (row, bucket, count) from one item per input row.
-    One explode(d) + groupBy over (d · width) keys — tiny shuffle,
-    map-side partials, mergeable by summing counts."""
+def cms_cells(df: DataFrame, item_col: str, width: int, d: int = CMS_D) -> DataFrame:
+    """One (row, bucket) cell row per (input row, hash row) — the
+    pre-aggregation stage, usable on batch AND streaming inputs (the
+    streaming build is just groupBy(row, bucket).count() over these
+    cells in update/complete mode; counts merge by addition)."""
     cells = F.explode(
         F.array(
             *[
@@ -57,10 +56,17 @@ def cms_build(
             ]
         )
     ).alias("cell")
-    return (
-        df.select(cells)
-        .groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("count"))
+    return df.select(cells).select(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+
+
+def cms_build(
+    df: DataFrame, item_col: str, width: int = 64, d: int = CMS_D
+) -> DataFrame:
+    """Sketch frame (row, bucket, count) from one item per input row.
+    One explode(d) + groupBy over (d · width) keys — tiny shuffle,
+    map-side partials, mergeable by summing counts."""
+    return cms_cells(df, item_col, width, d).groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("count")
     )
 
 
@@ -89,3 +95,50 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+def cms_oracle_sql(
+    occ_select: str,
+    probes: list[str],
+    width: int,
+    out_col: str = "token",
+    d: int = CMS_D,
+) -> str:
+    """DuckDB SQL that rebuilds the identical sketch and replays the
+    probe estimates. `occ_select`: a SELECT yielding one `token`
+    column per item occurrence. Output columns: (out_col, est,
+    true_cnt, overcount)."""
+    md5i = "CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)"
+
+    def cell(row: int, src: str) -> str:
+        keep = "token, " if src == "probes" else ""
+        return (
+            f"SELECT {keep}{row} AS row, ((({md5i}) * {CMS_A[row]} "
+            f"+ {CMS_B[row]}) % {_CMS_P}) % {width} AS bucket FROM {src}"
+        )
+
+    sketch_cells = " UNION ALL ".join(cell(i, "occ") for i in range(d))
+    probe_cells = " UNION ALL ".join(cell(i, "probes") for i in range(d))
+    vals = ", ".join(f"('{t}')" for t in probes)
+    return f"""
+    WITH occ AS ({occ_select}),
+    sketch AS (
+      SELECT row, bucket, COUNT(*) AS cnt FROM ({sketch_cells})
+      GROUP BY row, bucket
+    ),
+    probes(token) AS (VALUES {vals}),
+    pcell AS ({probe_cells}),
+    est AS (
+      SELECT token, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est
+      FROM pcell LEFT JOIN sketch USING (row, bucket)
+      GROUP BY token
+    ),
+    tru AS (
+      SELECT p.token,
+             (SELECT COUNT(*) FROM occ o WHERE o.token = p.token) AS true_cnt
+      FROM probes p
+    )
+    SELECT e.token AS {out_col}, e.est, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(e.est - t.true_cnt AS BIGINT) AS overcount
+    FROM est e JOIN tru t ON e.token = t.token
+    """

@@ -531,3 +531,72 @@ def q_events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _scoped_state_partitions(spark):
         S.run_to_memory_sink(stream, sink, output_mode="complete")
     return spark.table(sink)
+
+
+_CMS_EVENT_PROBES = ["click", "view", "purchase", "signup", "error", "absent_type_zz"]
+_CMS_EVENT_W = 8
+
+
+def _streaming_cms_oracle() -> str:
+    from flight_delay_prediction_using_pyspark_spark.operators import sketches as SK
+
+    return SK.cms_oracle_sql(
+        "SELECT event_type AS token FROM events",
+        _CMS_EVENT_PROBES,
+        _CMS_EVENT_W,
+        out_col="event_type",
+    )
+
+
+@query("events_streaming_cms", oracle=_streaming_cms_oracle())
+def q_events_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained OVER A STREAM end-to-end: readStream
+    → cms_cells (stateless map) → streaming groupBy(row, bucket) count
+    in complete mode → memory sink, then probe the drained sketch.
+    CMS cells are pure mergeable counters, so the streamed sketch is
+    bit-identical to the batch build no matter how the input is
+    micro-batched — the batch SQL oracle replays it exactly. Width 8
+    forces visible collisions across the 5 event types. The sketch
+    state is d·w counters (24 longs) regardless of stream length —
+    the bounded-state way to track frequencies at 100 TB/day, vs the
+    unbounded per-key state of an exact streaming count."""
+    from flight_delay_prediction_using_pyspark_spark.operators import sketches as SK
+
+    ensure_utc(spark)
+    stage = tempfile.mkdtemp(prefix="stream_cms_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select(F.col("event_type").alias("token"))
+    )
+    cells = SK.cms_cells(stream, "token", width=_CMS_EVENT_W)
+    sink = f"streaming_cms_{next(_dedup_run)}"
+    with _scoped_state_partitions(spark):
+        run_sketch = (
+            cells.groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        S.run_to_memory_sink(run_sketch, sink, output_mode="complete")
+    sketch = spark.table(sink)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_EVENT_PROBES])).alias("token")
+    )
+    est = SK.cms_estimate(sketch, probes, "token", width=_CMS_EVENT_W)
+    occ = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("token")
+    )
+    tru = probes.join(
+        occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")), "token", "left"
+    ).select(
+        "token", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("true_cnt")
+    )
+    return est.join(tru, "token").select(
+        F.col("token").alias("event_type"),
+        "est",
+        "true_cnt",
+        (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+    )

@@ -1137,42 +1137,8 @@ def _cms_oracle() -> str:
     probe estimates."""
     from flight_delay_prediction_using_pyspark_spark.operators import sketches as SK
 
-    md5i = _md5i("token")
-    p = (1 << 61) - 1
-
-    def cell(row: int, src: str) -> str:
-        keep = "token, " if src == "probes" else ""
-        return (
-            f"SELECT {keep}{row} AS row, ((({md5i}) * {SK.CMS_A[row]} "
-            f"+ {SK.CMS_B[row]}) % {p}) % {_CMS_W} AS bucket FROM {src}"
-        )
-
-    sketch_cells = " UNION ALL ".join(cell(i, "occ") for i in range(SK.CMS_D))
-    probe_cells = " UNION ALL ".join(cell(i, "probes") for i in range(SK.CMS_D))
-    vals = ", ".join(f"('{t}')" for t in _CMS_PROBES)
-    return f"""
-    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
-    occ AS (SELECT unnest(t) AS token FROM toks),
-    sketch AS (
-      SELECT row, bucket, COUNT(*) AS cnt FROM ({sketch_cells})
-      GROUP BY row, bucket
-    ),
-    probes(token) AS (VALUES {vals}),
-    pcell AS ({probe_cells}),
-    est AS (
-      SELECT token, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est
-      FROM pcell LEFT JOIN sketch USING (row, bucket)
-      GROUP BY token
-    ),
-    tru AS (
-      SELECT p.token,
-             (SELECT COUNT(*) FROM occ o WHERE o.token = p.token) AS true_cnt
-      FROM probes p
-    )
-    SELECT e.token, e.est, CAST(t.true_cnt AS BIGINT) AS true_cnt,
-           CAST(e.est - t.true_cnt AS BIGINT) AS overcount
-    FROM est e JOIN tru t ON e.token = t.token
-    """
+    occ = f"SELECT unnest({_TOKS}) AS token FROM documents"
+    return SK.cms_oracle_sql(occ, _CMS_PROBES, _CMS_W)
 
 
 @query("doc_token_cms_estimate", oracle=_cms_oracle())
