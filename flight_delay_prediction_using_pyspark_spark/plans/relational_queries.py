@@ -1369,3 +1369,151 @@ def q_orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_decile_cents"),
     )
+
+
+_DIFF_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(concat_ws('|', st, CAST(cents AS VARCHAR), pri)), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             o_orderpriority AS pri
+      FROM orders
+    ),
+    newt AS (
+      SELECT k, st, CASE WHEN k % 97 = 0 THEN cents + 100 ELSE cents END AS cents, pri
+      FROM base WHERE k % 101 <> 0
+      UNION ALL
+      SELECT k + 10000000, 'P', cents, pri FROM base WHERE k % 499 = 0
+    ),
+    oh AS (SELECT k, {_DIFF_HASH_SQL} AS h FROM base),
+    nh AS (SELECT k, {_DIFF_HASH_SQL} AS h FROM newt),
+    j AS (
+      SELECT CASE WHEN oh.h IS NULL THEN 'added'
+                  WHEN nh.h IS NULL THEN 'deleted'
+                  WHEN oh.h = nh.h THEN 'unchanged'
+                  ELSE 'changed' END AS diff_status
+      FROM oh FULL OUTER JOIN nh ON oh.k = nh.k
+    )
+    SELECT diff_status, COUNT(*) AS n_keys FROM j GROUP BY diff_status
+    """,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/quality.snapshot_diff): diff
+    two table versions into added/deleted/changed/unchanged counts via
+    ONE full outer join that shuffles (key, 8-byte row-hash) instead
+    of whole rows — the audit pass a migration or CDC pipeline runs
+    before cutover. The 'new' snapshot is a deterministic mutation of
+    orders (price bump on keys %97, deletes on %101, inserts on %499)
+    so the oracle can rebuild it exactly; doubles are normalized to
+    integer cents BEFORE hashing (double→string formatting is not
+    engine-portable)."""
+    from flight_delay_prediction_using_pyspark_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("decimal(30,0)")
+        .cast("long")
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    mutated = base.withColumn(
+        "cents",
+        F.when(F.col("k") % 97 == 0, F.col("cents") + 100).otherwise(F.col("cents")),
+    )
+    new = mutated.filter(F.col("k") % 101 != 0).unionAll(
+        base.filter(F.col("k") % 499 == 0).select(
+            (F.col("k") + 10000000).alias("k"),
+            F.lit("P").alias("st"),
+            F.col("cents"),
+            F.col("pri"),
+        )
+    )
+    diff = Q.snapshot_diff(base, new, ["k"], ["st", "cents", "pri"])
+    return diff.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@query(
+    "lineitem_flag_status_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS obs
+      FROM lineitem GROUP BY rf, ls
+    ),
+    rt AS (SELECT rf, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY rf),
+    ct AS (SELECT ls, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY ls),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.rf, cells.ls,
+             (obs - (r * c) / n.n) * (obs - (r * c) / n.n) / ((r * c) / n.n) AS term
+      FROM cells JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN n
+    ),
+    arr AS (
+      SELECT list(term ORDER BY rf, ls) AS ts,
+             COUNT(*) AS n_cells,
+             COUNT(DISTINCT rf) AS nr, COUNT(DISTINCT ls) AS nc
+      FROM terms
+    )
+    SELECT ROUND(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b), 6) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           n_cells
+    FROM arr
+    """,
+)
+def q_lineitem_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the (returnflag, linestatus)
+    contingency table — the categorical-association EDA step. All
+    inputs are exact integer counts; each cell's term uses the
+    identical operand order in both engines, and the final sum runs
+    over the cells in SORTED (rf, ls) order via an explicit
+    array-reduce — IEEE addition is not associative, so a plain SUM()
+    (engine-chosen order) would not hash-match. Broadcast joins of the
+    marginal totals onto the tiny cell frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy("rf").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = cells.groupBy("ls").agg(F.sum("obs").cast("bigint").alias("c"))
+    n = cells.agg(F.sum("obs").cast("bigint").alias("n"))
+    exp = (F.col("r") * F.col("c")) / F.col("n")
+    terms = (
+        cells.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rf",
+            "ls",
+            ((F.col("obs") - exp) * (F.col("obs") - exp) / exp).alias("term"),
+        )
+    )
+    arr = terms.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rf"), F.col("ls"), F.col("term")))
+        ).alias("ts"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("rf").alias("nr"),
+        F.countDistinct("ls").alias("nc"),
+    )
+    return arr.select(
+        F.round(
+            F.aggregate(
+                F.transform(F.col("ts"), lambda s: s["term"]),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.col("n_cells"),
+    )
