@@ -1517,3 +1517,46 @@ def q_lineitem_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
         F.col("n_cells"),
     )
+
+
+@query(
+    "events_users_linear_counting",
+    oracle="""
+    WITH bits AS (
+      SELECT DISTINCT ((CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               * 435550061 + 545270363) % 2305843009213693951) % 4096 AS bit
+      FROM events
+    )
+    SELECT 4096 AS m,
+           (SELECT COUNT(*) FROM bits) AS n_set_bits,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_distinct_exact,
+           ROUND(CAST(4096 - (SELECT COUNT(*) FROM bits) AS DOUBLE) / 4096, 6)
+             AS zero_frac
+    """,
+)
+def q_events_users_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear counting, the oracle-verifiable cardinality sketch: hash
+    each user into an m=4096-bit bitmap; the estimate is
+    −m·ln(zero_frac) (Whang et al.) — reported here through its EXACT
+    integer state (set-bit count, zero fraction) rather than the ln()
+    value, because libm log() is not bit-portable across engines. The
+    bitmap state is m bits regardless of stream length and merges by
+    OR — the same bounded-state story as HLL (events_daily_users_hll,
+    rows-only) but with a state the driver gate can hash-compare. One
+    distinct-shuffle over at most m short ints."""
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
+
+    m = 4096
+    events = load_table(spark, sf_dir, "events")
+    bit = (
+        (md5_hash32(F.col("user_id").cast("string")) * F.lit(435550061)
+         + F.lit(545270363))
+        % F.lit((1 << 61) - 1)
+    ) % F.lit(m)
+    n_set = events.select(bit.alias("bit")).distinct().count()
+    return events.agg(
+        F.lit(m).cast("bigint").alias("m"),
+        F.lit(n_set).cast("bigint").alias("n_set_bits"),
+        F.countDistinct("user_id").alias("n_distinct_exact"),
+        F.round(F.lit(float(m - n_set)) / m, 6).alias("zero_frac"),
+    )

@@ -639,3 +639,69 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
         .alias("first_sec_at_max"),
         F.lit(n_sessions).cast("bigint").alias("n_sessions"),
     )
+
+
+@query(
+    "events_mv_answered_daily",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    per_et AS (
+      SELECT day, event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c
+      FROM base GROUP BY day, event_type
+    ),
+    daily AS (
+      SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(c) AS BIGINT) AS cents
+      FROM per_et GROUP BY day
+    ),
+    top AS (
+      SELECT day, event_type AS top_type FROM per_et
+      QUALIFY row_number() OVER (PARTITION BY day
+                                 ORDER BY n DESC, event_type DESC) = 1
+    )
+    SELECT d.day, d.n_events, d.cents, t.top_type
+    FROM daily d JOIN top t ON d.day = t.day
+    """,
+)
+def q_events_mv_answered_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view answering: the query is served ENTIRELY from
+    the incrementally-maintained (day, event_type) rollup — base events
+    are only touched by the two delta merges that build the MV. Because
+    the maintained aggregates are mergeable counters, every answer
+    derivable from MV state (daily totals, integer-cent sums, dominant
+    type via struct-argmax) equals the one-shot base-table aggregate
+    bit-for-bit — which is exactly what the oracle computes from the
+    raw events. At 100 TB this is the rollup-serving pattern: queries
+    read O(groups) state, the daily merge reads O(delta + touched
+    buckets)."""
+    import os
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.operators import incremental as IC
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    target = tempfile.mkdtemp(prefix="mv_daily_")
+    os.rmdir(target)
+    for parity in (0, 1):
+        delta = events.filter(F.col("event_id") % 2 == parity).drop("event_id")
+        IC.merge_rollup_delta(
+            spark, target, delta, ["day", "event_type"], ["cents"]
+        )
+    mv = IC.read_rollup(spark, target)
+    return mv.groupBy("day").agg(
+        F.sum("n_rows").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.max(F.struct(F.col("n_rows"), F.col("event_type")))["event_type"].alias(
+            "top_type"
+        ),
+    )
