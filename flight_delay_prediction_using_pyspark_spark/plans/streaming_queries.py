@@ -600,3 +600,54 @@ def q_events_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
     )
+
+
+@query(
+    "events_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming parquet sink end-to-end: readStream →
+    manifest_parquet_sink (per-batch data directory + atomic commit
+    file — the simplified Delta/Iceberg log protocol) →
+    read_manifest_parquet (reads ONLY committed batches) → aggregate.
+    foreachBatch gives at-least-once; the committed-id skip makes the
+    table exactly-once under replay, and a crash between data write
+    and commit leaves invisible dead files, never wrong answers
+    (replay/crash paths are exercised in
+    tests/test_streaming.py::test_manifest_sink_*). The aggregate of
+    the round-tripped table matches the batch oracle exactly."""
+    ensure_utc(spark)
+    stage = tempfile.mkdtemp(prefix="stream_eos_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select(
+            "event_type",
+            F.floor(F.coalesce("value", F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="stream_eos_tgt_")
+    import shutil
+
+    shutil.rmtree(target)
+    with _scoped_state_partitions(spark):
+        S.manifest_parquet_sink(stream, target)
+    table = S.read_manifest_parquet(spark, target)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )

@@ -465,3 +465,81 @@ def interval_join(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def manifest_parquet_sink(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """EXACTLY-ONCE append parquet sink via a commit manifest — the
+    simplified form of the Delta/Iceberg transaction-log protocol,
+    built on foreachBatch's at-least-once + deterministic batch ids:
+
+    1. A replayed batch_id that is already committed is skipped
+       (idempotence under at-least-once redelivery).
+    2. Batch data lands in its own `data/batch=<id>/` directory; the
+       write can crash mid-flight without corrupting the table because
+       readers never list directories — they read the manifest.
+    3. The commit is one atomic file creation
+       (`manifest/<id>.commit` via temp + rename): a batch is either
+       fully visible or fully invisible. Dangling data from a crashed
+       write before its commit is dead weight, not wrong answers, and
+       a later replay of the same id overwrites it then commits.
+
+    `read_manifest_parquet` is the matching reader. At 100 TB the
+    manifest also carries per-batch file stats for pruning; here it is
+    the minimal correct protocol."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit_batch_to_manifest(batch_df, batch_id, target_dir)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def commit_batch_to_manifest(
+    batch_df: DataFrame, batch_id: int, target_dir: str
+) -> None:
+    """The sink's per-batch commit, exposed for replay/crash testing:
+    skip if committed, write `data/batch=<id>/`, then atomically
+    create `manifest/<id>.commit` (temp + rename)."""
+    import os
+
+    manifest = os.path.join(target_dir, "manifest")
+    os.makedirs(manifest, exist_ok=True)
+    commit_file = os.path.join(manifest, f"{batch_id}.commit")
+    if os.path.exists(commit_file):  # replayed, already committed
+        return
+    data_dir = os.path.join(target_dir, "data", f"batch={batch_id}")
+    batch_df.write.mode("overwrite").parquet(data_dir)
+    tmp = commit_file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"batch={batch_id}\n")
+    os.rename(tmp, commit_file)  # the atomic commit point
+
+
+def read_manifest_parquet(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read ONLY committed batches of a manifest_parquet_sink table:
+    list the manifest (tiny), scan exactly those batch directories.
+    Uncommitted/partial data directories are invisible by
+    construction."""
+    import os
+
+    manifest = os.path.join(target_dir, "manifest")
+    committed = sorted(
+        f[: -len(".commit")]
+        for f in os.listdir(manifest)
+        if f.endswith(".commit")
+    ) if os.path.isdir(manifest) else []
+    if not committed:
+        raise ValueError(f"no committed batches under {target_dir}")
+    paths = [
+        os.path.join(target_dir, "data", f"batch={b}") for b in committed
+    ]
+    return spark.read.parquet(*paths)

@@ -288,3 +288,33 @@ def test_cdc_merge_sink_upserts_across_batches(spark, tmp_path):
     }
     assert got == {1: (20, "c"), 2: (11, "b"), 3: (12, "d")}
 
+
+
+def test_manifest_sink_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering an already-committed batch id (foreachBatch's
+    at-least-once contract) must not duplicate rows."""
+    from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+
+    target = str(tmp_path / "eos")
+    df = spark.range(10).select(F.col("id"))
+    S.commit_batch_to_manifest(df, 0, target)
+    before = S.read_manifest_parquet(spark, target).count()
+    S.commit_batch_to_manifest(df, 0, target)  # replay
+    assert S.read_manifest_parquet(spark, target).count() == before == 10
+
+
+def test_manifest_sink_uncommitted_invisible(spark, tmp_path):
+    """Data written without its commit file (crash before the atomic
+    rename) must be invisible to the reader; a later replay of the
+    same id overwrites and commits it."""
+    from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+
+    target = str(tmp_path / "eos")
+    S.commit_batch_to_manifest(spark.range(5), 0, target)
+    # simulate a crashed batch 1: data lands, commit never happens
+    crashed = str(tmp_path / "eos/data/batch=1")
+    spark.range(100).write.mode("overwrite").parquet(crashed)
+    assert S.read_manifest_parquet(spark, target).count() == 5
+    # replay of batch 1 overwrites the dead files and commits
+    S.commit_batch_to_manifest(spark.range(7), 1, target)
+    assert S.read_manifest_parquet(spark, target).count() == 12
