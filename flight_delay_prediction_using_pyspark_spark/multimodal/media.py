@@ -224,3 +224,88 @@ def resize_meta(df: DataFrame, target_width: int, target_height: int) -> DataFra
             F.ceil(meta.n_bytes * scale).cast("long").alias("n_bytes"),
         ),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ci", T.IntegerType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+def phash_chunks(df: DataFrame, target: int = 8, chunk_bits: int = 16) -> DataFrame:
+    """Perceptual average-hash of each decoded media payload, emitted
+    as pigeonhole chunks: decode via the fake codec's 8×8 pixel grid
+    (same index arithmetic as decode_resize_stats), set bit j iff
+    pixel_j is above the mean — computed as the INTEGER comparison
+    64·px > Σpx, so no float ties — and pack bits into
+    64/chunk_bits chunk values. Output one (doc_id, chunk_idx, value)
+    row per chunk: the long shape joins directly for candidate
+    generation and Hamming verification without ever materializing a
+    64-bit integer (whose top bit would overflow signed longs)."""
+    src = df.filter(F.octet_length("payload") > 0).select(
+        "doc_id",
+        "payload",
+        F.greatest(F.col("media_meta.width"), F.lit(1)).alias("w"),
+        F.greatest(F.col("media_meta.height"), F.lit(1)).alias("h"),
+    )
+    t = target
+    n_bits = t * t
+    n_chunks = n_bits // chunk_bits
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                raw = bytes(payload)
+                n, w, h = len(raw), int(w), int(h)
+                px = [
+                    raw[(((r * h) // t) * w + (c * w) // t) % n]
+                    for r in range(t)
+                    for c in range(t)
+                ]
+                s = sum(px)
+                for ci in range(n_chunks):
+                    val = 0
+                    for b in range(chunk_bits):
+                        j = ci * chunk_bits + b
+                        if n_bits * px[j] > s:
+                            val |= 1 << b
+                    rows.append((int(doc_id), ci, val))
+            yield pd.DataFrame(rows, columns=["doc_id", "ci", "val"])
+
+    return src.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-dup pairs from phash chunks: candidates via the
+    pigeonhole equi-join (any pair within Hamming k agrees on ≥1 of
+    k+1 chunks — recall 1.0 for k ≤ n_chunks−1), verified by exact
+    Hamming distance as Σ bit_count(xor(chunk_a, chunk_b)) over the
+    chunk rows — no 64-bit hash materialized, no all-pairs stage."""
+    ch = chunks.persist()
+    a = ch.select(F.col("ci"), F.col("val"), F.col("doc_id").alias("id_a"))
+    b = ch.select(F.col("ci"), F.col("val"), F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["ci", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ca = ch.select(F.col("doc_id").alias("id_a"), F.col("ci"), F.col("val").alias("va"))
+    cb = ch.select(F.col("doc_id").alias("id_b"), F.col("ci"), F.col("val").alias("vb"))
+    ham = (
+        cand.join(ca, "id_a")
+        .join(cb, ["id_b", "ci"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= max_hamming)

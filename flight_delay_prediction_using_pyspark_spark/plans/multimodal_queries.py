@@ -139,3 +139,61 @@ def q_media_decode_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     just schema-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_resize_stats(M.attach_media(docs), target=8)
+
+
+@query(
+    "media_phash_near_dup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(length(text) % 640, 1) AS w,
+             greatest(length(text) % 480, 1) AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+      SELECT doc_id, (r.g * 8 + c.g) AS j,
+             CAST(ascii(substring(
+               text,
+               1 + (((r.g * h) // 8) * w + ((c.g * w) // 8)) % n,
+               1)) AS BIGINT) AS v
+      FROM d, generate_series(0, 7) r(g), generate_series(0, 7) c(g)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, j,
+             CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS b
+      FROM px JOIN tot USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, j // 16 AS ci,
+             CAST(SUM(b * (1 << (j % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY doc_id, ci
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(SUM(bit_count(xor(a.val, b.val))) AS BIGINT) AS hamming
+      FROM cand
+      JOIN chunks a ON a.doc_id = id_a
+      JOIN chunks b ON b.doc_id = id_b AND b.ci = a.ci
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) near-duplicate detection over decoded
+    media: fake-codec 8×8 pixels → above-mean bits (integer compare,
+    no float ties) → 4×16-bit pigeonhole chunks → chunk equi-join
+    candidates → exact Hamming ≤ 3 via bit_count(xor). The multimodal
+    twin of SimHash text dedup: same pigeonhole recall guarantee, and
+    every stage is integer arithmetic the SQL oracle replays against
+    the same payload bytes. With a real codec, only the pixel source
+    changes (media.decode_with_codec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = M.phash_chunks(M.attach_media(docs))
+    return M.phash_near_dup(chunks, max_hamming=3)
