@@ -29,29 +29,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, SMOKE_SF_DIR)
 
 
-def _family(name: str) -> str:
-    """Semantic family of a catalog query: the defining module, with the
-    large core module split by name prefix (flights / ml / core)."""
-    mod = QUERIES[name].__module__.rsplit(".", 1)[-1]
-    if mod == "queries":
-        if name.startswith("flights_"):
-            return "flights"
-        if name.startswith("ml_"):
-            return "ml"
-        return "core"
-    return mod
+def _driver_attempted() -> set[str]:
+    """Union of query names the driver has already attempted in past
+    rounds' CORRECTNESS_r*.json files (green or not — an attempted row
+    exists either way, so re-running it wastes a verification slot)."""
+    attempted: set[str] = set()
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in sorted(os.listdir(repo)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            try:
+                with open(os.path.join(repo, fname)) as f:
+                    attempted |= set(json.load(f))
+            except (OSError, ValueError):
+                pass
+    return attempted
+
+
+# Previously-verified queries the round-2 judge asked to re-verify this
+# round regardless of rotation (VERDICT.md task 4: the C10 end-to-end
+# flights composite must have a fresh green row).
+_MUST_HAVE = ["flights_prepare_summary"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering hedges two possible driver budgets: the round-1 CORRECTNESS
-    run stopped after 50 entries, which could be either a time budget or
-    a count cap.  So the cheapest member of EVERY query family goes
-    first (a count-capped run still touches each family), followed by
-    the remaining entries cheapest-first by measured sf0.01 wall time
-    (a time-budgeted run verifies the maximum number of entries).
-    Unhinted (new) queries default to 0.3 s and land early.
+    Ordering (round-3 rotation, per VERDICT.md task 2): the driver caps
+    CORRECTNESS at 50 entries per round, so the slots must go to queries
+    with no driver row yet.  Order is:
+
+    1. must-have re-verifications the judge named explicitly,
+    2. oracle-backed queries never attempted by the driver,
+       cheapest-first (a time-budgeted run verifies the most entries),
+    3. oracle-backed queries already verified in past rounds,
+    4. oracle-less (rows-only) queries last — they consume slots for a
+       weaker check, so they only run once everything else is covered.
+
+    Past rounds' coverage is read from the CORRECTNESS_r*.json files the
+    driver leaves in the repo, so this rotation is self-maintaining:
+    each round's head is automatically the still-unverified tail.
+    Unhinted (new) queries default to 0.3 s and land early in tier 2.
     """
     try:
         with open(_COST_HINTS) as f:
@@ -59,13 +76,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except (OSError, KeyError, ValueError):
         hints = {}
     cost = lambda n: hints.get(n, 0.3)  # noqa: E731
-    by_cost = sorted(QUERIES, key=cost)
-    reps: dict[str, str] = {}
-    for n in by_cost:
-        reps.setdefault(_family(n), n)
-    head = sorted(reps.values(), key=cost)
-    rest = [n for n in by_cost if n not in set(head)]
-    return {n: QUERIES[n] for n in head + rest}
+    attempted = _driver_attempted()
+    must = [n for n in _MUST_HAVE if n in QUERIES]
+    fresh, seen, no_oracle = [], [], []
+    for n in sorted(QUERIES, key=cost):
+        if n in must:
+            continue
+        if n not in ORACLES:
+            no_oracle.append(n)
+        elif n in attempted:
+            seen.append(n)
+        else:
+            fresh.append(n)
+    return {n: QUERIES[n] for n in must + fresh + seen + no_oracle}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -113,8 +113,16 @@ def pagerank_integer(
     floor(pr_nbr/deg_nbr)) with all divisions integral (`div`), so the
     fixed-iteration result is engine-portable bit-for-bit. Symmetric
     graph ⇒ no dangling mass. Returns (node, pr)."""
-    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
-        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    # Persist the symmetrized edge list ONCE: every iteration joins
+    # against it, and without the persist each join would re-derive the
+    # whole upstream edge lineage (for co-purchase graphs that is the
+    # full pair-generation shuffle) per iteration. At cluster scale,
+    # pre-shuffling sym by src would additionally make the per-iteration
+    # join exchange-free; here the persist is the load-bearing part.
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .persist()
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select("src", F.lit(scale).cast("long").alias("pr"), "deg").persist()
@@ -125,8 +133,11 @@ def pagerank_integer(
             F.col("dst").alias("node"), F.expr("pr div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        # (src, deg) comes off the persisted ranks frame — no recompute
+        # of the degree aggregation each round.
         nxt = (
-            deg.join(sums, deg.src == sums.node, "left")
+            ranks.select("src", "deg")
+            .join(sums, ranks.src == sums.node, "left")
             .select(
                 F.col("src"),
                 (F.lit(base) + F.expr("coalesce((17 * s) div 20, 0)"))
@@ -139,4 +150,5 @@ def pagerank_integer(
         nxt.count()
         ranks.unpersist()
         ranks = nxt
+    sym.unpersist()
     return ranks.select(F.col("src").alias("node"), "pr")

@@ -73,21 +73,23 @@ def snapshot_diff(
     `added` / `deleted` / `changed` / `unchanged` via one full outer
     join on the key.
 
-    Rows are compared by a portable md5 row-hash over `compare_cols`
-    (cast to string, '|'-joined with a NULL sentinel) — at 100 TB the
-    shuffle carries (key, 8-byte hash) per side instead of whole rows,
-    and the same hash powers cross-engine/cross-snapshot audits. The
-    caller aggregates statuses or filters to the changed keys."""
-    sep = F.lit("|")
+    Rows are compared by a portable full-width (128-bit) md5 row-hash
+    over `compare_cols` (cast to string, '|'-joined with a NULL
+    sentinel) — at 100 TB the shuffle carries (key, 32-char hash) per
+    side instead of whole rows, and the same hash powers cross-engine/
+    cross-snapshot audits. Full width matters for a reconciliation
+    tool: a truncated 32-bit hash would silently misclassify a changed
+    row as unchanged with p≈2^-32 per row — certain to happen somewhere
+    at billions of rows — while 128 bits keeps the whole-table collision
+    probability negligible (~n²/2^129). The caller aggregates statuses
+    or filters to the changed keys."""
 
     def row_hash(df: DataFrame) -> Column:
         parts = [
             F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
             for c in compare_cols
         ]
-        return F.conv(
-            F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10
-        ).cast("long")
+        return F.md5(F.concat_ws("|", *parts))
 
     o = old.select(*key_cols, row_hash(old).alias("__h_old"))
     n = new.select(*key_cols, row_hash(new).alias("__h_new"))

@@ -193,7 +193,16 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of SimHash text dedup: same pigeonhole recall guarantee, and
     every stage is integer arithmetic the SQL oracle replays against
     the same payload bytes. With a real codec, only the pixel source
-    changes (media.decode_with_codec)."""
+    changes (media.decode_with_codec).
+
+    Oracle convention (same as the other media_* queries): the Spark
+    side samples UTF-8 payload BYTES (octet_length sizes, byte
+    values), while the DuckDB oracle indexes the text by CHARACTER
+    (ascii(substring(...)), length(text)). The two agree iff the
+    document text is pure ASCII — true for the driver's synthetic
+    testdata, asserted by test_multimodal's ascii-fixture check. For
+    arbitrary corpora the engine side (bytes) is the authoritative
+    semantics; the oracle would need a byte-indexed rewrite."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = M.phash_chunks(M.attach_media(docs))
     return M.phash_near_dup(chunks, max_hamming=3)

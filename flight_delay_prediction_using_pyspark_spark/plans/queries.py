@@ -1175,6 +1175,115 @@ def q_flights_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flights_tod_prediction_means",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT {_tod_sql('DepTime')} AS DepTime_TOD,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ArrDelay AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+             AS mean_actual,
+           ROUND(CAST(0.95 AS DOUBLE) * CAST(SUM(CAST(ArrDelay AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+             AS mean_pred
+    FROM flights
+    WHERE ArrDelay IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_flights_tod_prediction_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-time-window actual-vs-predicted report rollup
+    (/root/reference/tools/generate_report_figures.py:122-126:
+    `df.groupby(DepTime_TOD).agg(actual=mean(ArrDelay),
+    pred=mean(prediction))` — the data behind figure E). The same
+    deterministic 0.95-shrunk stand-in prediction as
+    flights_label_confusion keeps it SQL-expressible; both means are
+    derived from ONE exact integer SUM(ArrDelay) per group (mean_pred
+    = 0.95 · mean_actual algebraically), so no float-summation-order
+    divergence between engines can reach the hash."""
+    df = flights_df(spark).filter(F.col("ArrDelay").isNotNull())
+    df = add_time_of_day(df)
+    s = F.sum(F.col("ArrDelay").cast("long")).cast("double")
+    n = F.count(F.lit(1))
+    return df.groupBy("DepTime_TOD").agg(
+        n.alias("n"),
+        F.round(s / n, 6).alias("mean_actual"),
+        F.round(F.lit(0.95) * s / n, 6).alias("mean_pred"),
+    )
+
+
+@query(
+    "flights_residual_histogram",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()})
+    SELECT CAST(FLOOR(ArrDelay * CAST(0.95 AS DOUBLE) - ArrDelay) AS BIGINT) AS residual_bucket,
+           COUNT(*) AS n
+    FROM flights
+    WHERE ArrDelay IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_flights_residual_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-distribution histogram
+    (/root/reference/tools/generate_report_figures.py:43-68: res =
+    prediction − actual, histplot bins — figure B). Width-1-minute
+    integer buckets via FLOOR of the residual; the subtraction is done
+    in the same order as the reference (pred − actual) and both
+    engines evaluate the identical IEEE-double expression, so FLOOR is
+    bit-deterministic. Distributed shape: one map + one groupBy on a
+    small integer key — the figure's input at any scale."""
+    df = flights_df(spark).filter(F.col("ArrDelay").isNotNull())
+    residual = F.col("ArrDelay") * 0.95 - F.col("ArrDelay")
+    return (
+        df.select(F.floor(residual).cast("long").alias("residual_bucket"))
+        .groupBy("residual_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "flights_residual_summary",
+    oracle=f"""
+    WITH flights AS ({flights_gen_sql()}),
+    r AS (
+      SELECT ArrDelay * CAST(0.95 AS DOUBLE) - ArrDelay AS res,
+             CAST(ArrDelay AS DOUBLE) AS y,
+             ArrDelay * CAST(0.95 AS DOUBLE) AS yhat
+      FROM flights WHERE ArrDelay IS NOT NULL
+    )
+    SELECT COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(FLOOR(res * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(*), 6) AS mean_residual,
+           ROUND(quantile_cont(res, 0.5), 6) AS median_residual,
+           ROUND(CAST(SUM(CAST(FLOOR(ABS(yhat - y) * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(*), 6) AS mae_cents
+    FROM r
+    """,
+)
+def q_flights_residual_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual figure's annotation metrics
+    (/root/reference/tools/generate_report_figures.py:75-77 mean/median
+    markers; :83-85 MAE). Float sums are made order-independent by
+    summing FLOOR(value·100) integer centiminutes — the L9 evaluator
+    (ml/train.evaluate_regression) computes the true float MAE/RMSE;
+    this catalog entry is its hash-checkable integer twin."""
+    df = flights_df(spark).filter(F.col("ArrDelay").isNotNull())
+    res = F.col("ArrDelay") * 0.95 - F.col("ArrDelay")
+    yhat_err = F.abs(F.col("ArrDelay") * 0.95 - F.col("ArrDelay").cast("double"))
+    proj = df.select(
+        res.alias("res"),
+        F.floor(res * 100).cast("long").alias("res_c"),
+        F.floor(yhat_err * 100).cast("long").alias("err_c"),
+    )
+    n = F.count(F.lit(1))
+    stats = proj.agg(
+        n.alias("n"),
+        F.round(F.sum("res_c").cast("double") / 100 / n, 6).alias("mean_residual"),
+        F.round(F.expr("percentile(res, 0.5)"), 6).alias("median_residual"),
+        F.round(F.sum("err_c").cast("double") / 100 / n, 6).alias("mae_cents"),
+    )
+    return stats
+
+
+@query(
     "flights_prepare_summary",
     oracle=f"""
     WITH flights AS ({flights_gen_sql()}),
@@ -1390,20 +1499,43 @@ def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L10 CrossValidator surface (notebook cells 17-18): 3-fold CV
     over a maxDepth×maxBins grid on the shared encoded frame, one row
     per grid point with its avgMetrics RMSE and a best-params flag.
-    Rows-only check (CV training is iterative, not SQL-expressible);
-    the grid is kept to 2 points so the catalog entry demonstrates the
-    operator without dominating round runtime (the full reference grid
-    runs through the same ml.train.cross_validation_summary)."""
+    Rows-only check (CV training is iterative, not SQL-expressible) —
+    so the query is SELF-CHECKING: it also emits the shape contract
+    the fold metrics must satisfy (one row per grid point, exactly one
+    best, every RMSE finite and positive) pre-evaluated into a single
+    `contract_ok` boolean, making the driver's weaker rows-only pass
+    meaningful (any broken run surfaces as contract_ok=false, visible
+    in the recorded rows). The grid is kept to 2 points so the catalog
+    entry demonstrates the operator without dominating round runtime
+    (the full reference grid runs through the same
+    ml.train.cross_validation_summary)."""
+    import math
+
     from flight_delay_prediction_using_pyspark_spark.ml.train import (
         cross_validation_summary,
     )
 
+    depth_grid, bins_grid = [5, 10], [60]
     _, encoded = _encoded_flights(spark)
     rows = cross_validation_summary(
-        encoded, max_depth_grid=[5, 10], max_bins_grid=[60]
+        encoded, max_depth_grid=depth_grid, max_bins_grid=bins_grid
     )
+    expected = len(depth_grid) * len(bins_grid)
+    n_best = sum(1 for r in rows if r[3])
+    finite = all(math.isfinite(r[2]) and r[2] > 0 for r in rows)
+    best_is_min = all(
+        r[2] == min(x[2] for x in rows) for r in rows if r[3]
+    )
+    contract_ok = (
+        len(rows) == expected and n_best == 1 and finite and best_is_min
+    )
+    out = [
+        r + (expected, n_best, finite, contract_ok) for r in rows
+    ]
     return spark.createDataFrame(
-        rows, "max_depth int, max_bins int, avg_rmse double, is_best boolean"
+        out,
+        "max_depth int, max_bins int, avg_rmse double, is_best boolean, "
+        "grid_size int, n_best int, metrics_finite boolean, contract_ok boolean",
     )
 
 

@@ -1371,9 +1371,7 @@ def q_orders_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DIFF_HASH_SQL = (
-    "CAST(concat('0x', substr(md5(concat_ws('|', st, CAST(cents AS VARCHAR), pri)), 1, 8)) AS BIGINT)"
-)
+_DIFF_HASH_SQL = "md5(concat_ws('|', st, CAST(cents AS VARCHAR), pri))"
 
 
 @query(
@@ -1406,7 +1404,7 @@ _DIFF_HASH_SQL = (
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/quality.snapshot_diff): diff
     two table versions into added/deleted/changed/unchanged counts via
-    ONE full outer join that shuffles (key, 8-byte row-hash) instead
+    ONE full outer join that shuffles (key, 128-bit row-hash) instead
     of whole rows — the audit pass a migration or CDC pipeline runs
     before cutover. The 'new' snapshot is a deterministic mutation of
     orders (price bump on keys %97, deletes on %101, inserts on %499)

@@ -586,11 +586,12 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT st AS sec, 1 AS delta FROM spans
       UNION ALL
       SELECT en + 1, -1 FROM spans
+    ), net AS (
+      SELECT sec, SUM(delta) AS net FROM d GROUP BY sec
     ), r AS (
       SELECT sec,
-             SUM(delta) OVER (ORDER BY sec, delta DESC
-                              ROWS UNBOUNDED PRECEDING) AS run
-      FROM d
+             SUM(net) OVER (ORDER BY sec ROWS UNBOUNDED PRECEDING) AS run
+      FROM net
     )
     SELECT CAST(MAX(run) AS BIGINT) AS max_concurrent,
            CAST(MIN(CASE WHEN run = (SELECT MAX(run) FROM r) THEN sec END) AS BIGINT)
@@ -607,9 +608,11 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     user_id; the sweep runs over SESSION BOUNDARIES (two rows per
     session, ~n_sessions ≪ n_events), so the single-partition global
     window is a deliberate small-side sort, like orders_monthly_trend.
-    Peak value and first peak second are tie-order independent (all
-    +1s at a second sort before its -1s; permuting equal deltas never
-    changes the post-group running value)."""
+    Deltas are aggregated to a NET value per second before the running
+    sum, so the peak reads only post-second values — a session starting
+    at second X+1 is never transiently counted alongside one that ended
+    at X, and the result is tie-order independent by construction (no
+    intra-second ordering exists to get wrong)."""
     ensure_utc(spark)
     from pyspark.sql import Window
 
@@ -623,10 +626,11 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     d = spans.select(F.col("st").alias("sec"), F.lit(1).alias("delta")).unionAll(
         spans.select((F.col("en") + 1).alias("sec"), F.lit(-1).alias("delta"))
     )
-    w = Window.orderBy(F.asc("sec"), F.desc("delta")).rowsBetween(
+    net = d.groupBy("sec").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("sec").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    r = d.select("sec", F.sum("delta").over(w).alias("run"))
+    r = net.select("sec", F.sum("net").over(w).alias("run"))
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

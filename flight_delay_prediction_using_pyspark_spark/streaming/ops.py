@@ -532,10 +532,16 @@ def read_manifest_parquet(spark: SparkSession, target_dir: str) -> DataFrame:
     import os
 
     manifest = os.path.join(target_dir, "manifest")
+    # Numeric sort on the parsed batch ids: a string sort would order
+    # 'batch=10' before 'batch=2', which silently breaks any consumer
+    # that relies on commit order (e.g. CDC-style replay).
     committed = sorted(
-        f[: -len(".commit")]
-        for f in os.listdir(manifest)
-        if f.endswith(".commit")
+        (
+            f[: -len(".commit")]
+            for f in os.listdir(manifest)
+            if f.endswith(".commit")
+        ),
+        key=int,
     ) if os.path.isdir(manifest) else []
     if not committed:
         raise ValueError(f"no committed batches under {target_dir}")

@@ -164,10 +164,15 @@ def argmax_label(scores: dict[str, Column], default: str = "und") -> Column:
     resolve to the largest ni = the EARLIEST label. Each score appears
     exactly once in the plan."""
     langs = list(scores)
+    # Scores compare as doubles: exact for integer-valued scores up to
+    # 2^53 (every current caller is a small hit-count) and correct —
+    # not silently truncated — for any future fractional-valued caller.
+    # The double cast also lets one call mix int- and double-typed
+    # score expressions (F.array needs a uniform struct type).
     pairs = F.array(
         *[
             F.struct(
-                scores[lang].cast("long").alias("s"),
+                scores[lang].cast("double").alias("s"),
                 F.lit(-i).alias("ni"),
             )
             for i, lang in enumerate(langs)
