@@ -1558,3 +1558,105 @@ def q_events_users_linear_counting(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("user_id").alias("n_distinct_exact"),
         F.round(F.lit(float(m - n_set)) / m, 6).alias("zero_frac"),
     )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                    / COUNT(*)) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pk = l_partkey
+    WHERE p_brand = 'Brand#4' AND l_quantity < threshold
+    """,
+)
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average quantity — the
+    canonical correlated-scalar-subquery query, decorrelated the way
+    every engine's optimizer does it: pre-aggregate per-part averages,
+    then equi-join. Scale shape: the per-part agg and the fact join
+    both shuffle on l_partkey, so AQE can reuse co-partitioning; the
+    brand filter broadcasts (part is dim-sized) and prunes BEFORE the
+    threshold join. Exact-decimal sums keep the float column
+    hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * (A.exact_decimal_sum("l_quantity") / F.count(F.lit(1))))
+        .alias("threshold")
+    )
+    small = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        F.round(A.exact_decimal_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 6) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the maximum — the classic
+    view-plus-scalar-subquery pattern. Spark-first shape: the revenue
+    rollup is computed ONCE into a persisted frame used both as the
+    max source and the join side (the reference SQL's CREATE VIEW);
+    the scalar max attaches via a broadcast single-row crossJoin (no
+    driver collect), and the supplier dimension broadcasts. Exact
+    decimal revenue makes the equality predicate safe — with float
+    sums, `= MAX(...)` is exactly the kind of comparison that breaks."""
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            A.exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("total_revenue")
+        )
+        .persist()
+    )
+    top = with_global_agg(rev, F.max("total_revenue"), out_col="mx").filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        top.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+    )
+    return out

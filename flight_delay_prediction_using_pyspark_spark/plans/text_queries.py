@@ -1171,3 +1171,119 @@ def q_doc_token_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K, _WINNOW_W = 4, 5
+
+# Shared oracle CTEs, entirely in DuckDB list-land (scalar
+# generate_series returns a LIST; lateral table-function args over
+# columns are not supported) — a term-for-term replay of the Spark
+# Column expression: k-gram hash list, then per-window list_min over
+# w-wide slices, distinct, unnest.
+_WINNOW_CTES = f"""d AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), d2 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_WINNOW_K}
+                  THEN list_transform(
+                         generate_series(1, len(t) - {_WINNOW_K - 1}),
+                         i -> {_md5i(f"array_to_string(t[i : i + {_WINNOW_K - 1}], ' ')")})
+                  ELSE CAST([] AS BIGINT[]) END AS gh
+      FROM d
+    ), fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(gh) - {_WINNOW_W - 1}, 1)),
+               j -> list_min(gh[j : j + {_WINNOW_W - 1}])))) AS fp
+      FROM d2 WHERE len(gh) > 0
+    )"""
+
+
+def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted (doc_id, fp) winnowing-fingerprint frame per
+    (session, sf_dir), shared by the census and pairs queries — the
+    O(tokens) k-gram hashing pass dominates both. Repartitioned to the
+    session parallelism first: the testdata table is a single parquet
+    file, and an expensive map over one input split would otherwise
+    run single-task (the cluster-scale analogue is
+    files.maxPartitionBytes, but an explicit spread is what a one-file
+    table needs)."""
+    key = ("winnow", id(spark.sparkContext), sf_dir)
+    if key not in _PAIR_CACHE:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        _PAIR_CACHE[key] = docs.select(
+            "doc_id",
+            F.explode(
+                TA.winnowing_fingerprints("text", k=_WINNOW_K, w=_WINNOW_W)
+            ).alias("fp"),
+        ).persist()
+    return _PAIR_CACHE[key]
+
+
+@query(
+    "doc_winnowing_census",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    per_fp AS (
+      SELECT fp, COUNT(*) AS docs_sharing FROM fps GROUP BY fp
+    )
+    SELECT docs_sharing, COUNT(*) AS n_fingerprints
+    FROM per_fp GROUP BY docs_sharing
+    """,
+)
+def q_doc_winnowing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint census: select ~2/(w+1)-density local
+    fingerprints per document (analysis.winnowing_fingerprints — MOSS
+    algorithm, pure Column expression), explode, and histogram how many
+    documents share each fingerprint. The docs_sharing>1 tail IS the
+    copied-passage mass of the corpus — what a plagiarism / boilerplate
+    auditor reads first. Distributed shape: map-only fingerprinting,
+    one shuffle on the 32-bit fingerprint key, then a tiny histogram —
+    at 100 TB the shuffle carries (fp, doc_id) pairs at winnowed
+    density, a small fraction of token volume."""
+    fps = _winnow_fps_cached(spark, sf_dir)
+    per_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("docs_sharing"))
+    return per_fp.groupBy("docs_sharing").agg(
+        F.count(F.lit(1)).alias("n_fingerprints")
+    )
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_fps FROM pairs WHERE shared_fps >= 2
+    """,
+)
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware near-dup candidates: document pairs sharing ≥ 2
+    winnowing fingerprints — i.e. ≥ 2 selected k-gram passages in
+    common, the winnowing guarantee turning shared runs of ≥ k+w−1
+    tokens into shared fingerprints. Complements the position-blind
+    families (minhash = set overlap, simhash = token multiset): this
+    one localizes WHICH passages collide. Same scale shape as every
+    candidate generator here: equi-join on the fingerprint key, never
+    all-pairs; a hot boilerplate fingerprint shared by f docs fans out
+    f² — production corpora cap per-fp doc lists (the census query is
+    the monitor for that)."""
+    fps = _winnow_fps_cached(spark, sf_dir)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

@@ -308,3 +308,41 @@ def test_chunk_documents_count_sweep(spark):
         assert len(sizes) == expect_chunks, f"n={n}"
         for cid, sz in sizes:
             assert sz == min(64, toks - cid * 48), f"n={n} chunk={cid}"
+
+
+def test_winnowing_fingerprints_guarantee(spark):
+    """Winnowing (k=4, w=5): matches a literal Python replay, handles
+    short docs, and honors the shared-run guarantee (a common token run
+    of >= k+w-1 tokens => >= 1 shared fingerprint)."""
+    import hashlib
+    import re
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",
+        "",
+        "a b c d",
+        "PREFIX one two the quick brown fox jumps over the lazy dog xx",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", TA.winnowing_fingerprints("text").alias("fp")
+        ).collect()
+    }
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref(text, k=4, w=5):
+        toks = re.split(r"\s+", text.strip())
+        if len(toks) < k:
+            return []
+        hs = [md5_32(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        return sorted({min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))})
+
+    for i, t in enumerate(texts):
+        assert out[i] == ref(t), f"doc {i}"
+    # guarantee: docs 0 and 4 share a >= k+w-1 = 8 token run
+    assert set(out[0]) & set(out[4])
