@@ -46,8 +46,19 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """One-row frame: n_nodes, n_edges, n_wedges (undirected open
     wedge count Σ d(d-1)/2), n_triangles, global clustering
     coefficient ROUND(3·tri/wedges, 6). `edges` must be distinct with
-    a < b."""
-    deg = degrees(edges, a, b)
+    a < b.
+
+    The edge list and the degree frame are persisted for the duration
+    of the computation: `edges` has FIVE consumers here (two degree
+    scans, the orientation join, the wedge-close semi-join via `e`,
+    and the n_edges count), and without the persist each one re-runs
+    the caller's full edge-derivation lineage — for co-purchase
+    graphs that is the per-order pair-generation shuffle, five times.
+    All outputs are materialized eagerly so the caches can be released
+    before returning; the returned one-row frame is built from
+    literals."""
+    edges = edges.persist()
+    deg = degrees(edges, a, b).persist()
 
     def keyed(col_node: str, alias_prefix: str) -> DataFrame:
         return deg.select(
@@ -70,10 +81,12 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         )
         .select("o.src", "o.dst")
     )
-    # Total order for wedge-pair dedup must match the orientation order.
+    # Total order for wedge-pair dedup must match the orientation
+    # order. Persisted: the wedge self-join consumes od twice and the
+    # triangle close consumes e once more.
     od = e.join(
         deg.select(F.col("node").alias("dst"), F.col("deg").alias("dst_deg")), "dst"
-    )
+    ).persist()
     wedges = (
         od.alias("x")
         .join(od.alias("y"), F.col("x.src") == F.col("y.src"))
@@ -87,17 +100,21 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst"))
     )
     n_tri = wedges.join(e, ["src", "dst"], "left_semi").count()
-    base = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    dstats = deg.agg(
+    n_edges = edges.count()
+    drow = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
-    )
-    return base.crossJoin(dstats).select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
+    ).first()
+    spark = edges.sparkSession
+    od.unpersist()
+    deg.unpersist()
+    edges.unpersist()
+    return spark.range(1).select(
+        F.lit(drow["n_nodes"]).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(drow["n_wedges"]).cast("bigint").alias("n_wedges"),
         F.lit(n_tri).cast("bigint").alias("n_triangles"),
-        F.round(F.lit(3.0) * n_tri / F.col("n_wedges"), 6).alias("clustering"),
+        F.round(F.lit(3.0) * n_tri / F.lit(drow["n_wedges"]), 6).alias("clustering"),
     )
 
 

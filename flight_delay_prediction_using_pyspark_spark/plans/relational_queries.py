@@ -1660,3 +1660,116 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "lineitem_suppkey_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(MIN(c) AS BIGINT) AS min_per_key,
+           CAST(MAX(c) AS BIGINT) AS max_per_key,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_per_key,
+           ROUND(quantile_cont(c, 0.99), 6) AS p99_per_key,
+           ROUND(MAX(c) * COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS skew_ratio
+    FROM per_key
+    """,
+)
+def q_lineitem_suppkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the audit run BEFORE choosing a
+    shuffle strategy (plain hash join vs salting vs AQE skew split):
+    per-key row counts for a prospective shuffle key, summarized into
+    max/mean skew ratio and tail quantiles. skew_ratio ≈ 1 ⇒ uniform
+    (plain shuffle fine); skew_ratio ≫ partitions ⇒ the hot key
+    serializes one reducer and needs `layout.salted_join` or AQE skew
+    handling. Two-stage shape: the per-key count is a map-side-combined
+    groupBy on the key (partial aggs only move), the summary is a tiny
+    scalar agg — at 100 TB the wire carries one row per distinct key,
+    never fact rows. Exact integer counts; the only float outputs are
+    ROUND()ed ratios of integer sums, deterministic in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.count(F.lit(1))
+    return per_key.agg(
+        n.alias("n_keys"),
+        F.min("c").cast("bigint").alias("min_per_key"),
+        F.max("c").cast("bigint").alias("max_per_key"),
+        F.round(F.sum("c").cast("double") / n, 6).alias("mean_per_key"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_per_key"),
+        F.round(F.max("c") * n / F.sum("c").cast("double"), 6).alias("skew_ratio"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT ck,
+             ntile(4) OVER (ORDER BY recency_days ASC, ck ASC) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, ck ASC) AS f_q,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, ck ASC) AS m_q
+      FROM cust
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per-customer Recency (days since last order, measured from
+    the corpus max date so it's deterministic), Frequency (order
+    count), Monetary (exact integer cents), each quartiled with
+    ntile(4), then the 4×4×4 segment histogram. Quartile ordering ties
+    are broken on the customer key so bucket boundaries are
+    bit-identical across engines — unkeyed ntile is nondeterministic
+    under any parallel scan. Scale shape: one groupBy on o_custkey
+    (partial aggs), then three window passes over the CUSTOMER-grain
+    frame (≪ orders; single global sort each — at larger grain these
+    become range-partitioned sorts), then a tiny histogram agg. The
+    corpus max date attaches via scalar-agg broadcast, no driver
+    round-trip."""
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("decimal(30,0)")
+        .cast("long")
+    )
+    per_cust = orders.select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate"), cents.alias("cents")
+    ).groupBy("ck").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    with_max = with_global_agg(per_cust, F.max("last_order"), out_col="corpus_max")
+    cust = with_max.select(
+        "ck",
+        F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = cust.select(
+        "ck",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("ck"))).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("ck"))).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("ck"))).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

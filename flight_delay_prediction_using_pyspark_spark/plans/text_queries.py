@@ -1287,3 +1287,184 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training privacy pass)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL, _PII_PHONE, _PII_IP = (
+    TA.PII_PATTERNS["email"],
+    TA.PII_PATTERNS["phone"],
+    TA.PII_PATTERNS["ip"],
+)
+
+
+@query(
+    "doc_redaction_stats",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.0.' || (doc_id % 256) ELSE '' END AS text
+      FROM documents
+    ), scanned AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+             length(text) - length(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS chars_removed
+      FROM seeded
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(SUM(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+           CAST(SUM(n_email + n_phone + n_ip) AS BIGINT) AS total_matches,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed
+    FROM scanned
+    """,
+)
+def q_doc_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (analysis.redact_pii / pii_counts): scrub
+    emails / phone numbers / IPs and report match and size deltas —
+    the privacy pass every training-corpus pipeline runs before the
+    quality gates. The synthetic documents table contains no PII, so
+    the query SEEDS deterministic PII spans keyed on doc_id (same
+    snapshot-mutation pattern as orders_snapshot_diff) and the oracle
+    replays the identical injection; patterns are restricted to the
+    regex subset Java regex and RE2 share, so both engines scan
+    byte-identically. Map-only: counts and the redacted length fold
+    into one codegen stage, no shuffle before the final scalar agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = TA.pii_counts("text")
+    scanned = seeded.select(
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ip"].alias("n_ip"),
+        (F.length("text") - F.length(TA.redact_pii("text"))).cast("long").alias(
+            "chars_removed"
+        ),
+    )
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_email") > 0, 1).otherwise(0)).cast("bigint").alias("docs_with_email"),
+        F.sum(F.when(F.col("n_phone") > 0, 1).otherwise(0)).cast("bigint").alias("docs_with_phone"),
+        F.sum(F.when(F.col("n_ip") > 0, 1).otherwise(0)).cast("bigint").alias("docs_with_ip"),
+        F.sum(F.col("n_email") + F.col("n_phone") + F.col("n_ip")).cast("bigint").alias("total_matches"),
+        F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+    )
+
+
+def _minhash_accuracy_oracle() -> str:
+    """Estimator-accuracy oracle: candidate CTEs from _minhash_ctes
+    (threshold irrelevant — we read `cand` + `sig`, not `verified`),
+    unrolled component-match count, floor-scaled float summaries."""
+    k = TD.MINHASH_K
+    match_sql = " + ".join(
+        f"(CASE WHEN sa.sig[{i+1}] = sb.sig[{i+1}] THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+    WITH {_minhash_ctes(0.0)},
+    pairs AS (
+      SELECT id_a, id_b,
+             ({match_sql}) AS m,
+             CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
+                  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                  ELSE 0.0 END AS tj
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    ),
+    scaled AS (
+      SELECT m,
+             CAST(FLOOR(tj * 1000000) AS BIGINT) AS tj_u,
+             CAST(FLOOR(ABS(m / {k}.0 - tj) * 1000000) AS BIGINT) AS err_u
+      FROM pairs
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(CAST(SUM(m) AS DOUBLE) / {k} / COUNT(*), 6) AS mean_est,
+           ROUND(CAST(SUM(tj_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_true,
+           ROUND(CAST(SUM(err_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_abs_err,
+           ROUND(CAST(MAX(err_u) AS DOUBLE) / 1000000, 6) AS max_abs_err
+    FROM scaled
+    """
+
+
+@query("dedup_minhash_est_accuracy", oracle=_minhash_accuracy_oracle())
+def q_dedup_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash estimator — the
+    dedup-side analogue of ann_recall_eval: over every LSH candidate
+    pair, compare the signature estimate (matching components / k,
+    E[est] = true Jaccard, σ = sqrt(J(1-J)/k)) against the exact
+    shingle Jaccard, and summarize mean/max absolute error. This is
+    the query you run before trusting signature-only dedup at scale
+    (skipping the exact-verify join) or before resizing k. Float
+    summaries are floor-scaled integer sums; est = m/16 is a power-of-
+    two division, so every per-pair double is bit-identical in both
+    engines. Scale shape: reuses the persisted signature frame and the
+    banded candidate join — no all-pairs, no extra text scan."""
+    k = TD.MINHASH_K
+    sigs = _sigs_cached(spark, sf_dir)
+    cand = TD.lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    m = sum(
+        F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+        for i in range(k)
+    )
+    tj = TD.jaccard(F.col("sh_a"), F.col("sh_b"))
+    per = joined.select(
+        m.alias("m"),
+        F.floor(tj * 1000000).cast("long").alias("tj_u"),
+        F.floor(F.abs(m / float(k) - tj) * 1000000).cast("long").alias("err_u"),
+    )
+    n = F.count(F.lit(1))
+    return per.agg(
+        n.alias("n_pairs"),
+        F.round(F.sum("m").cast("double") / k / n, 6).alias("mean_est"),
+        F.round(F.sum("tj_u").cast("double") / 1000000 / n, 6).alias("mean_true"),
+        F.round(F.sum("err_u").cast("double") / 1000000 / n, 6).alias("mean_abs_err"),
+        F.round(F.max("err_u").cast("double") / 1000000, 6).alias("max_abs_err"),
+    )

@@ -141,6 +141,41 @@ def winnowing_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
     return F.element_at(F.transform(F.array(gram_hashes), pick), 1)
 
 
+#: PII-ish patterns a corpus-prep pipeline scrubs before training.
+#: Kept to syntax shared by Java regex (Spark) and RE2 (DuckDB) so the
+#: oracle can replay the scan verbatim: no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(col: Column | str, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-pattern match counts (the audit side of redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    patterns = patterns or PII_PATTERNS
+    return {
+        label: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for label, pat in patterns.items()
+    }
+
+
+def redact_pii(col: Column | str, patterns: dict[str, str] | None = None) -> Column:
+    """Scrub every PII pattern from the text, each replaced by its
+    labeled placeholder `<LABEL>` — the standard pre-training privacy
+    pass. Map-only regexp_replace chain (one pass per pattern), pure
+    JVM; at 100 TB this runs inside the same codegen stage as the
+    quality gates, no extra scan or shuffle. Patterns apply in dict
+    order — order matters when patterns overlap (emails are scrubbed
+    before the bare-IP pattern could match a host fragment)."""
+    c = F.col(col) if isinstance(col, str) else col
+    patterns = patterns or PII_PATTERNS
+    for label, pat in patterns.items():
+        c = F.regexp_replace(c, pat, f"<{label.upper()}>")
+    return c
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
     c = F.col(col) if isinstance(col, str) else col
