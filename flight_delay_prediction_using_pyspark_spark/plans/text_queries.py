@@ -571,6 +571,7 @@ def q_training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang="en",
         jaccard_threshold=0.5,
         parallelism=spark.sparkContext.defaultParallelism,
+        sigs=_sigs_cached(spark, sf_dir),
     )
     return kept.select(
         token_count(F.col("text")).alias("n_tokens"), F.col("quality")
@@ -988,6 +989,9 @@ def q_corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang="en",
         jaccard_threshold=0.5,
         parallelism=spark.sparkContext.defaultParallelism,
+        # whole-corpus signature cache: corpus0 ⊂ documents, so the
+        # survivors' signatures are a semi-join away (pure per-doc fn)
+        sigs=_sigs_cached(spark, sf_dir),
     )
     clean = TC.decontaminate(kept, bench).filter(~F.col("contaminated"))
     with_source = clean.select("doc_id", "text").join(

@@ -572,6 +572,7 @@ def prepare_training_corpus(
     lang: str | None = "en",
     jaccard_threshold: float = 0.5,
     parallelism: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus preparation — the composite a 100 TB
     LLM data pipeline runs nightly:
@@ -589,12 +590,26 @@ def prepare_training_corpus(
     shuffles only hashes; the LSH stage (4) sees only survivors.
     Returns the surviving documents with their quality/language
     columns attached.
+
+    `sigs`: an optional precomputed minhash_signatures frame covering
+    a SUPERSET of `df` (e.g. the whole-corpus signature cache). A
+    signature is a pure per-document function of its text, so the
+    survivors' signatures are recovered with one left-semi join on
+    doc_id instead of re-running the CPU-dominant shingle+sign stage —
+    the natural sharing when several corpus jobs run over one snapshot.
     """
     from flight_delay_prediction_using_pyspark_spark.text.analysis import (
         predict_language,
         quality_score,
     )
 
+    if parallelism:
+        # The gates tokenize every document several times — an
+        # expensive map that would otherwise run at the INPUT split
+        # count (the local testdata table is one parquet file = one
+        # task). Spread before any per-row work; at real scale the
+        # scan is already split and callers pass None.
+        df = df.repartition(parallelism)
     gated = df.withColumn("quality", F.round(quality_score(F.col("text")), 6)).withColumn(
         "pred_lang", predict_language(F.col("text"))
     )
@@ -613,8 +628,16 @@ def prepare_training_corpus(
         # dedup window re-execute per branch
         .persist()
     )
+    survivor_sigs = (
+        sigs.join(deduped.select("doc_id"), "doc_id", "left_semi").persist()
+        if sigs is not None
+        else None
+    )
     pairs = minhash_lsh_pairs(
-        deduped, threshold=jaccard_threshold, parallelism=parallelism
+        deduped,
+        threshold=jaccard_threshold,
+        parallelism=parallelism,
+        sigs=survivor_sigs,
     )
     clusters = connected_components(pairs)
     return dedup_keep_canonical(deduped, clusters)
