@@ -382,3 +382,38 @@ def test_bloom_prune_mapside_and_effective(spark):
     )
     assert n_true <= n_probed < n_all * 0.5, (n_true, n_probed, n_all)
     assert n_exchanges(plan_of(probed)) == 0
+
+
+def test_q17_broadcasts_part_and_partial_aggs(spark):
+    """TPC-H Q17: the brand-filtered part dim must broadcast (never
+    SMJ against lineitem), the per-part average is a partial-agg
+    groupBy, and no cartesian product sneaks in."""
+    plan = plan_of(QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_CORRECTNESS_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_skew_profile_two_stage_agg(spark):
+    """Key-skew diagnostic: per-key count shuffles once on the key
+    (partial aggs), the summary collapses to a single-partition scalar
+    agg — 2 exchanges total, no wide rows on the wire."""
+    plan = plan_of(QUERIES["lineitem_suppkey_skew_profile"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) <= 2
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_redaction_is_map_only_before_final_agg(spark):
+    """PII redaction audit: seeding, scanning, and redacted-length
+    deltas all fold into the scan stage — the only exchange is the
+    final single-row aggregate."""
+    plan = plan_of(QUERIES["doc_redaction_stats"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_pairs_no_cartesian(spark):
+    """Winnowing near-dup candidates come from an equi-join on the
+    fingerprint key — never an all-pairs product."""
+    plan = plan_of(QUERIES["dedup_winnowing_pairs"](spark, SF_CORRECTNESS_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
