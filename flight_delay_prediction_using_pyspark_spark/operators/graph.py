@@ -57,7 +57,14 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     All outputs are materialized eagerly so the caches can be released
     before returning; the returned one-row frame is built from
     literals."""
-    edges = edges.persist()
+    # Respect a caller-managed cache: if `edges` is already persisted
+    # (e.g. the catalog's shared co-purchase edge cache), do not
+    # re-persist and — critically — do not unpersist it on exit
+    # (unpersist matches by plan equality, so it would evict the
+    # caller's entry too).
+    manage = str(edges.storageLevel) == "StorageLevel(False, False, False, False, 1)"
+    if manage:
+        edges = edges.persist()
     deg = degrees(edges, a, b).persist()
 
     def keyed(col_node: str, alias_prefix: str) -> DataFrame:
@@ -108,7 +115,8 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     spark = edges.sparkSession
     od.unpersist()
     deg.unpersist()
-    edges.unpersist()
+    if manage:
+        edges.unpersist()
     return spark.range(1).select(
         F.lit(drow["n_nodes"]).cast("bigint").alias("n_nodes"),
         F.lit(n_edges).cast("bigint").alias("n_edges"),
@@ -140,7 +148,8 @@ def pagerank_integer(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .persist()
-    )
+    )  # sym is a new plan (union), so persisting it never collides
+    # with a caller-managed cache on `edges` itself.
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select("src", F.lit(scale).cast("long").alias("pr"), "deg").persist()
     ranks.count()
@@ -169,3 +178,62 @@ def pagerank_integer(
         ranks = nxt
     sym.unpersist()
     return ranks.select(F.col("src").alias("node"), "pr")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    a: str = "a",
+    b: str = "b",
+    partitions: int = 8,
+) -> list[tuple[int, int, int]]:
+    """k-core peeling, fixed number of rounds: each round drops every
+    node whose remaining degree is < k, then drops edges touching a
+    dropped node. Returns [(round, n_nodes, n_edges)] with n_nodes =
+    distinct endpoints of the surviving edge set — the standard
+    community-core / spam-subgraph extraction primitive. Fixed rounds
+    (not run-to-fixpoint) keep the computation replayable by an
+    unrolled SQL oracle, same convention as pagerank_integer; at a
+    fixpoint round the counts simply stop changing.
+
+    Scale shape: per round one degree aggregation + two left-semi
+    joins, all keyed on node ids; the shrinking edge frame is
+    persisted per round and unpersisted after its successor
+    materializes (lineage stays O(1) deep). Per round exactly ONE job
+    runs: the degree frame of the new edge set yields both counts
+    (n_nodes = rows, n_edges = Σdeg/2). The edge frame is compacted to
+    a handful of partitions up front — peeling graphs are orders of
+    magnitude smaller than their source tables, and iterative jobs pay
+    per-task overhead every round; at genuinely large graphs pass a
+    higher `partitions`."""
+    cur = (
+        edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+        .repartition(partitions)
+        .persist()
+    )
+    cur.count()
+    out: list[tuple[int, int, int]] = []
+    for r in range(1, rounds + 1):
+        deg = degrees(cur, "a", "b")
+        # Broadcast the survivor set: |nodes|-sized, tiny relative to
+        # edges on any peeling-worthy graph, and it turns both semi-
+        # joins into map-side broadcast joins (no shuffle of the edge
+        # frame per round). For graphs whose node set outgrows the
+        # broadcast threshold, drop the hint and these become shuffle
+        # semi-joins on the node key — same semantics.
+        keep = F.broadcast(deg.filter(F.col("deg") >= k).select("node"))
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .persist()
+        )
+        drow = degrees(nxt, "a", "b").agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        ).first()
+        cur.unpersist()
+        cur = nxt
+        out.append((r, int(drow["n_nodes"]), int(drow["deg_sum"] or 0) // 2))
+    cur.unpersist()
+    return out

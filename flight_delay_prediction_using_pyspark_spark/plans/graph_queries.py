@@ -32,6 +32,23 @@ e AS (
 """
 
 
+#: One persisted co-purchase edge frame per (session, sf_dir): all
+#: graph queries (triangles, PageRank, k-core) read the SAME edge set,
+#: and its derivation (lineitem self-join + distinct-order support
+#: count) dominates each query's cost. Callers receive a select("*")
+#: wrapper so the operators' own persist/unpersist bookkeeping cannot
+#: drop the shared cache (the cache manager still substitutes the
+#: cached subtree into the wrapper's plan).
+_GRAPH_CACHE: dict = {}
+
+
+def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = copurchase_edges(spark, sf_dir).persist()
+    return _GRAPH_CACHE[key].select("*")
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (a<b) co-purchase edges with support ≥2. One self-join
     on l_orderkey (bounded fan-out: ≤ lines-per-order²) plus one agg
@@ -82,7 +99,7 @@ def q_copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds wedge fan-out by out-degree ≤ O(√m) — the standard
     hub-taming trick; the oracle counts the same triangles with the
     naive id-ordered 3-join (fine at oracle scale)."""
-    return G.triangle_stats(copurchase_edges(spark, sf_dir))
+    return G.triangle_stats(_edges_cached(spark, sf_dir))
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:
@@ -122,9 +139,54 @@ def q_copurchase_pagerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. The oracle unrolls the same three iterations as CTE layers
     — bit-identical because every step floors through integer
     division."""
-    pr = G.pagerank_integer(copurchase_edges(spark, sf_dir), iters=3)
+    pr = G.pagerank_integer(_edges_cached(spark, sf_dir), iters=3)
     return (
         pr.orderBy(F.desc("pr"), F.asc("node"))
         .limit(10)
         .select(F.col("node").alias("part"), "pr")
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds as CTE layers (same replay convention
+    as the PageRank oracle)."""
+    layers = []
+    rows = []
+    for r in range(1, rounds + 1):
+        prev = f"s{r-1}"
+        layers.append(f"""
+    d{r} AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+      ) GROUP BY node
+    ),
+    k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+    s{r} AS (
+      SELECT a, b FROM {prev}
+      WHERE a IN (SELECT node FROM k{r}) AND b IN (SELECT node FROM k{r})
+    )""")
+        rows.append(
+            f"SELECT {r} AS round, "
+            f"(SELECT COUNT(DISTINCT node) FROM "
+            f"(SELECT a AS node FROM s{r} UNION ALL SELECT b FROM s{r})) AS n_nodes, "
+            f"(SELECT COUNT(*) FROM s{r}) AS n_edges"
+        )
+    return f"""
+    WITH {_EDGES_SQL},
+    s0 AS (SELECT a, b FROM e),{",".join(layers)}
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@query("copurchase_kcore_peel", oracle=_kcore_oracle(2, 3))
+def q_copurchase_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling over the co-purchase graph, 3 rounds
+    (operators/graph.kcore_peel): per-round surviving node and edge
+    counts — how fast the graph's periphery (degree-1 chains) melts
+    away, leaving the dense co-purchase cores that recommendation /
+    fraud pipelines mine. Exact integer degrees ⇒ the unrolled-CTE
+    oracle replays every round bit-for-bit."""
+    stats = G.kcore_peel(_edges_cached(spark, sf_dir), k=2, rounds=3)
+    return spark.createDataFrame(
+        stats, "round int, n_nodes bigint, n_edges bigint"
     )

@@ -50,3 +50,23 @@ def test_pagerank_deterministic_rerun(spark):
     a = sorted(G.pagerank_integer(_edges(spark, K4_PLUS), iters=2).collect())
     b = sorted(G.pagerank_integer(_edges(spark, K4_PLUS), iters=2).collect())
     assert a == b
+
+
+def test_kcore_peel_known_graph(spark):
+    """Triangle + pendant chain: round 1 of 2-core peeling drops the
+    chain (degree-1 nodes peel one hop per round), leaving the
+    triangle as the stable 2-core."""
+    from flight_delay_prediction_using_pyspark_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    stats = G.kcore_peel(edges, k=2, rounds=3)
+    # round 1: node 5 (deg 1) peels -> edge (4,5) gone; 4 keeps (3,4)? no:
+    # after dropping 5, node 4 had deg 2 BEFORE the peel decision, so
+    # round 1 keeps nodes {1,2,3,4} minus deg<2 = drops 5 only.
+    assert stats[0] == (1, 4, 4)
+    # round 2: node 4 now deg 1 -> dropped; triangle remains
+    assert stats[1] == (2, 3, 3)
+    # round 3: fixpoint — counts stop changing
+    assert stats[2] == (3, 3, 3)
