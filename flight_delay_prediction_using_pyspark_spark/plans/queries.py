@@ -1406,6 +1406,27 @@ def _trained_tree(spark: SparkSession):
     return _TREE_CACHE[key]
 
 
+def _metrics_row(spark: SparkSession, metrics: dict, n_val: int) -> DataFrame:
+    """Shared (mae, rmse, n_val, contract_ok) row for the rows-only
+    estimator queries: the driver's weaker rows-only check becomes
+    meaningful because a broken training run (NaN/zero metrics, empty
+    validation split, rmse < mae — impossible for real residuals)
+    surfaces as contract_ok=false in the recorded row."""
+    import math
+
+    mae, rmse = float(metrics["mae"]), float(metrics["rmse"])
+    ok = (
+        math.isfinite(mae)
+        and math.isfinite(rmse)
+        and 0 < mae <= rmse
+        and n_val > 0
+    )
+    return spark.createDataFrame(
+        [(mae, rmse, n_val, ok)],
+        "mae double, rmse double, n_val long, contract_ok boolean",
+    )
+
+
 @query("ml_decision_tree_metrics")
 def q_ml_decision_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7+L9 (/root/reference/src/main/helper_methods.py:301,341-369):
@@ -1414,10 +1435,7 @@ def q_ml_decision_tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, val_preds = _trained_tree(spark)
     metrics = evaluate_regression(val_preds)
     n_val = val_preds.count()
-    return spark.createDataFrame(
-        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
-        "mae double, rmse double, n_val long",
-    )
+    return _metrics_row(spark, metrics, n_val)
 
 
 @query("ml_feature_importance")
@@ -1436,9 +1454,19 @@ def q_ml_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = extract_feature_importance(
         model, encoded, top_k=10, numeric_cols=P.NUMERIC_FEATURES
     )
+    # self-check for the rows-only gate: <= 10 rows, every importance
+    # in [0, 1], non-increasing order (extract sorts by score), and
+    # the top-k mass cannot exceed the full vector's total of 1.
+    scores = [score for _, score in top]
+    ok = (
+        len(top) <= 10
+        and all(0.0 <= x <= 1.0 for x in scores)
+        and all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+        and sum(scores) <= 1.0 + 1e-9
+    )
     return spark.createDataFrame(
-        [(name, round(score, 6)) for name, score in top],
-        "feature string, importance double",
+        [(name, round(score, 6), ok) for name, score in top],
+        "feature string, importance double, contract_ok boolean",
     )
 
 
@@ -1450,10 +1478,7 @@ def q_ml_linear_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFram
     _, val_preds = train_linear_regression(encoded)
     metrics = evaluate_regression(val_preds)
     n_val = val_preds.count()
-    return spark.createDataFrame(
-        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
-        "mae double, rmse double, n_val long",
-    )
+    return _metrics_row(spark, metrics, n_val)
 
 
 @query("ml_random_forest_metrics")
@@ -1473,10 +1498,7 @@ def q_ml_random_forest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, val_preds = train_random_forest(encoded, num_trees=10, max_depth=8)
     metrics = evaluate_regression(val_preds)
     n_val = val_preds.count()
-    return spark.createDataFrame(
-        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
-        "mae double, rmse double, n_val long",
-    )
+    return _metrics_row(spark, metrics, n_val)
 
 
 @query("ml_gbt_metrics")
@@ -1492,10 +1514,7 @@ def q_ml_gbt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, val_preds = train_gbt(encoded)
     metrics = evaluate_regression(val_preds)
     n_val = val_preds.count()
-    return spark.createDataFrame(
-        [(float(metrics["mae"]), float(metrics["rmse"]), n_val)],
-        "mae double, rmse double, n_val long",
-    )
+    return _metrics_row(spark, metrics, n_val)
 
 
 @query("ml_cross_validation")

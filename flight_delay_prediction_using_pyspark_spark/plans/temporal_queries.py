@@ -184,9 +184,19 @@ def q_lineitem_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lineitem = load_table(spark, sf_dir, "lineitem")
+    n_total = lineitem.count()
+    # self-check: n_sampled ~ Binomial(N, 0.1); ±6σ covers any healthy
+    # RNG, so contract_ok=false marks a broken sampler (e.g. fraction
+    # misapplied), not sampling noise.
+    import math
+
+    sigma6 = 6 * math.sqrt(n_total * 0.1 * 0.9)
     return bernoulli_sample(lineitem, 0.1).agg(
         F.count(F.lit(1)).alias("n_sampled"),
         A.exact_decimal_sum("l_quantity").alias("sum_qty"),
+        (
+            F.abs(F.count(F.lit(1)) - F.lit(0.1 * n_total)) <= F.lit(sigma6)
+        ).alias("contract_ok"),
     )
 
 
@@ -351,6 +361,13 @@ def q_events_daily_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.hll_sketch_estimate("sk").alias("approx_users"),
             "exact_users",
+            # self-check: lgConfigK=12 gives ~1.6% RSE; 10% is a >6σ
+            # bound, so contract_ok=false marks a genuinely broken
+            # sketch, not estimator noise.
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("contract_ok"),
         )
     )
 
