@@ -1390,6 +1390,14 @@ def q_ml_feature_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("dim").alias("feat_dim_min"),
         F.max("dim").alias("feat_dim_max"),
+        # self-check: a healthy pipeline encodes a non-empty frame
+        # with ONE constant vector width (assembler output is ragged
+        # only when an upstream stage broke).
+        (
+            (F.count(F.lit(1)) > 0)
+            & (F.min("dim") == F.max("dim"))
+            & (F.min("dim") > 0)
+        ).alias("contract_ok"),
     )
 
 

