@@ -346,3 +346,38 @@ def test_winnowing_fingerprints_guarantee(spark):
         assert out[i] == ref(t), f"doc {i}"
     # guarantee: docs 0 and 4 share a >= k+w-1 = 8 token run
     assert set(out[0]) & set(out[4])
+
+
+def test_redact_pii_patterns(spark):
+    """redact_pii / pii_counts: each pattern family found and scrubbed,
+    emails scrubbed before the IP pattern can bite host fragments, and
+    clean text passes through untouched."""
+    rows = [
+        (0, "mail me at alice.smith+x@sub.example.co.uk thanks"),
+        (1, "call 555-123-4567 or 555-000-1111 today"),
+        (2, "server 10.0.0.7 and 192.168.1.255 are up"),
+        (3, "no pii here at all"),
+        (4, "mixed: bob@x.io on 10.1.2.3 at 555-999-8888"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = TA.pii_counts("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ip"].alias("i"),
+            TA.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[0].e, out[0].p, out[0].i) == (1, 0, 0)
+    assert (out[1].e, out[1].p, out[1].i) == (0, 2, 0)
+    assert (out[2].e, out[2].p, out[2].i) == (0, 0, 2)
+    assert (out[3].e, out[3].p, out[3].i) == (0, 0, 0)
+    assert (out[4].e, out[4].p, out[4].i) == (1, 1, 1)
+    assert "<EMAIL>" in out[0].red and "@" not in out[0].red
+    assert out[1].red.count("<PHONE>") == 2
+    assert out[2].red.count("<IP>") == 2
+    assert out[3].red == rows[3][1]
+    assert all(tok in out[4].red for tok in ("<EMAIL>", "<PHONE>", "<IP>"))
