@@ -1472,3 +1472,68 @@ def q_dedup_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("err_u").cast("double") / 1000000 / n, 6).alias("mean_abs_err"),
         F.round(F.max("err_u").cast("double") / 1000000, 6).alias("max_abs_err"),
     )
+
+
+def _dedup_agreement_oracle() -> str:
+    """MinHash-verified pairs vs SimHash pairs, built from one WITH:
+    the minhash CTE chain (toks/sh/sig/bands/cand/verified) plus a
+    sx_-prefixed simhash chain reusing the same `toks`."""
+    bits, chunks = 32, 4
+    width = bits // chunks
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {j}) & 1 = 1)) - len(hs) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk, (simhash >> {c * width}) & {(1 << width) - 1} "
+        f"AS chunk_val FROM sx_sig"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH {_minhash_ctes(0.5)},
+    mh AS (SELECT id_a, id_b FROM verified),
+    sx_h AS (SELECT doc_id, list_transform(t, x -> {_md5i('x')}) AS hs FROM toks),
+    sx_sig AS (SELECT doc_id, {bit_terms} AS simhash FROM sx_h),
+    sx_chunks AS ({chunk_selects}),
+    sx_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sx_chunks a JOIN sx_chunks b
+        ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    ),
+    sh_pairs AS (
+      SELECT id_a, id_b
+      FROM sx_cand
+      JOIN sx_sig sa ON sa.doc_id = id_a
+      JOIN sx_sig sb ON sb.doc_id = id_b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    )
+    SELECT (SELECT COUNT(*) FROM mh) AS n_minhash,
+           (SELECT COUNT(*) FROM sh_pairs) AS n_simhash,
+           (SELECT COUNT(*) FROM mh JOIN sh_pairs USING (id_a, id_b)) AS n_both
+    """
+
+
+@query("dedup_family_agreement", oracle=_dedup_agreement_oracle())
+def q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup audit: how many near-dup pairs MinHash-LSH
+    (set overlap, Jaccard ≥ 0.5) and SimHash (token-multiset bit
+    votes, Hamming ≤ 3) each find, and how many they agree on. The
+    two families have different blind spots (MinHash ignores
+    repetition; SimHash is length-biased), so a production corpus
+    pipeline monitors this overlap before trusting either alone — a
+    collapse of n_both signals a corpus shift that broke one family's
+    assumptions. Reuses the cached signature frame for the MinHash
+    side; counts are exact integers."""
+    mh = _lsh_pairs_cached(spark, sf_dir, threshold=0.5).select("id_a", "id_b")
+    sh = TD.simhash_pairs(load_table(spark, sf_dir, "documents")).select(
+        "id_a", "id_b"
+    )
+    n_mh = mh.count()
+    n_sh = sh.count()
+    n_both = mh.join(sh, ["id_a", "id_b"]).count()
+    return spark.range(1).select(
+        F.lit(n_mh).cast("bigint").alias("n_minhash"),
+        F.lit(n_sh).cast("bigint").alias("n_simhash"),
+        F.lit(n_both).cast("bigint").alias("n_both"),
+    )
