@@ -1537,3 +1537,88 @@ def q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_sh).cast("bigint").alias("n_simhash"),
         F.lit(n_both).cast("bigint").alias("n_both"),
     )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes(0.5)},
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(node, peer) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.node, u2.v FROM reach r JOIN und u2 ON r.peer = u2.u
+    ),
+    clusters AS (
+      SELECT node AS doc_id, least(node, MIN(peer)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    sided AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS gid,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS side
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT CAST(SUM(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN side = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+           (SELECT COUNT(*) FROM verified v
+             JOIN sided a ON a.doc_id = v.id_a
+             JOIN sided b ON b.doc_id = v.id_b
+            WHERE a.side <> b.side) AS n_leaky_pairs
+    FROM sided
+    """,
+)
+def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split — the dedup-aware way to split a
+    corpus: documents are assigned to sides by the portable hash of
+    their NEAR-DUP CLUSTER id (connected components over the verified
+    MinHash pairs; singletons use their own id), so two near-duplicate
+    documents can never straddle the split and leak eval content into
+    training. n_leaky_pairs counts verified pairs crossing sides —
+    structurally zero here, and the metric a pipeline alarms on if the
+    split is ever keyed on doc_id instead. ~80/20 by hash mod 10.
+    Scale shape: clusters from the cached pair graph, one broadcast-
+    size join of the (tiny) cluster map onto the doc scan, exact
+    integer counts; the recursive-CTE oracle replays the same
+    components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_cached(spark, sf_dir, threshold=0.5)
+    clusters = TD.connected_components(pairs)
+    sided = docs.select("doc_id").join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("gid"),
+    ).select(
+        "doc_id",
+        F.when(
+            TA.md5_hash32(F.col("gid").cast("string")) % 10 < 8, "train"
+        ).otherwise("eval").alias("side"),
+    )
+    sided = sided.persist()
+    counts = sided.agg(
+        F.sum(F.when(F.col("side") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("side") == "eval", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval"),
+    )
+    leaky = (
+        pairs.join(
+            sided.select(F.col("doc_id").alias("id_a"), F.col("side").alias("side_a")),
+            "id_a",
+        )
+        .join(
+            sided.select(F.col("doc_id").alias("id_b"), F.col("side").alias("side_b")),
+            "id_b",
+        )
+        .filter(F.col("side_a") != F.col("side_b"))
+        .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
+    )
+    return counts.crossJoin(leaky)
