@@ -34,6 +34,7 @@ def merge_rollup_delta(
     sum_cols: Sequence[str],
     n_buckets: int = 16,
     batch_id: str | None = None,
+    sign: int = 1,
 ) -> None:
     """Fold one delta batch into the rollup target: pre-aggregate the
     delta (map-side partials + one shuffle on the keys), read ONLY the
@@ -51,7 +52,14 @@ def merge_rollup_delta(
     no-op, the same offsets-log discipline foreachBatch relies on.
     The ledger write happens after the data commit: a crash between
     the two re-applies the batch on retry, so ids must be stable
-    across retries (e.g. source partition/offset, never a timestamp)."""
+    across retries (e.g. source partition/offset, never a timestamp).
+
+    `sign=-1` RETRACTS: the delta's counts and sums merge negated —
+    the standard retractable-counter MV maintenance for deletes and
+    corrections (upstream rows withdrawn, late-arriving fixes).
+    Groups whose row counter reaches zero are dropped from the
+    maintained state, so a fully-retracted key disappears exactly as
+    if it had never been inserted."""
     import os
 
     ledger = os.path.join(target_dir, "_applied_batches")
@@ -59,8 +67,8 @@ def merge_rollup_delta(
         with open(ledger) as fh:
             if batch_id in {line.strip() for line in fh}:
                 return
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
-        F.sum(c).cast("long").alias(c) for c in sum_cols
+    aggs = [(F.count(F.lit(1)) * sign).cast("long").alias("n_rows")] + [
+        (F.sum(c) * sign).cast("long").alias(c) for c in sum_cols
     ]
     partial = (
         delta.groupBy(*key_cols)
@@ -80,6 +88,8 @@ def merge_rollup_delta(
                 F.sum("n_rows").cast("long").alias("n_rows"),
                 *[F.sum(c).cast("long").alias(c) for c in sum_cols],
             )
+            # fully-retracted groups leave the state entirely
+            .filter(F.col("n_rows") != 0)
         )
     else:
         merged = partial

@@ -726,3 +726,50 @@ def q_events_mv_answered_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_type"
         ),
     )
+
+
+@query(
+    "events_mv_retraction",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    WHERE event_id % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def q_events_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable-MV maintenance (operators/incremental, sign=-1):
+    build the daily rollup from ALL events, then RETRACT the
+    event_id%7==0 subset — deletes/corrections folded in as negated
+    counters, fully-retracted groups leaving the state. The query is
+    answered ENTIRELY from the maintained MV; the oracle aggregates
+    the base table minus the retracted rows, so a hash match proves
+    insert+retract ≡ never-inserted, bit-for-bit (mergeable integer-
+    cent counters). At 100 TB each merge touches only the key-hash
+    buckets its delta hits — the correction path that avoids
+    rebuilding a day's rollup for one withdrawn batch."""
+    import os
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.operators import incremental as IC
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    target = tempfile.mkdtemp(prefix="mv_retract_")
+    os.rmdir(target)
+    IC.merge_rollup_delta(spark, target, events.drop("event_id"), ["day"], ["cents"])
+    retract = events.filter(F.col("event_id") % 7 == 0).drop("event_id")
+    IC.merge_rollup_delta(spark, target, retract, ["day"], ["cents"], sign=-1)
+    mv = IC.read_rollup(spark, target)
+    return mv.select(
+        "day",
+        F.col("n_rows").cast("bigint").alias("n_events"),
+        F.col("cents").cast("bigint").alias("cents"),
+    )
