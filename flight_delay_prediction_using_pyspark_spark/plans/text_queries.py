@@ -1622,3 +1622,70 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
     )
     return counts.crossJoin(leaky)
+
+
+_DOC_PROFILE_AGG_SQL = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_web
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query("doc_source_jsonl_roundtrip", oracle=_DOC_PROFILE_AGG_SQL)
+def q_doc_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source coverage (sources.read_jsonl): write the documents
+    table as newline-delimited JSON, read it back with an EXPLICIT
+    schema (inference would be a second full scan at scale), and
+    aggregate — the hash match against the parquet-sourced oracle
+    proves the JSON round-trip is lossless for the profiled columns.
+    JSON is the wire format most raw LLM-corpus drops arrive in; the
+    explicit-schema read is the first stage of every such ingest."""
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    path = tempfile.mkdtemp(prefix="docs_jsonl_")
+    docs.write.mode("overwrite").json(path)
+    back = read_jsonl(
+        spark, path, "doc_id bigint, lang string, source string, text string"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("source") == "web", 1).otherwise(0))
+        .cast("long")
+        .alias("n_web"),
+    )
+
+
+@query("doc_source_orc_roundtrip", oracle=_DOC_PROFILE_AGG_SQL)
+def q_doc_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage (sources.read_orc): identical profile
+    aggregate through an ORC round-trip — same pushdown/pruning
+    machinery as parquet, the interchange format for Hive/Trino-first
+    lakehouses. Oracle reads the original parquet, so a hash match
+    proves the ORC path is lossless."""
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import read_orc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    path = tempfile.mkdtemp(prefix="docs_orc_")
+    docs.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("source") == "web", 1).otherwise(0))
+        .cast("long")
+        .alias("n_web"),
+    )

@@ -94,3 +94,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Newline-delimited JSON source. Always pass an explicit schema in
+    production: schema inference is a full extra pass over the data —
+    at 100 TB that is a second 100 TB scan before the first real job
+    runs. (Same discipline as read_csv's explicit-schema default.)"""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet, with predicate pushdown and
+    column pruning through the same DataSource V1/V2 machinery; the
+    interchange format when the lakehouse's other tenants are
+    Hive/Trino-first."""
+    return spark.read.orc(path)
