@@ -651,3 +651,50 @@ def q_events_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "events_cdc_merge_deletes",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) = 1
+    )
+    SELECT user_id, event_id, event_type, op
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def q_events_cdc_merge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with TOMBSTONES end-to-end: the change stream tags
+    event_id%13==0 rows as deletes ('D'); the foreachBatch merge
+    (streaming/ops.cdc_merge_sink, op_col='op') keeps the per-key
+    latest change and REMOVES keys whose latest change is a delete —
+    Debezium-style last-writer-wins compaction, batching-independent
+    because max(event_id) per key is associative regardless of which
+    op wins. The oracle QUALIFYs the same latest-change rule over the
+    batch table and drops keys ending in a delete; a hash match proves
+    upserts, deletes, and their interleavings all landed exactly."""
+    stage = tempfile.mkdtemp(prefix="cdc_del_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stage)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 13 == 0, "D").otherwise("U").alias("op"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="cdc_del_target_")
+    os.rmdir(target)
+    S.cdc_merge_sink(
+        stream, target, key_cols=["user_id"], order_col="event_id", op_col="op"
+    )
+    return spark.read.parquet(target).drop("__bucket")

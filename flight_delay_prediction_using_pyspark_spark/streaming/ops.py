@@ -359,12 +359,24 @@ def cdc_merge_sink(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     n_buckets: int = 16,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """Streaming upsert (CDC merge) via foreachBatch: every micro-batch
     is merged into a parquet target keeping, per key, the row with the
     highest `order_col` (later micro-batch wins exact ties). This is
     the keyed-upsert half of a CDC pipeline; on Delta/Iceberg the body
     becomes a single MERGE INTO with identical semantics.
+
+    `op_col` enables TOMBSTONES (the delete half): rows whose op is
+    `delete_op` compete for per-key latest like any other change, and
+    a key whose LATEST change is a delete is removed from the target —
+    exactly Debezium/CDC last-writer-wins compaction semantics, and
+    still batching-independent (max(order_col) per key is associative
+    regardless of which op wins). A bucket whose survivors all vanish
+    is deleted on the filesystem after the dynamic overwrite (dynamic
+    mode cannot write an empty partition dir; on Delta/Iceberg the
+    MERGE handles this atomically).
 
     The target is hash-partitioned on the key into `n_buckets`
     directories (`__bucket=<i>/`), and each merge batch rewrites ONLY
@@ -397,6 +409,7 @@ def cdc_merge_sink(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        touched: list = []
         incoming = batch_df.withColumn("__bucket", bucket_col()).withColumn(
             "__src", F.lit(1)
         )
@@ -423,6 +436,12 @@ def cdc_merge_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src")
         )
+        if op_col is not None:
+            # Persisted: survivors are read AFTER the overwrite below,
+            # and without the persist the lazy plan would re-read the
+            # just-rewritten target (read-after-write cycle).
+            merged = merged.filter(F.col(op_col) != delete_op).persist()
+            merged.count()
         # Dynamic mode replaces only the partition dirs present in
         # `merged` (= the touched buckets); all others survive as-is.
         (
@@ -431,6 +450,21 @@ def cdc_merge_sink(
             .partitionBy("__bucket")
             .parquet(target_dir)
         )
+        if op_col is not None and touched:
+            # Buckets whose keys were all tombstoned have no rows in
+            # `merged`, so dynamic overwrite left their old dir in
+            # place — drop those dirs explicitly.
+            import shutil
+
+            survivors = {
+                r[0] for r in merged.select("__bucket").distinct().collect()
+            }
+            for b in set(touched) - survivors:
+                shutil.rmtree(
+                    os.path.join(target_dir, f"__bucket={b}"), ignore_errors=True
+                )
+        if op_col is not None:
+            merged.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
     if checkpoint_dir is not None:

@@ -318,3 +318,58 @@ def test_manifest_sink_uncommitted_invisible(spark, tmp_path):
     # replay of batch 1 overwrites the dead files and commits
     S.commit_batch_to_manifest(spark.range(7), 1, target)
     assert S.read_manifest_parquet(spark, target).count() == 12
+
+
+def test_cdc_merge_tombstones_delete_keys_and_empty_buckets(spark, tmp_path):
+    """Tombstone semantics across batches: a later delete removes the
+    key; a later upsert resurrects it; an out-of-order (stale) delete
+    loses to the newer upsert; and a bucket whose only key is deleted
+    disappears from the target directory entirely."""
+    import hashlib
+    import os
+
+    schema = "user_id long, event_id long, event_type string, op string"
+    target = str(tmp_path / "cdc_del_target")
+
+    # batch 1: keys 1..4 upserted
+    src1 = tmp_path / "del_b1"
+    spark.createDataFrame(
+        [(u, 10 + u, "seed", "U") for u in (1, 2, 3, 4)], schema
+    ).coalesce(1).write.parquet(str(src1))
+    s1 = spark.readStream.schema(schema).parquet(str(src1))
+    S.cdc_merge_sink(s1, target, key_cols=["user_id"], order_col="event_id", op_col="op")
+    assert {
+        r.user_id for r in spark.read.parquet(target).collect()
+    } == {1, 2, 3, 4}
+
+    # batch 2: delete key 2 (newer), stale delete for key 3 (older than
+    # its upsert), upsert key 1 again
+    src2 = tmp_path / "del_b2"
+    spark.createDataFrame(
+        [(2, 100, "x", "D"), (3, 1, "x", "D"), (1, 101, "upd", "U")], schema
+    ).coalesce(1).write.parquet(str(src2))
+    s2 = spark.readStream.schema(schema).parquet(str(src2))
+    S.cdc_merge_sink(s2, target, key_cols=["user_id"], order_col="event_id", op_col="op")
+    rows = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 3, 4}          # 2 deleted; stale delete of 3 lost
+    assert rows[1].event_type == "upd"
+
+    # key 2's bucket dir is gone iff no other surviving key shares it
+    def bucket_of(user_id: int, n: int = 16) -> int:
+        return int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16) % n
+
+    b2 = bucket_of(2)
+    sharing = {u for u in (1, 3, 4) if bucket_of(u) == b2}
+    dir2 = os.path.join(target, f"__bucket={b2}")
+    if not sharing:
+        assert not os.path.isdir(dir2)
+
+    # batch 3: resurrect key 2 with a newer upsert
+    src3 = tmp_path / "del_b3"
+    spark.createDataFrame([(2, 200, "back", "U")], schema).coalesce(1).write.parquet(
+        str(src3)
+    )
+    s3 = spark.readStream.schema(schema).parquet(str(src3))
+    S.cdc_merge_sink(s3, target, key_cols=["user_id"], order_col="event_id", op_col="op")
+    rows = {r.user_id: r.event_type for r in spark.read.parquet(target).collect()}
+    assert rows[2] == "back" and set(rows) == {1, 2, 3, 4}
