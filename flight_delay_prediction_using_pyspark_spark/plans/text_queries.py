@@ -1689,3 +1689,78 @@ def q_doc_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_web"),
     )
+
+
+@query(
+    "doc_rare_token_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+    tf AS (SELECT token, COUNT(*) AS c FROM occ GROUP BY token),
+    ranked AS (
+      SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token ASC) AS rnk
+      FROM tf
+    ),
+    per_doc AS (
+      SELECT o.doc_id,
+             COUNT(*) AS n_tok,
+             CAST(SUM(r.rnk) AS BIGINT) AS rank_sum,
+             CAST(SUM(CASE WHEN r.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM occ o JOIN ranked r USING (token)
+      GROUP BY o.doc_id
+    )
+    SELECT CAST((10 * n_rare) // n_tok AS BIGINT) AS rare_decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(rank_sum) AS BIGINT) AS sum_rank,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM per_doc
+    GROUP BY 1
+    """,
+)
+def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based corpus-quality scoring — the integer-exact surrogate
+    for the LM-perplexity filter (CCNet-style): rank the vocabulary by
+    corpus frequency, score each document by the sum of its tokens'
+    ranks and its rare-token ratio (corpus count ≤ 2 — hapax/dis
+    legomena mass: high ratio flags OCR junk and codes, near-zero
+    flags boilerplate), then histogram documents by rare-ratio decile.
+    Everything is integer arithmetic (ranks, counts), so the oracle is
+    bit-exact — unlike log-prob scoring, whose ln() differs in final
+    ulps across engines. Scale shape: token explode → vocab groupBy
+    (partial aggs), ONE global vocab sort (vocabulary ≪ corpus; at
+    web scale this is a range-partitioned sort), frequency-keyed join
+    back (vocab broadcast when it fits), per-doc agg, tiny histogram."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from pyspark.sql import Window
+
+    occ = docs.select(
+        "doc_id", F.explode(TA.tokens(F.col("text"))).alias("token")
+    )
+    tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))),
+    )
+    per_doc = (
+        occ.join(F.broadcast(ranked), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("rnk").cast("long").alias("rank_sum"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return per_doc.groupBy(
+        ((F.lit(10) * F.col("n_rare")) / F.col("n_tok"))
+        .cast("long")
+        .alias("rare_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("rank_sum").cast("long").alias("sum_rank"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+    )
