@@ -409,3 +409,38 @@ def q_doc_embedding_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_norm"),
         )
     )
+
+
+@query("ml_pca_embeddings")
+def q_ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus (MLlib
+    PCA, k=8) — the standard pre-index compression step in embedding
+    pipelines (shrinks ANN index memory, often improves recall by
+    denoising). One row per principal component with its explained-
+    variance share. Rows-only (eigendecomposition is iterative) — so
+    self-checking: contract_ok asserts k rows, non-increasing
+    non-negative variance shares summing to ≤ 1. Scale shape: the fit
+    is one treeAggregate pass building the d×d covariance (d=64 here;
+    the driver-side eigensolve is O(d³), fine for any d where PCA is
+    sane), then transform is a map-side matrix multiply."""
+    import math
+
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    k = 8
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(emb)
+    ev = [float(x) for x in model.explainedVariance]
+    ok = (
+        len(ev) == k
+        and all(math.isfinite(x) and x >= 0 for x in ev)
+        and all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+        and sum(ev) <= 1.0 + 1e-9
+    )
+    return spark.createDataFrame(
+        [(i + 1, round(ev[i], 6), ok) for i in range(k)],
+        "component int, explained_variance double, contract_ok boolean",
+    )
