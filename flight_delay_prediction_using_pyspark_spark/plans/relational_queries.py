@@ -1773,3 +1773,117 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM base GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_type, b.value, m.med, ABS(b.value - m.med) AS adev
+      FROM base b JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN d.adev > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           ROUND(d.med, 6) AS median_value,
+           ROUND(m.mad, 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: per
+    event type, flag values with |x − median| > 5·MAD — the
+    outlier rule that, unlike z-scores, is not itself corrupted by the
+    outliers it hunts. Two grouped exact-percentile passes (median,
+    then MAD of deviations) with the per-group scalars joined back
+    broadcast-style; counts are exact integers and the percentiles use
+    the same interpolation in both engines. At scale the exact
+    percentile swaps for the mergeable GK sketch
+    (operators/aggregates) with identical plumbing."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("adev") > 5 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_anomalies",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+@query(
+    "orders_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT first_digit,
+           COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM d), 6) AS share
+    FROM d GROUP BY first_digit
+    """,
+)
+def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the leading-digit distribution of
+    order totals — the classic fabricated-data screen (natural
+    multiplicative amounts follow log10(1+1/d); uniform or spiked
+    digits flag synthetic or manipulated books). The first digit is
+    extracted from the INTEGER cents string, not via log10 — float
+    logs round differently across engines at powers of ten, the
+    string head of an exact integer never does. Map + 9-group agg;
+    the total attaches as a scalar-agg broadcast."""
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("decimal(30,0)")
+        .cast("long")
+    )
+    d = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("first_digit")
+    )
+    counts = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    with_total = with_global_agg(counts, F.sum("n"), out_col="total")
+    return with_total.select(
+        "first_digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
