@@ -1887,3 +1887,50 @@ def q_orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+@query(
+    "orders_scd2_asof_lookup",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS current_orderkey, o_orderstatus
+    FROM s
+    WHERE valid_from <= TIMESTAMP '1997-06-15'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-15')
+    """,
+)
+def q_orders_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against the SCD2 dimension built
+    by orders_scd2_intervals: each customer's current record at
+    1997-06-15 — the query every warehouse runs to reconstruct state
+    at an audit date. The half-open interval predicate
+    [valid_from, valid_to) guarantees exactly one row per customer
+    active at the probe instant (lead() tiles each customer's
+    timeline without gaps or overlaps). One window shuffle on
+    o_custkey, then a filter — no join; at scale the probe predicate
+    also prunes a valid_from-partitioned dimension."""
+    ensure_utc(spark)
+    probe = F.lit("1997-06-15").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    s = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+    ).withColumn("valid_to", F.lead("valid_from").over(w))
+    return s.filter(
+        (F.col("valid_from") <= probe)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("current_orderkey"),
+        "o_orderstatus",
+    )
