@@ -773,3 +773,54 @@ def q_events_mv_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_events"),
         F.col("cents").cast("bigint").alias("cents"),
     )
+
+
+@query(
+    "layout_compaction_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           TRUE AS contract_ok
+    FROM events
+    """,
+)
+def q_layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance compaction end-to-end (layout.
+    compact_small_files — the OPTIMIZE pattern): fragment the events
+    table into 64 small files, compact, and verify BOTH halves of the
+    contract — data integrity via the oracle (row count + integer-cent
+    checksum must equal the source table bit-for-bit) and the physical
+    outcome via contract_ok (file count actually shrank to the
+    computed target). Small files bloat listing/footer overhead and
+    defeat row-group pruning; periodic compaction is the standard
+    fix, and 'rewrite without losing a row' is exactly what this
+    hash-checks."""
+    import glob
+    import os
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.operators import layout as L
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="compact_rt_")
+    events.repartition(64).write.mode("overwrite").parquet(path)
+
+    def n_files() -> int:
+        return len(
+            [f for f in glob.glob(os.path.join(path, "part-*")) if not f.endswith(".crc")]
+        )
+
+    before = n_files()
+    L.compact_small_files(spark, path, target_file_bytes=512 * 1024 * 1024)
+    after = n_files()
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.lit(after < before and after >= 1).alias("contract_ok"),
+    )
