@@ -1934,3 +1934,75 @@ def q_orders_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("current_orderkey"),
         "o_orderstatus",
     )
+
+
+@query(
+    "orders_price_drift_chi2",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 'ref' ELSE 'cur' END AS period,
+             least(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bucket
+      FROM orders
+    ),
+    cells AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM tagged GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur
+      FROM cells
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND((CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+                 * (CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)
+                 / (CAST(n_ref AS DOUBLE) / t_ref), 6) AS drift_term
+    FROM cells, tot
+    """,
+)
+def q_orders_price_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring between a reference period
+    (pre-1997) and a current period: bucket order totals into fixed
+    50k bands and emit each bucket's chi-square drift term
+    ((p_cur − p_ref)² / p_ref) — the PSI-style data-drift check an ML
+    serving pipeline runs nightly on feature distributions, in its
+    rational-arithmetic form (no ln(), whose final-ulp behavior
+    differs across engines; both sides evaluate the identical
+    IEEE-double expression tree). One scan, one small groupBy, totals
+    via a broadcast single-row crossJoin — at 100 TB the whole check
+    moves ~n_buckets rows after the map."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "ref"
+        ).otherwise("cur").alias("period"),
+        F.least(
+            (F.col("o_totalprice").cast("long") / F.lit(50000)).cast("long"),
+            F.lit(9),
+        ).alias("bucket"),
+    )
+    cells = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    joined = cells.crossJoin(F.broadcast(tot))
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return joined.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * (p_cur - p_ref) / p_ref, 6).alias("drift_term"),
+    )

@@ -824,3 +824,61 @@ def q_layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("cents").cast("long").alias("sum_cents"),
         F.lit(after < before and after >= 1).alias("contract_ok"),
     )
+
+
+@query(
+    "events_gap_report",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, sec - prev_sec AS gap_sec
+      FROM s WHERE prev_sec IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CASE WHEN gap_sec > 21600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps_over_6h,
+           CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+    FROM gaps
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN gap_sec > 21600 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data / heartbeat-gap detection: per entity, intervals
+    between consecutive events (lag over the entity timeline) flagged
+    when they exceed 6 hours — the monitor that catches silent source
+    outages and stuck producers before downstream aggregates go
+    quietly wrong. One window shuffle on user_id reused by the rollup
+    (superset grouping key); epoch-second integers keep gap arithmetic
+    exact; only entities with at least one flagged gap are reported
+    (the alert list, not a full scan dump)."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", TP.epoch_seconds("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = (
+        ev.withColumn("prev_sec", F.lag("sec").over(w))
+        .filter(F.col("prev_sec").isNotNull())
+        .select("user_id", (F.col("sec") - F.col("prev_sec")).alias("gap_sec"))
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.when(F.col("gap_sec") > 21600, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps_over_6h"),
+            F.max("gap_sec").cast("long").alias("max_gap_sec"),
+        )
+        .filter(F.col("n_gaps_over_6h") > 0)
+    )
