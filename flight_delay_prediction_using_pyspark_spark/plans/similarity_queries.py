@@ -444,3 +444,101 @@ def q_ml_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round(ev[i], 6), ok) for i in range(k)],
         "component int, explained_variance double, contract_ok boolean",
     )
+
+
+@query(
+    "doc_hybrid_search_rrf",
+    oracle=f"""
+    WITH qt AS (
+      SELECT list_distinct(string_split_regex(trim(text), '\\s+')) AS terms
+      FROM documents WHERE doc_id = {_QUERY_VEC_ID}
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY len(list_intersect(
+                 list_distinct(string_split_regex(trim(d.text), '\\s+')),
+                 qt.terms)) DESC, doc_id ASC) AS r_lex
+      FROM documents d, qt WHERE doc_id <> {_QUERY_VEC_ID}
+    ),
+    qe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings),
+    qv AS (SELECT v2 AS qvv FROM qe WHERE vec_id = 0),
+    vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY ROUND(
+               (list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e.v2)), i -> e.v2[i] * qv.qvv[i])), (x, y) -> x + y) / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.v2, x -> x * x)), (a, b) -> a + b)) * sqrt(list_reduce(list_prepend(0.0, list_transform(qv.qvv, x -> x * x)), (a, b) -> a + b)))), 6) DESC, vec_id ASC) AS r_vec
+      FROM qe e, qv
+      WHERE vec_id <> 0
+    )
+    SELECT lex.doc_id,
+           r_lex, r_vec,
+           ROUND(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec), 6) AS rrf
+    FROM lex JOIN vec USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse a LEXICAL
+    ranking (distinct query-term overlap — the BM25 stand-in, exact
+    integers) with a VECTOR ranking (cosine to the query embedding)
+    as Σ 1/(60+rank), the RRF constant from Cormack et al. — the
+    standard two-retriever fusion in modern RAG stacks, robust to the
+    two scores living on incomparable scales. Both rankings use
+    deterministic (score, id) tie-breaks; rounded cosines make the
+    vector rank engine-portable, and 1/(60+r) is the same
+    IEEE-double expression on both sides. This catalog entry ranks
+    the full corpus (the evaluation harness shape); production fuses
+    each retriever's TOP-K candidate lists instead — same fusion,
+    candidate-sized input."""
+    from pyspark.sql import Window
+
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    qt = docs.filter(F.col("doc_id") == _QUERY_VEC_ID).select(
+        F.array_distinct(tokens(F.col("text"))).alias("qterms")
+    )
+    lex = (
+        docs.filter(F.col("doc_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(F.array_distinct(tokens(F.col("text"))), F.col("qterms"))
+            ).alias("overlap"),
+        )
+        .withColumn(
+            "r_lex",
+            F.row_number().over(Window.orderBy(F.desc("overlap"), F.asc("doc_id"))),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
+            6,
+        ).alias("cos"),
+    ).withColumn(
+        "r_vec",
+        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
+    )
+    fused = lex.select("doc_id", "r_lex").join(
+        scored.select("doc_id", "r_vec"), "doc_id"
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            F.round(
+                1.0 / (F.lit(60) + F.col("r_lex")) + 1.0 / (F.lit(60) + F.col("r_vec")),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
