@@ -882,3 +882,54 @@ def q_events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps_over_6h") > 0)
     )
+
+
+@query(
+    "events_hourly_ohlc",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             date_trunc('hour', ts) AS hour,
+             ts, event_id,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, hour,
+           COUNT(*) AS n,
+           (MIN(struct_pack(ts := ts, event_id := event_id, cents := cents))).cents
+             AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           (MAX(struct_pack(ts := ts, event_id := event_id, cents := cents))).cents
+             AS close_cents
+    FROM v
+    GROUP BY user_id, hour
+    """,
+)
+def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the classic time-series resample: per
+    (entity, hour), the first (open) and last (close) observed value
+    by event time plus the high/low extremes. Open/close are computed
+    with struct-ordered min/max over (ts, event_id, cents) — ONE
+    hash-aggregate pass with map-side partials, no window sort, and
+    the (ts, event_id) key makes intra-timestamp ties deterministic
+    in both engines (bare min_by/arg_min on ts alone would not be).
+    Integer cents keep the extremes exact. At 100 TB this is the
+    shape that turns a tick stream into bars: shuffle carries one
+    partial bar per (entity, hour) per map task."""
+    ensure_utc(spark)
+    v = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    open_struct = F.struct(F.col("ts"), F.col("event_id"), F.col("cents"))
+    return v.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(open_struct)["cents"].alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max(open_struct)["cents"].alias("close_cents"),
+    )
