@@ -933,3 +933,51 @@ def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("long").alias("low_cents"),
         F.max(open_struct)["cents"].alias("close_cents"),
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: lag each user's timeline, count (prev → next) pairs,
+    and normalize per source state — the behavioral model behind
+    next-action prediction, funnel diagnosis, and bot detection
+    (near-deterministic rows flag scripted traffic). One window
+    shuffle on user_id, a tiny |types|² aggregate, then a window over
+    the aggregated rows only; transition probabilities are ratios of
+    exact integer counts, deterministic in both engines."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = s.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
+    )
