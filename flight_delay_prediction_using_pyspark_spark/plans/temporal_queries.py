@@ -981,3 +981,46 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
     )
+
+
+@query("events_hll_union_weekly")
+def q_events_hll_union_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY end-to-end: per-day HLL user sketches
+    union-merged up to weeks (hll_union_agg) vs a direct weekly
+    sketch vs the exact weekly distinct. Mergeability is THE property
+    that makes sketches the 100 TB distinct-count answer — daily
+    rollups union into weekly/monthly answers without rescanning the
+    base table. Rows-only (sketch binaries are engine-specific) but
+    self-checking: contract_ok asserts the merged and direct
+    estimates agree with each other (identical state ⇒ identical
+    estimate is NOT guaranteed post-merge, but both must sit within
+    the 3·1.6% lgK=12 error envelope of exact)."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    )
+    daily = events.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = events.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    tol = 0.05  # ~3x the lgK=12 RSE
+    return merged.join(direct, "week").select(
+        "week",
+        "merged_est",
+        "direct_est",
+        "exact_users",
+        (
+            (F.abs(F.col("merged_est") - F.col("exact_users"))
+             <= tol * F.col("exact_users"))
+            & (F.abs(F.col("direct_est") - F.col("exact_users"))
+               <= tol * F.col("exact_users"))
+        ).alias("contract_ok"),
+    )
