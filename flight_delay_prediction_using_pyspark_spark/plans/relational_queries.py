@@ -2006,3 +2006,37 @@ def q_orders_price_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p_cur - p_ref) * (p_cur - p_ref) / p_ref, 6).alias("drift_term"),
     )
+
+
+@query("lineitem_quantile_sketch_accuracy")
+def q_lineitem_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for approximate percentiles: for each
+    target quantile, take percentile_approx (Greenwald-Khanna,
+    accuracy=10000 — the mergeable sketch that replaces exact
+    percentiles at 100 TB) and measure its REALIZED RANK (fraction of
+    rows ≤ the approximate value) against the target. Rows-only
+    (GK internals are implementation-specific) but rigorously
+    self-checking: GK guarantees rank error ≤ 1/accuracy, so
+    contract_ok asserts |realized − target| ≤ 1/accuracy plus one
+    row's worth of discreteness slack. This is the audit you run
+    before replacing an exact percentile job with the sketch."""
+    acc = 10000
+    targets = [0.5, 0.9, 0.99]
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice").persist()
+    n = li.count()
+    approx = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(t) for t in targets]), F.lit(acc)
+        ).alias("ap")
+    ).first()["ap"]
+    rows = []
+    for t, av in zip(targets, approx):
+        below = li.filter(F.col("l_extendedprice") <= float(av)).count()
+        realized = below / n
+        ok = abs(realized - t) <= (1.0 / acc) + (1.0 / n)
+        rows.append((t, float(av), round(realized, 6), ok))
+    li.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "target_q double, approx_value double, realized_q double, contract_ok boolean",
+    )
