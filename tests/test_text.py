@@ -381,3 +381,61 @@ def test_redact_pii_patterns(spark):
     assert out[2].red.count("<IP>") == 2
     assert out[3].red == rows[3][1]
     assert all(tok in out[4].red for tok in ("<EMAIL>", "<PHONE>", "<IP>"))
+
+
+def test_winnowing_property(spark):
+    """Property test for winnowing (k=4, w=5): on random token
+    sequences the Spark Column agrees with an independent Python
+    replay, and the MOSS guarantee holds — any two documents sharing
+    a contiguous run of >= k+w-1 = 8 tokens share >= 1 fingerprint."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    K, W = 4, 5
+    token = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+    toks = st.lists(token, min_size=0, max_size=12)
+    shared = st.lists(token, min_size=K + W - 1, max_size=K + W + 3)
+
+    pairs = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(pre_a=toks, suf_a=toks, pre_b=toks, suf_b=toks, run=shared)
+    def collect(pre_a, suf_a, pre_b, suf_b, run):
+        pairs.append(
+            (" ".join(pre_a + run + suf_a), " ".join(pre_b + run + suf_b))
+        )
+
+    collect()
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ref(text):
+        import re
+
+        ts = re.split(r"\s+", text.strip())
+        if len(ts) < K:
+            return []
+        hs = [md5_32(" ".join(ts[i : i + K])) for i in range(len(ts) - K + 1)]
+        return sorted(
+            {min(hs[j : j + W]) for j in range(max(len(hs) - W + 1, 1))}
+        )
+
+    docs = []
+    for i, (a, b) in enumerate(pairs):
+        docs.append((2 * i, a))
+        docs.append((2 * i + 1, b))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", TA.winnowing_fingerprints("text", k=K, w=W).alias("fp")
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert out[doc_id] == ref(text), f"doc {doc_id} diverged from reference"
+    for i in range(len(pairs)):
+        assert set(out[2 * i]) & set(out[2 * i + 1]), (
+            f"pair {i} shares an 8-token run but no fingerprint"
+        )
