@@ -2040,3 +2040,43 @@ def q_lineitem_quantile_sketch_accuracy(spark: SparkSession, sf_dir: str) -> Dat
         rows,
         "target_q double, approx_value double, realized_q double, contract_ok boolean",
     )
+
+
+@query(
+    "region_nation_rollup_revenue",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_region_nation_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical dimension rollup — the geography drill-down every
+    OLAP dashboard serves: order revenue at nation, region, and grand
+    total levels in ONE pass (ROLLUP = Expand + single hash agg, not
+    three scans + union). The dimension chain
+    (customer→nation→region) pre-joins into one broadcast enrichment
+    frame, so the fact table shuffles once on the grouping keys with
+    map-side partials; exact-decimal sums keep the revenue column
+    hash-stable at every level."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    joined = orders.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+    return joined.rollup("region", "nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        A.exact_decimal_sum("o_totalprice").alias("revenue"),
+    )
