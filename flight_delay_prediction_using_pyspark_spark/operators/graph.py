@@ -62,7 +62,11 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # re-persist and — critically — do not unpersist it on exit
     # (unpersist matches by plan equality, so it would evict the
     # caller's entry too).
-    manage = str(edges.storageLevel) == "StorageLevel(False, False, False, False, 1)"
+    # Inspect the StorageLevel fields, not its repr (the repr format is
+    # not a stable API across PySpark versions; a silent mismatch would
+    # leave the five-consumer edge frame unpersisted — round-4 advice).
+    sl = edges.storageLevel
+    manage = not (sl.useMemory or sl.useDisk or sl.useOffHeap)
     if manage:
         edges = edges.persist()
     deg = degrees(edges, a, b).persist()

@@ -57,9 +57,13 @@ def merge_rollup_delta(
     `sign=-1` RETRACTS: the delta's counts and sums merge negated —
     the standard retractable-counter MV maintenance for deletes and
     corrections (upstream rows withdrawn, late-arriving fixes).
-    Groups whose row counter reaches zero are dropped from the
-    maintained state, so a fully-retracted key disappears exactly as
-    if it had never been inserted."""
+    Groups whose row counter reaches zero stay in the files as
+    zero-count TOMBSTONES (dynamic partition overwrite cannot write an
+    empty partition, so dropping them would silently skip the rewrite
+    of a bucket whose every group was retracted, leaving stale state
+    on disk); `read_rollup` filters them, so a fully-retracted key is
+    invisible exactly as if it had never been inserted, and a later
+    insert merges against the 0-counter correctly."""
     import os
 
     ledger = os.path.join(target_dir, "_applied_batches")
@@ -88,10 +92,22 @@ def merge_rollup_delta(
                 F.sum("n_rows").cast("long").alias("n_rows"),
                 *[F.sum(c).cast("long").alias(c) for c in sum_cols],
             )
-            # fully-retracted groups leave the state entirely
-            .filter(F.col("n_rows") != 0)
+            # fully-retracted groups stay as zero-count tombstones so
+            # the touched bucket is still rewritten (see docstring);
+            # read_rollup hides them.
         )
     else:
+        # A retraction against missing state is a delivery-order
+        # violation (the insert it retracts was never applied): writing
+        # it through would seed the state with negative-count groups
+        # that read_rollup then exposes. Reject it loudly — the caller
+        # must replay the insert first (round-4 advice).
+        if sign < 0:
+            raise ValueError(
+                "merge_rollup_delta: retraction (sign=-1) against a "
+                f"missing rollup target {target_dir!r}; apply the "
+                "original insert batch first"
+            )
         merged = partial
     (
         merged.write.mode("overwrite")
@@ -105,5 +121,10 @@ def merge_rollup_delta(
 
 
 def read_rollup(spark: SparkSession, target_dir: str) -> DataFrame:
-    """The current rollup, bucket column dropped."""
-    return spark.read.parquet(target_dir).drop(BUCKET_COL)
+    """The current rollup, bucket column dropped and fully-retracted
+    tombstone groups (n_rows = 0) hidden."""
+    return (
+        spark.read.parquet(target_dir)
+        .filter(F.col("n_rows") != 0)
+        .drop(BUCKET_COL)
+    )

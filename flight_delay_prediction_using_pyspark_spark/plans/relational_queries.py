@@ -1942,7 +1942,7 @@ def q_orders_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tagged AS (
       SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
                   THEN 'ref' ELSE 'cur' END AS period,
-             least(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bucket
+             least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
       FROM orders
     ),
     cells AS (
@@ -1980,9 +1980,14 @@ def q_orders_price_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "ref"
         ).otherwise("cur").alias("period"),
+        # floor(price/50000) in IEEE double on BOTH sides: a long cast
+        # truncates in Spark but rounds in DuckDB's CAST, so boundary
+        # values like 149999.99 landed in different buckets (round-4
+        # advice). floor-of-double-division is bit-identical across
+        # engines.
         F.least(
-            (F.col("o_totalprice").cast("long") / F.lit(50000)).cast("long"),
-            F.lit(9),
+            F.floor(F.col("o_totalprice") / F.lit(50000.0)),
+            F.lit(9).cast("long"),
         ).alias("bucket"),
     )
     cells = tagged.groupBy("bucket").agg(

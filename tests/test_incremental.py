@@ -61,6 +61,26 @@ def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert got[1] == (2, 105) and got[2] == (1, 100) and len(got) == 40
 
 
+def test_incremental_retract_against_missing_target_rejected(spark, tmp_path):
+    """A sign=-1 batch against a fresh/missing target is a
+    delivery-order violation (the retracted insert never applied);
+    writing it through would seed negative-count groups. The operator
+    must reject it instead of persisting them (round-4 advice)."""
+    import pytest
+
+    target = str(tmp_path / "rollup_fresh")
+    delta = spark.createDataFrame([(1, 10)], "user_id long, cents long")
+    with pytest.raises(ValueError, match="missing rollup target"):
+        IC.merge_rollup_delta(
+            spark, target, delta, ["user_id"], ["cents"], sign=-1
+        )
+    assert not os.path.isdir(target)
+    # and a retraction AFTER the insert still fully removes the group
+    IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"])
+    IC.merge_rollup_delta(spark, target, delta, ["user_id"], ["cents"], sign=-1)
+    assert IC.read_rollup(spark, target).count() == 0
+
+
 def test_incremental_merge_batch_id_idempotent(spark, tmp_path):
     """Counter merges double-count on redelivery; the batch-id ledger
     makes a replayed delta a no-op — the at-least-once guard."""
