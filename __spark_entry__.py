@@ -45,25 +45,48 @@ def _driver_attempted() -> set[str]:
     return attempted
 
 
-# Previously-verified queries the round-2 judge asked to re-verify this
-# round regardless of rotation (VERDICT.md task 4: the C10 end-to-end
-# flights composite must have a fresh green row).
-_MUST_HAVE = ["flights_prepare_summary"]
+# Queries the judge asked to re-verify in a specific round regardless
+# of rotation (none outstanding for round 4; round 3's
+# flights_prepare_summary re-verification is green in CORRECTNESS_r03).
+_MUST_HAVE: list[str] = []
+
+# Fresh-but-subsumed queries pushed to the BACK of the fresh tier: each
+# is a narrower variant of a sibling that IS in this round's slot
+# window, so spending a scarce round-4 slot on it verifies nothing new.
+# They stay in the catalog (bench/tests/judge still see them) and the
+# self-maintaining rotation gives them slots the following round.
+#   events_daily_users_hll    ⊂ events_hll_union_weekly (daily sketches
+#                               are built and contract-checked there)
+#   events_cdc_merge          ⊂ events_cdc_merge_deletes (same
+#                               cdc_merge_sink, plus tombstones)
+#   events_mv_answered_daily  ⊂ events_mv_retraction + the
+#                               events_incremental_rollup merge path
+#   lineitem_quantile_sketch_accuracy — rows-only GK audit whose
+#                               contract is already pytest-asserted
+_DEFER = [
+    "events_daily_users_hll",
+    "events_cdc_merge",
+    "events_mv_answered_daily",
+    "lineitem_quantile_sketch_accuracy",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordering (round-3 rotation, per VERDICT.md task 2): the driver caps
-    CORRECTNESS at 50 entries per round, so the slots must go to queries
-    with no driver row yet.  Order is:
+    Ordering (round-4 rotation): the driver caps CORRECTNESS at 50
+    entries per round, so the slots must go to queries with no driver
+    row yet.  Order is:
 
     1. must-have re-verifications the judge named explicitly,
-    2. oracle-backed queries never attempted by the driver,
-       cheapest-first (a time-budgeted run verifies the most entries),
-    3. oracle-backed queries already verified in past rounds,
-    4. oracle-less (rows-only) queries last — they consume slots for a
-       weaker check, so they only run once everything else is covered.
+    2. never-attempted oracle-backed queries, cheapest-first (a
+       time-budgeted run verifies the most entries),
+    3. never-attempted rows-only queries (weaker gate, but each needs
+       its one driver row — round 3 wrongly parked these behind the
+       already-verified tier, so ml_cross_validation et al. never ran),
+    4. never-attempted queries subsumed by a sibling in tiers 2-3
+       (_DEFER — they soak up whatever slots remain),
+    5. everything already attempted, oracle-backed before rows-only.
 
     Past rounds' coverage is read from the CORRECTNESS_r*.json files the
     driver leaves in the repo, so this rotation is self-maintaining:
@@ -78,17 +101,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cost = lambda n: hints.get(n, 0.3)  # noqa: E731
     attempted = _driver_attempted()
     must = [n for n in _MUST_HAVE if n in QUERIES]
-    fresh, seen, no_oracle = [], [], []
+    fresh, fresh_weak, deferred, seen, seen_weak = [], [], [], [], []
     for n in sorted(QUERIES, key=cost):
         if n in must:
             continue
-        if n not in ORACLES:
-            no_oracle.append(n)
-        elif n in attempted:
-            seen.append(n)
-        else:
+        if n in attempted:
+            (seen if n in ORACLES else seen_weak).append(n)
+        elif n in _DEFER:
+            deferred.append(n)
+        elif n in ORACLES:
             fresh.append(n)
-    return {n: QUERIES[n] for n in must + fresh + seen + no_oracle}
+        else:
+            fresh_weak.append(n)
+    order = must + fresh + fresh_weak + deferred + seen + seen_weak
+    return {n: QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
