@@ -1262,9 +1262,14 @@ def q_doc_winnowing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_winnowing_pairs",
     oracle=f"""
     WITH {_WINNOW_CTES},
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS ds FROM fps
+      ) WHERE ds <= {TD.WINNOW_MAX_SHARING}
+    ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
-      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, shared_fps FROM pairs WHERE shared_fps >= 2
@@ -1278,19 +1283,11 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     families (minhash = set overlap, simhash = token multiset): this
     one localizes WHICH passages collide. Same scale shape as every
     candidate generator here: equi-join on the fingerprint key, never
-    all-pairs; a hot boilerplate fingerprint shared by f docs fans out
-    f² — production corpora cap per-fp doc lists (the census query is
-    the monitor for that)."""
-    fps = _winnow_fps_cached(spark, sf_dir)
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 2)
-    )
+    all-pairs — and the per-fingerprint fan-out bound is ENFORCED in
+    code (TD.winnowing_pairs drops fingerprints shared by more than
+    WINNOW_MAX_SHARING docs before the join, the MOSS
+    ignore-boilerplate rule), not just monitored by the census query."""
+    return TD.winnowing_pairs(_winnow_fps_cached(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -383,6 +383,54 @@ def simhash_pairs(
     )
 
 
+#: Default per-fingerprint sharing cap for winnowing pair generation.
+#: A fingerprint shared by f documents fans out f·(f−1)/2 candidate
+#: pairs; boilerplate (licence headers, navigation chrome) routinely
+#: pushes f into the thousands, so production MOSS deployments ignore
+#: over-shared fingerprints entirely — they localize boilerplate, not
+#: plagiarism. 64 keeps any one fingerprint's fan-out ≤ 2016 pairs.
+WINNOW_MAX_SHARING = 64
+
+
+def winnowing_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_sharing: int = WINNOW_MAX_SHARING,
+) -> DataFrame:
+    """Position-aware near-dup candidate pairs from a winnowing
+    fingerprint frame (one (id, fp) row per selected fingerprint):
+    documents sharing ≥ `min_shared` fingerprints, via an equi-join on
+    the fingerprint key — never all-pairs.
+
+    ENFORCED fan-out bound: fingerprints shared by more than
+    `max_sharing` documents are dropped BEFORE the pair join (window
+    count over fp — one shuffle, and the join that follows reuses the
+    same hash partitioning). Without the cap, one hot boilerplate
+    fingerprint shared by f docs emits f² join rows; with it, per-fp
+    fan-out is ≤ max_sharing², a constant. Returns (id_a, id_b,
+    shared_fps) with id_a < id_b."""
+    from pyspark.sql import Window
+
+    capped = (
+        fps.withColumn(
+            "__ds", F.count(F.lit(1)).over(Window.partitionBy(fp_col))
+        )
+        .filter(F.col("__ds") <= max_sharing)
+        .drop("__ds")
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), fp_col)
+    b = capped.select(F.col(id_col).alias("id_b"), fp_col)
+    return (
+        a.join(b, fp_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-duplicate census via content-hash groupBy: one row per
     distinct content hash with its multiplicity. The scan shuffles

@@ -414,6 +414,29 @@ def test_redaction_is_map_only_before_final_agg(spark):
 
 def test_winnowing_pairs_no_cartesian(spark):
     """Winnowing near-dup candidates come from an equi-join on the
-    fingerprint key — never an all-pairs product."""
+    fingerprint key — never an all-pairs product — and the hot-
+    fingerprint cap is part of the plan (a window count over fp feeds
+    the pre-join filter)."""
     plan = plan_of(QUERIES["dedup_winnowing_pairs"](spark, SF_CORRECTNESS_DIR))
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "Window" in plan  # the per-fp sharing count behind the cap
+
+
+def test_winnowing_pairs_hot_fingerprint_capped(spark):
+    """ENFORCED fan-out bound (round-3 verdict): a fingerprint shared
+    by more than WINNOW_MAX_SHARING docs is dropped before the pair
+    join, so a planted boilerplate fingerprint contributes ZERO pairs
+    while ordinary shared fingerprints still pair up."""
+    from flight_delay_prediction_using_pyspark_spark.text import dedup as TD
+
+    hot_docs = TD.WINNOW_MAX_SHARING + 10
+    rows = [(i, 777_777) for i in range(hot_docs)]  # hot fp on 74 docs
+    rows += [(0, 11), (1, 11), (0, 12), (1, 12)]  # ordinary pair 0-1
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = TD.winnowing_pairs(fps).collect()
+    assert [(r.id_a, r.id_b, r.shared_fps) for r in got] == [(0, 1, 2)]
+    # and below the cap the same fingerprint DOES generate pairs
+    ok = spark.createDataFrame(rows[: TD.WINNOW_MAX_SHARING], "doc_id long, fp long")
+    n = TD.winnowing_pairs(ok, min_shared=1).count()
+    m = TD.WINNOW_MAX_SHARING
+    assert n == m * (m - 1) // 2
