@@ -90,6 +90,14 @@ HEADLINE = [
     "events_daily_users_hll",
     "events_hourly_rollup",
     "events_incremental_rollup",
+    # round-3 additions (kept out of HEADLINE until round 4 — regressions
+    # in these now surface in the driver bench, not only under _FULL=1)
+    "dedup_winnowing_pairs",
+    "region_nation_rollup_revenue",
+    "customer_rfm_segments",
+    "doc_hybrid_search_rrf",
+    "events_type_transitions",
+    "orders_scd2_asof_lookup",
 ]
 
 

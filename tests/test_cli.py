@@ -45,6 +45,57 @@ def test_cli_count_only(spark, flights_csv, tmp_path):
     assert 0 < result["prepared_rows"] < 3000  # cleaning drops rows
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SOAK") != "1",
+    reason="large-input soak; run with SPARK_GRAFT_SOAK=1 (~3-6 min)",
+)
+def test_cli_soak_bz2_500k(spark, tmp_path):
+    """Reference-scale soak (round-3 verdict task 6): the closest local
+    analogue of the reference's published 500k-row bz2 run
+    (/root/reference/README.md:94,111 — 8.07 min wall, MAE reported on
+    the 2007 dataset). Generates a ~500k-row flights CSV with the
+    deterministic synthetic generator, bz2-compresses it (the
+    reference's input codec, exercising the splittable-codec read
+    path), runs the FULL CLI train pipeline end-to-end, and asserts
+    the planted-signal MAE envelope: the generator plants
+    ArrDelay ≈ DepDelay + U[-5,10] noise, so a working tree must beat
+    stddev/4 (≈11) by construction — and a generous wall-time ceiling
+    that still catches an accidental O(n²) or per-row-UDF regression."""
+    import bz2
+    import time
+
+    from flight_delay_prediction_using_pyspark_spark.sources.schemas import (
+        FLIGHTS_SCHEMA,
+    )
+
+    n = 500_000
+    cols = [f.name for f in FLIGHTS_SCHEMA.fields]
+    csv_path = str(tmp_path / "flights_500k.csv")
+    write_single_csv(flights_df(spark, n).select(*cols), csv_path)
+    bz2_path = csv_path + ".bz2"
+    with open(csv_path, "rb") as src, bz2.open(bz2_path, "wb") as dst:
+        while chunk := src.read(1 << 22):
+            dst.write(chunk)
+    os.remove(csv_path)
+
+    out = tmp_path / "out"
+    start = time.perf_counter()
+    result = run([bz2_path, str(out)])
+    wall = time.perf_counter() - start
+
+    stddev = (
+        flights_df(spark, n).agg(F.stddev("ArrDelay")).first()[0]
+    )
+    assert result["mae"] < stddev / 4, (result, stddev)
+    assert result["rmse"] >= result["mae"]
+    assert result["validation_rows"] > 0.15 * n  # 0.25 split minus cleaning
+    assert os.path.exists(out / "predictions.csv")
+    # The reference's single-node run takes 8.07 min on the full-size
+    # input; anything near that here (local[32], 500k rows) means a
+    # scale regression, not variance.
+    assert wall < 360, f"soak took {wall:.0f}s"
+
+
 def test_cli_train_and_score(spark, flights_csv, tmp_path):
     out = tmp_path / "out"
     result = run([flights_csv, str(out), "--test-file", flights_csv])
