@@ -88,7 +88,9 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
     )
     assert result["mae"] < stddev / 4, (result, stddev)
     assert result["rmse"] >= result["mae"]
-    assert result["validation_rows"] > 0.15 * n  # 0.25 split minus cleaning
+    # prepared ≈ 60% of raw (dedup + cancelled/null filters + the inner
+    # plane-dimension join), validation = 10% split of that
+    assert result["validation_rows"] > 0.05 * n
     assert os.path.exists(out / "predictions.csv")
     # The reference's single-node run takes 8.07 min on the full-size
     # input; anything near that here (local[32], 500k rows) means a
