@@ -1521,14 +1521,20 @@ def q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline monitors this overlap before trusting either alone — a
     collapse of n_both signals a corpus shift that broke one family's
     assumptions. Reuses the cached signature frame for the MinHash
-    side; counts are exact integers."""
+    side and persists the SimHash pair set for its two consumers
+    (its own count + the agreement join) — without the persist the
+    full tokenize-and-hash lineage ran twice. Counts are exact
+    integers."""
     mh = _lsh_pairs_cached(spark, sf_dir, threshold=0.5).select("id_a", "id_b")
     sh = TD.simhash_pairs(load_table(spark, sf_dir, "documents")).select(
         "id_a", "id_b"
-    )
-    n_mh = mh.count()
-    n_sh = sh.count()
-    n_both = mh.join(sh, ["id_a", "id_b"]).count()
+    ).persist()
+    try:
+        n_mh = mh.count()
+        n_sh = sh.count()
+        n_both = mh.join(sh, ["id_a", "id_b"]).count()
+    finally:
+        sh.unpersist()
     return spark.range(1).select(
         F.lit(n_mh).cast("bigint").alias("n_minhash"),
         F.lit(n_sh).cast("bigint").alias("n_simhash"),
