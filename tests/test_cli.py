@@ -150,7 +150,11 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
 
 def test_cli_train_and_score(spark, flights_csv, tmp_path):
     out = tmp_path / "out"
-    result = run([flights_csv, str(out), "--test-file", flights_csv])
+    result = run(
+        [flights_csv, str(out), "--test-file", flights_csv, "--figures"]
+    )
+    assert len(result["figures"]) == 6
+    assert all(os.path.exists(p) for p in result["figures"])
     assert result["mae"] >= 0 and result["rmse"] >= result["mae"]
     assert result["validation_rows"] > 0
     assert result["test_rows"] > 0

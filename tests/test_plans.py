@@ -412,6 +412,20 @@ def test_redaction_is_map_only_before_final_agg(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_copurchase_edges_single_pass_no_join(spark):
+    """Round-4 shape: co-purchase edge generation is one groupBy on
+    l_orderkey + a map-side HOF pair expansion + one pair agg — no
+    self-join (which shuffled lineitem twice), and exactly the two
+    aggregation exchanges."""
+    from flight_delay_prediction_using_pyspark_spark.plans.graph_queries import (
+        copurchase_edges,
+    )
+
+    plan = plan_of(copurchase_edges(spark, SF_CORRECTNESS_DIR))
+    assert "Join" not in plan
+    assert n_exchanges(plan) <= 2
+
+
 def test_winnowing_pairs_no_cartesian(spark):
     """Winnowing near-dup candidates come from an equi-join on the
     fingerprint key — never an all-pairs product — and the hot-
