@@ -95,6 +95,38 @@ def test_report_figures_from_predictions(spark, tmp_path):
     assert "morning" in tod and "Predicted" in tod
 
 
+def test_report_figures_degenerate_inputs(spark, tmp_path):
+    """Figures must not crash on the edge shapes a real pipeline
+    produces: an empty prediction frame (renders nothing) and an
+    all-null-actual frame (labels render, residual figures skip)."""
+    from flight_delay_prediction_using_pyspark_spark.app.figures import (
+        generate_report_figures,
+    )
+    from flight_delay_prediction_using_pyspark_spark.functions.labels import (
+        add_prediction_labels,
+    )
+
+    empty = add_prediction_labels(
+        spark.createDataFrame([], "prediction double, ArrDelay double")
+    )
+    out0 = str(tmp_path / "f0")
+    written = generate_report_figures(empty, out0)
+    names = {os.path.basename(p) for p in written}
+    # label figures still render (all-zero matrix); point figures skip
+    assert "pred_vs_actual.svg" not in names
+    assert "residuals_hist.svg" not in names
+
+    nulls = add_prediction_labels(
+        spark.range(10).select(
+            F.lit(None).cast("double").alias("ArrDelay"),
+            F.col("id").cast("double").alias("prediction"),
+        )
+    )
+    out1 = str(tmp_path / "f1")
+    written = generate_report_figures(nulls, out1)
+    assert all(open(p).read().endswith("</svg>") for p in written)
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SOAK") != "1",
     reason="large-input soak; run with SPARK_GRAFT_SOAK=1 (~3-6 min)",
