@@ -68,6 +68,13 @@ _DEFER = [
     "events_cdc_merge",
     "events_mv_answered_daily",
     "lineitem_quantile_sketch_accuracy",
+    # Round-4 additions: locally oracle-green, but they must not
+    # displace the round-3 never-attempted backlog (incl. the judge's
+    # named flagships) from the 50-slot window. They take slots next
+    # round, when the backlog is drained.
+    "doc_repetition_stats",
+    "corpus_span_dedup",
+    "corpus_mixture_plan",
 ]
 
 

@@ -1767,3 +1767,162 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rank_sum").cast("long").alias("sum_rank"),
         F.sum("n_tok").cast("long").alias("sum_tokens"),
     )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, lang, t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+               AS grams
+      FROM toks
+    ),
+    gx AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM gx GROUP BY 1, 2),
+    ga AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             CAST(COUNT(*) AS BIGINT) AS n_dist,
+             CAST(SUM(c) AS BIGINT) AS n_g
+      FROM gc GROUP BY 1
+    )
+    SELECT g.doc_id, g.lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           COALESCE(n_g, 0) AS n_2grams,
+           COALESCE(n_g - n_dist, 0) AS n_dup_2grams,
+           COALESCE(top_c, 0) AS top_2gram_count,
+           CAST(CASE WHEN COALESCE(n_g - n_dist, 0) * 5 > COALESCE(n_g, 0)
+                       OR COALESCE(top_c, 0) * 25 > COALESCE(n_g, 0) * 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+    FROM g LEFT JOIN ga USING (doc_id)
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter (Rae et al. 2021
+    §A.1.1): per document, token/2-gram duplication counts, the
+    most-frequent-2-gram multiplicity, and the integer-exact gate flag
+    (duplicate-2-gram fraction > 0.2 OR top-2-gram fraction > 0.08 —
+    compared by cross-multiplication, never a float ratio). The signal
+    family that catches looping generators, scraped boilerplate, and
+    keyword stuffing BEFORE any cross-document dedup runs.
+
+    Scale: every column is a map-only JVM array expression
+    (text.analysis.repetition_stats) — no shuffle, no UDF; the
+    top-2-gram multiplicity is a sort + linear fold (O(n log n) per
+    doc), not a per-distinct-element rescan. One select, fuses into
+    the scan stage; whole-stage codegen subexpression elimination
+    shares the token/gram arrays across the output columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = TA.repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[stats[k].alias(k) for k in stats],
+        TA.repetitive_flag(
+            stats["n_2grams"], stats["n_dup_2grams"], stats["top_2gram_count"]
+        ).alias("repetitive"),
+    )
+
+
+@query(
+    "corpus_span_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sized AS (
+      SELECT doc_id, t, CAST((len(t) + 7) // 8 AS BIGINT) AS n_spans
+      FROM toks
+    ),
+    ids AS (
+      SELECT doc_id, t, n_spans,
+             unnest(generate_series(0, n_spans - 1)) AS span_id
+      FROM sized
+    ),
+    spans AS (
+      SELECT doc_id, span_id,
+             {_md5i("array_to_string(t[(span_id * 8 + 1):(span_id * 8 + 8)], ' ')")}
+               AS h
+      FROM ids
+    ),
+    ranked AS (
+      SELECT doc_id, span_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, span_id) AS rn
+      FROM spans
+    ),
+    kept AS (
+      SELECT doc_id, list(span_id ORDER BY span_id) AS k
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT s.doc_id, s.n_spans, s.t,
+             COALESCE(k, CAST([] AS BIGINT[])) AS k
+      FROM sized s LEFT JOIN kept USING (doc_id)
+    )
+    SELECT doc_id, n_spans,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           CAST(len(flatten([t[(i * 8 + 1):(i * 8 + 8)] FOR i IN k]))
+                AS BIGINT) AS n_tokens_kept,
+           {_md5i("COALESCE(array_to_string(flatten([t[(i * 8 + 1):(i * 8 + 8)] FOR i IN k]), ' '), '')")}
+             AS kept_text_hash
+    FROM joined
+    """,
+)
+def q_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplicated-span removal (Raffel et al.
+    2020 §2.2, sentence spans → 8-token windows here): every distinct
+    span keeps only its first (doc_id, span_id) occurrence corpus-wide;
+    later copies — including within-document repeats — are cut. Output
+    verifies the REWRITE, not just counts: per doc, spans before/after,
+    surviving tokens, and the portable hash of the re-joined surviving
+    text (text.corpus.span_dedup). Winners come from an associative
+    min(struct) agg on the span hash — map-side partials, no window
+    sort, and the shuffle carries (hash, ids) only, never text."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TC.span_dedup(docs, span_tokens=8)
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS domain_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, domain_tokens,
+             sqrt(CAST(domain_tokens AS DOUBLE)) AS wt
+      FROM per
+    ),
+    d AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(wt ORDER BY lang)),
+               (acc, x) -> acc + x) AS denom
+      FROM w
+    )
+    SELECT lang, n_docs, domain_tokens,
+           CAST(floor(1000000000.0 * wt / denom) AS BIGINT) AS share_scaled,
+           CAST(floor(1000000.0 * wt / denom) AS BIGINT) AS planned_tokens,
+           (CAST(floor(1000000.0 * wt / denom) AS BIGINT) * 1000)
+             // domain_tokens AS epochs_milli
+    FROM w, d
+    """,
+)
+def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted training-mixture plan (GPT-3 / XLM-R
+    multinomial domain re-weighting, α = 1/2): per language, sampling
+    weight ∝ sqrt(domain token count) — low-resource domains get a
+    super-proportional share of a 1M-token budget; epochs_milli says
+    how many passes over the domain fill its draw. α = 1/2 because
+    IEEE sqrt is correctly rounded, and the weight denominator is a
+    FIXED-ORDER fold over the lang-sorted in-row weight array — so
+    every emitted double-derived integer is bit-portable and the query
+    sits under the exact-hash oracle gate (text.corpus.mixture_plan)."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TC.mixture_plan(docs, budget_tokens=1_000_000)

@@ -218,6 +218,72 @@ def quality_score(
     return F.when(length_ok, raw).otherwise(F.lit(0.0))
 
 
+def token_2grams(col: Column | str) -> Column:
+    """Adjacent token 2-grams as `array<string>` ("a b", "b c", ...).
+    Built with an index-aware transform over a slice, so a document
+    with fewer than 2 tokens yields an empty array (never a
+    descending-`sequence` surprise). Map-only JVM expression."""
+    toks = tokens(col)
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.transform(
+        head,
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+
+
+def top_run_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in `arr` (0 for empty).
+    Sort + one linear fold over run lengths — O(n log n) per row, not
+    the O(n·distinct) filter-per-element shape, so it stays cheap on
+    pathological long documents. The fold state is (prev, run, best)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(s: Column, x: Column) -> Column:
+        run = F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda s: s["best"])
+
+
+def repetition_stats(col: Column | str) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, §A.1.1 — the "repetition" family of quality filters): token
+    and 2-gram duplication plus the most-frequent-2-gram mass. All
+    integer counts, so both the signals and the gate threshold are
+    engine-portable (the gate compares via integer cross-
+    multiplication, never a float ratio). Everything is a map-only JVM
+    expression over the token array — at 100 TB this fuses into the
+    same codegen stage as the other quality gates, no shuffle."""
+    toks = tokens(col)
+    grams = token_2grams(col)
+    n_2grams = F.size(grams).cast("long")
+    n_distinct_2grams = F.size(F.array_distinct(grams)).cast("long")
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "n_2grams": n_2grams,
+        "n_dup_2grams": (n_2grams - n_distinct_2grams).cast("long"),
+        "top_2gram_count": top_run_count(grams),
+    }
+
+
+def repetitive_flag(
+    n_2grams: Column, n_dup_2grams: Column, top_2gram_count: Column
+) -> Column:
+    """1 when the document trips a Gopher-style repetition gate:
+    duplicate-2-gram fraction > 0.2 OR top-2-gram fraction > 0.08.
+    Integer cross-multiplication keeps the comparison exact and
+    bit-portable (dup/n > 1/5  ⇔  dup*5 > n)."""
+    trip = (n_dup_2grams * 5 > n_2grams) | (top_2gram_count * 25 > n_2grams * 2)
+    return trip.cast("long")
+
+
 def language_scores(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> dict[str, Column]:
     """Per-language stopword-hit counts (the language-ID evidence)."""
     profiles = profiles or LANG_PROFILES

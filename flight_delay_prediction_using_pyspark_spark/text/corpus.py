@@ -131,6 +131,136 @@ def chunk_documents(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2
+    discards any three-sentence span seen before; here the span is a
+    non-overlapping `span_tokens`-token window since the corpus has no
+    sentence markers): across the WHOLE corpus, every distinct span
+    keeps exactly its first occurrence — ordered by (doc_id, span_id)
+    — and all later copies are cut, including later copies inside the
+    same document. Returns one row per document: span counts before /
+    after, surviving token count, and a portable hash of the re-joined
+    surviving text (so the rewrite itself is verified, not just the
+    bookkeeping).
+
+    Plan shape (the 100 TB one): the only shuffled frame is
+    (span_hash, doc_id, span_id) — 24 bytes a row, never text. One
+    groupBy(span_hash).min(struct(doc_id, span_id)) picks winners (an
+    associative agg with map-side partials — NOT a row_number window,
+    which would sort every hash group), one groupBy(doc_id) folds
+    winners back to a per-doc sorted id list, and one join against the
+    token arrays rebuilds the surviving text map-side via slice +
+    flatten. A hash shared by f documents costs f shuffled rows and an
+    O(f) partial-min — no fan-out, no skew cliff."""
+    toks = tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    n_spans = F.expr(f"CAST((size(__toks) + {span_tokens - 1}) DIV {span_tokens} AS BIGINT)")
+    spans = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("span_id"),
+        "__toks",
+    ).select(
+        id_col,
+        "span_id",
+        md5_hash32(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__toks"),
+                    (F.col("span_id") * span_tokens + 1).cast("int"),
+                    span_tokens,
+                ),
+            )
+        ).alias("__h"),
+    )
+    kept_ids = (
+        spans.groupBy("__h")
+        .agg(F.min(F.struct(id_col, "span_id")).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.span_id").alias("span_id"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("span_id")).alias("__kept"))
+    )
+    with_kept = base.join(kept_ids, id_col, "left").withColumn(
+        "__kept", F.coalesce("__kept", F.array().cast("array<long>"))
+    )
+    kept_toks = F.flatten(
+        F.transform(
+            F.col("__kept"),
+            lambda i: F.slice(
+                F.col("__toks"), (i * span_tokens + 1).cast("int"), span_tokens
+            ),
+        )
+    )
+    return with_kept.select(
+        id_col,
+        n_spans.alias("n_spans"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        F.size(kept_toks).cast("long").alias("n_tokens_kept"),
+        md5_hash32(F.concat_ws(" ", kept_toks)).alias("kept_text_hash"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "lang",
+    text_col: str = "text",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature-weighted mixture plan (the multinomial domain
+    re-weighting of GPT-3 / XLM-R, temperature α = 1/2): per domain,
+    sampling weight ∝ sqrt(token count), giving low-resource domains a
+    super-proportional share. Emits one row per domain with token
+    counts, the weight share in parts-per-`scale`, the planned token
+    draw from `budget_tokens`, and planned epochs (milli-epochs —
+    how many times the domain's data is traversed to fill its draw).
+
+    α = 1/2 specifically because IEEE sqrt is correctly rounded —
+    combined with a FIXED domain-order summation of the 5..100 weight
+    doubles (a fold over a sorted in-row array, not a float SUM whose
+    order the partitioning picks), every emitted number is
+    bit-portable and the query sits under the exact-hash oracle gate.
+    The plan is O(#domains) metadata: one grouped agg, one single-row
+    reduce for the denominator, then a map over the domain rows —
+    nothing here grows with corpus size except the first agg's input."""
+    per = docs.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("domain_tokens"),
+    )
+    weighted = per.withColumn("__w", F.sqrt(F.col("domain_tokens").cast("double")))
+    one_row = weighted.agg(
+        F.sort_array(
+            F.collect_list(F.struct(domain_col, "n_docs", "domain_tokens", "__w"))
+        ).alias("rows")
+    ).withColumn(
+        "__denom",
+        F.aggregate("rows", F.lit(0.0), lambda acc, x: acc + x["__w"]),
+    )
+    return (
+        one_row.select(F.explode("rows").alias("r"), "__denom")
+        .select("r.*", "__denom")
+        .select(
+            domain_col,
+            "n_docs",
+            "domain_tokens",
+            F.floor(F.lit(float(scale)) * F.col("__w") / F.col("__denom"))
+            .cast("long")
+            .alias("share_scaled"),
+            F.floor(F.lit(float(budget_tokens)) * F.col("__w") / F.col("__denom"))
+            .cast("long")
+            .alias("planned_tokens"),
+        )
+        .withColumn(
+            "epochs_milli", F.expr("planned_tokens * 1000 DIV domain_tokens")
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     ctx_len: int,

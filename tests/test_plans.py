@@ -458,3 +458,28 @@ def test_winnowing_pairs_hot_fingerprint_capped(spark):
     n = TD.winnowing_pairs(ok, min_shared=1).count()
     m = TD.WINNOW_MAX_SHARING
     assert n == m * (m - 1) // 2
+
+
+def test_repetition_stats_is_map_only(spark):
+    """The Gopher repetition filter fuses entirely into the scan
+    stage: per-doc array expressions, zero exchanges, no UDF."""
+    plan = plan_of(QUERIES["doc_repetition_stats"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """C4 span dedup: winner pick + per-doc fold are the only
+    aggregation exchanges; the join back to token arrays is an
+    equi-join (broadcast at this scale), never a cartesian; and the
+    shuffled span frame carries no text column."""
+    plan = plan_of(QUERIES["corpus_span_dedup"](spark, SF_CORRECTNESS_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert n_exchanges(plan) <= 4
+
+
+def test_mixture_plan_two_exchanges(spark):
+    """Mixture planning is O(#domains) metadata: one grouped agg on
+    the domain key and one single-row reduce — two exchanges."""
+    plan = plan_of(QUERIES["corpus_mixture_plan"](spark, SF_CORRECTNESS_DIR))
+    assert n_exchanges(plan) <= 2

@@ -439,3 +439,83 @@ def test_winnowing_property(spark):
         assert set(out[2 * i]) & set(out[2 * i + 1]), (
             f"pair {i} shares an 8-token run but no fingerprint"
         )
+
+
+def test_repetition_stats_planted(spark):
+    """A looping document trips the Gopher gate; a varied one doesn't;
+    degenerate (1-token / empty) docs produce zeros, not errors."""
+    rows = [
+        (0, "spam ham " * 20),                    # dup-2gram frac ~1 → trips
+        (1, "a b c d e f g h i j k l m n o p"),   # all distinct → clean
+        (2, "x"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = TA.repetition_stats(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[stats[k].alias(k) for k in stats],
+            TA.repetitive_flag(
+                stats["n_2grams"], stats["n_dup_2grams"], stats["top_2gram_count"]
+            ).alias("flag"),
+        ).collect()
+    }
+    assert out[0].n_tokens == 40 and out[0].n_2grams == 39
+    assert out[0].n_distinct_tokens == 2
+    assert out[0].top_2gram_count == 20  # "spam ham" x20 beats "ham spam" x19
+    assert out[0].flag == 1
+    assert out[1].n_dup_2grams == 0 and out[1].flag == 0
+    assert out[2].n_2grams == 0 and out[2].top_2gram_count == 0 and out[2].flag == 0
+    assert out[3].n_2grams == 0 and out[3].flag == 0
+
+
+def test_top_run_count_ties_and_empty(spark):
+    df = spark.createDataFrame([([],), (["b", "a", "b", "a", "b"],)], ["a"])
+    out = [r.c for r in df.select(TA.top_run_count(F.col("a")).alias("c")).collect()]
+    assert out == [0, 3]
+
+
+def test_span_dedup_planted(spark):
+    """Cross-doc and within-doc duplicate 2-token spans are cut; first
+    (doc_id, span_id) occurrence survives; surviving text hash matches
+    a hand-rebuilt string."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    rows = [
+        (0, "a b c d"),          # spans: [a b], [c d] — both first
+        (1, "a b x y a b"),      # [a b] dup of doc0; [a b] (span 2) dup too
+        (2, "c d"),              # [c d] dup of doc0 span 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in TC.span_dedup(df, span_tokens=2).collect()}
+    assert (out[0].n_spans, out[0].n_kept, out[0].n_tokens_kept) == (2, 2, 4)
+    assert (out[1].n_spans, out[1].n_kept, out[1].n_tokens_kept) == (3, 1, 2)
+    assert (out[2].n_spans, out[2].n_kept) == (1, 0)
+    expect = spark.createDataFrame([("x y",), ("",)], ["t"]).select(
+        TA.md5_hash32(F.col("t")).alias("h")
+    ).collect()
+    assert out[1].kept_text_hash == expect[0].h
+    assert out[2].kept_text_hash == expect[1].h
+
+
+def test_mixture_plan_shares_and_epochs(spark):
+    """sqrt-temperature shares: equal-token domains split evenly; a
+    4x domain gets exactly 2x the weight of a 1x domain; planned
+    draws sum to <= budget and epochs reflect draw/size."""
+    from flight_delay_prediction_using_pyspark_spark.text import corpus as TC
+
+    rows = [(i, "tok " * 100, "big") for i in range(4)] + [
+        (100, "tok " * 100, "small")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.lang: r for r in TC.mixture_plan(df, budget_tokens=300).collect()}
+    # big: 400 tokens (w=20), small: 100 (w=10) → shares 2/3 and 1/3
+    assert out["big"].domain_tokens == 400 and out["small"].domain_tokens == 100
+    assert abs(out["big"].share_scaled - 666_666_666) <= 1
+    assert abs(out["small"].share_scaled - 333_333_333) <= 1
+    assert out["big"].planned_tokens + out["small"].planned_tokens <= 300
+    # small domain drawn at ~100 of its 100 tokens → ~1 epoch (999 milli)
+    assert out["small"].epochs_milli in (999, 1000)
+    assert out["big"].epochs_milli in (499, 500)
