@@ -430,17 +430,36 @@ def q_events_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     import time as _time
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Sentinels are written with pyarrow, not a Spark job: two one-row
+    # parquet writes cost milliseconds in-process vs seconds of job +
+    # commit overhead each through the JVM (measured 6 s/write on a
+    # busy box — it dominated the whole query). The explicit reader
+    # schema makes the int64/string/double file bit-compatible with
+    # the events file's columns.
     hour_us = 3_600 * 1_000_000
     for i, (uid, ts_us) in enumerate(
         [(-1, max_ts + 2 * hour_us), (-2, max_ts + 4 * hour_us)]
     ):
-        spark.createDataFrame(
-            [(0, ts_us, uid, "sentinel", 0.0, None)], schema
-        ).coalesce(1).write.parquet(f"{stage}/sentinel_{i}")
+        os.makedirs(f"{stage}/sentinel_{i}")
+        path = f"{stage}/sentinel_{i}/part-0.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0], pa.int64()),
+                    "ts": pa.array([ts_us], pa.int64()),
+                    "user_id": pa.array([uid], pa.int64()),
+                    "event_type": pa.array(["sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array([None], pa.string()),
+                }
+            ),
+            path,
+        )
         mtime = _time.time() + i  # after the (old) events.parquet mtime
-        for root, _, files in os.walk(f"{stage}/sentinel_{i}"):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
