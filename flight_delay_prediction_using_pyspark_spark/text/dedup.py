@@ -533,9 +533,19 @@ def connected_components(
     # (duplicate pairs, not documents): iterate at a narrow shuffle
     # width (graph_partitions) instead of the corpus-scale session
     # setting — raise only for graphs with billions of edges.
+    # Symmetrize in ONE pass over `pairs` via a per-row explode — a
+    # union of two selects would execute the caller's (unpersisted,
+    # often expensive: LSH candidate join + verify) pair lineage twice.
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .repartition(graph_partitions, F.col("u"))
         .persist()
@@ -550,7 +560,12 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.toLocalIterator():
+        # collect(), not toLocalIterator(): under the threshold the
+        # edge list is a few MB, and toLocalIterator fetches each of
+        # the graph_partitions partitions as a SEQUENTIAL job — pure
+        # scheduler latency (~2 s here) for a frame collect() moves
+        # in one job.
+        for r in edges.collect():
             u, v = int(r.u), int(r.v)
             parent.setdefault(u, u)
             parent.setdefault(v, v)
