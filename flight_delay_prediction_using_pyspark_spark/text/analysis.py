@@ -361,6 +361,68 @@ def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | Non
     return argmax_label(language_scores(col, profiles or LANG_PROFILES))
 
 
+def quality_language_struct(
+    col: Column | str,
+    min_tokens: int = 10,
+    max_tokens: int = 10_000,
+    stopwords: Sequence[str] = STOPWORDS,
+    profiles: dict[str, Sequence[str]] | None = None,
+) -> Column:
+    """struct(quality, pred_lang) — value-identical to
+    (round(quality_score(col), 6), predict_language(col)) with the
+    token array let-bound ONCE. The separate gate columns each build
+    their own token array, and since higher-order functions are
+    interpreted (CodegenFallback, no subexpression elimination) the
+    combined gate tokenized every document ~8× (length + stopword +
+    mean-length + 5 language filters). Here a nested transform over a
+    single-element array binds the array once, level 1 folds it into
+    the integer evidence (counts, total length, per-language hits),
+    and level 2 is plain scalar math over those fields. Callers expand
+    the struct behind an explode(array(...)) Generate barrier so the
+    pipeline also evaluates once per ROW, not once per output column
+    (same discipline as repetition_stats)."""
+    profiles = profiles or LANG_PROFILES
+    c = F.col(col) if isinstance(col, str) else col
+
+    def member_of(ws):  # closure factory: PySpark lambdas must be unary
+        return lambda t: t.isin(*ws)
+
+    bound = F.array(F.struct(tokens(c).alias("t")))
+
+    def evidence(s: Column) -> Column:
+        t = s["t"]
+        total_len = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        return F.struct(
+            F.size(t).alias("n"),
+            F.size(F.filter(t, member_of(stopwords))).alias("n_stop"),
+            total_len.alias("total_len"),
+            *[
+                F.size(F.filter(t, member_of(words))).alias(f"s_{lang}")
+                for lang, words in profiles.items()
+            ],
+        )
+
+    def verdict(r: Column) -> Column:
+        n = r["n"]
+        sw = F.when(n > 0, r["n_stop"] / n).otherwise(F.lit(0.0))
+        fluency = F.least(sw * 4, F.lit(1.0))
+        clean = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+        mtl = F.when(n > 0, r["total_len"] / n).otherwise(F.lit(0.0))
+        sane_len = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+        raw = (fluency + clean + sane_len) / 3
+        quality = F.when((n >= min_tokens) & (n <= max_tokens), raw).otherwise(
+            F.lit(0.0)
+        )
+        lang = argmax_label({lang: r[f"s_{lang}"] for lang in profiles})
+        return F.struct(
+            F.round(quality, 6).alias("quality"), lang.alias("pred_lang")
+        )
+
+    return F.element_at(F.transform(F.transform(bound, evidence), verdict), 1)
+
+
 def language_scores_chargram(
     col: Column | str, profiles: dict[str, Sequence[str]] | None = None
 ) -> Column | dict[str, Column]:

@@ -662,19 +662,26 @@ def prepare_training_corpus(
     the natural sharing when several corpus jobs run over one snapshot.
     """
     from flight_delay_prediction_using_pyspark_spark.text.analysis import (
-        predict_language,
-        quality_score,
+        quality_language_struct,
     )
 
     if parallelism:
-        # The gates tokenize every document several times — an
-        # expensive map that would otherwise run at the INPUT split
-        # count (the local testdata table is one parquet file = one
-        # task). Spread before any per-row work; at real scale the
-        # scan is already split and callers pass None.
+        # The gates run real interpreted per-doc work — a map that
+        # would otherwise run at the INPUT split count (the local
+        # testdata table is one parquet file = one task). Spread
+        # before any per-row work; at real scale the scan is already
+        # split and callers pass None.
         df = df.repartition(parallelism)
-    gated = df.withColumn("quality", F.round(quality_score(F.col("text")), 6)).withColumn(
-        "pred_lang", predict_language(F.col("text"))
+    # One let-bound gate struct, expanded behind a Generate barrier:
+    # quality and pred_lang tokenize once per document instead of ~8×
+    # (see analysis.quality_language_struct).
+    gated = (
+        df.withColumn(
+            "__g", F.explode(F.array(quality_language_struct(F.col("text"))))
+        )
+        .withColumn("quality", F.col("__g.quality"))
+        .withColumn("pred_lang", F.col("__g.pred_lang"))
+        .drop("__g")
     )
     gated = gated.filter(F.col("quality") >= min_quality)
     if lang is not None:

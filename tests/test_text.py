@@ -517,3 +517,19 @@ def test_mixture_plan_shares_and_epochs(spark):
     # small domain drawn at ~100 of its 100 tokens → ~1 epoch (999 milli)
     assert out["small"].epochs_milli in (999, 1000)
     assert out["big"].epochs_milli in (499, 500)
+
+
+def test_quality_language_struct_equals_separate_gates(spark):
+    """The let-bound gate struct must be VALUE-IDENTICAL to the
+    separate quality_score/predict_language columns (the corpus
+    oracles encode the originals' exact arithmetic)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    both = docs.select(
+        F.round(TA.quality_score(F.col("text")), 6).alias("q0"),
+        TA.predict_language(F.col("text")).alias("l0"),
+        TA.quality_language_struct(F.col("text")).alias("g"),
+    )
+    diff = both.filter(
+        (F.col("q0") != F.col("g.quality")) | (F.col("l0") != F.col("g.pred_lang"))
+    )
+    assert diff.count() == 0
