@@ -401,17 +401,28 @@ def _simhash_oracle(max_hamming: int, chunks: int) -> str:
     """
 
 
+def _simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted SimHash pair frame per (session, sf_dir): both
+    the pair query and the cross-family agreement audit consume the
+    identical (Hamming ≤ 3, 4-chunk) pair set — the tokenize + 32
+    bit-vote signature stage dominates, so build it once."""
+    key = ("simhash_pairs", id(spark.sparkContext), sf_dir)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = TD.simhash_pairs(
+            load_table(spark, sf_dir, "documents"),
+            max_hamming=3,
+            chunks=4,
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).persist()
+    return _PAIR_CACHE[key]
+
+
 @query("dedup_simhash_pairs", oracle=_simhash_oracle(3, 4))
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signatures, pigeonhole chunk
     buckets (recall 1.0 for Hamming ≤ 3), equi-join candidates, exact
     Hamming verify."""
-    return TD.simhash_pairs(
-        load_table(spark, sf_dir, "documents"),
-        max_hamming=3,
-        chunks=4,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
+    return _simhash_pairs_cached(spark, sf_dir).select("id_a", "id_b", "hamming")
 
 
 @query(
@@ -1520,21 +1531,16 @@ def q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition; SimHash is length-biased), so a production corpus
     pipeline monitors this overlap before trusting either alone — a
     collapse of n_both signals a corpus shift that broke one family's
-    assumptions. Reuses the cached signature frame for the MinHash
-    side and persists the SimHash pair set for its two consumers
-    (its own count + the agreement join) — without the persist the
-    full tokenize-and-hash lineage ran twice. Counts are exact
-    integers."""
+    assumptions. Both pair sets come from the session-shared caches
+    (_lsh_pairs_cached / _simhash_pairs_cached) — the sibling pair
+    queries build the identical frames, so the tokenize-and-hash
+    lineages run once per session, not once per consumer. Counts are
+    exact integers."""
     mh = _lsh_pairs_cached(spark, sf_dir, threshold=0.5).select("id_a", "id_b")
-    sh = TD.simhash_pairs(load_table(spark, sf_dir, "documents")).select(
-        "id_a", "id_b"
-    ).persist()
-    try:
-        n_mh = mh.count()
-        n_sh = sh.count()
-        n_both = mh.join(sh, ["id_a", "id_b"]).count()
-    finally:
-        sh.unpersist()
+    sh = _simhash_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    n_mh = mh.count()
+    n_sh = sh.count()
+    n_both = mh.join(sh, ["id_a", "id_b"]).count()
     return spark.range(1).select(
         F.lit(n_mh).cast("bigint").alias("n_minhash"),
         F.lit(n_sh).cast("bigint").alias("n_simhash"),
