@@ -132,9 +132,14 @@ _QUALITY_SQL = """
 def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-document text signals (token counts incl.
     BPE-style pre-tokenizer, quality heuristics, stopword-profile
-    language ID, rolling-hash fingerprint). Map-only: no shuffle at
-    any scale."""
-    return TA.text_profile(load_table(spark, sf_dir, "documents"))
+    language ID, rolling-hash fingerprint). Map-only at scale; the
+    repartition only spreads the single-file test scan across cores
+    (interpreted per-doc HOF work would otherwise run serially)."""
+    return TA.text_profile(
+        load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 @query(

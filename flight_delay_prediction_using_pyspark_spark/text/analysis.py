@@ -455,17 +455,65 @@ def predict_language_chargram(
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document analysis frame: one narrow pass emitting every text
     signal (token counts, quality, language, fingerprint). At 100 TB
-    this is a single map stage — no shuffle, no state."""
+    this is a single map stage — no shuffle, no state.
+
+    Values are identical to composing the standalone helpers
+    (token_count, stopword_ratio, quality_score, predict_language,
+    rolling_fingerprint — the oracles encode their exact arithmetic),
+    but the token array is let-bound ONCE and folded into integer
+    evidence, instead of each output column rebuilding it (~12
+    tokenize passes per doc under interpreted HOF evaluation); the
+    struct expands behind a Generate barrier so the pipeline also
+    runs once per row, not once per column."""
     c = F.col(text_col)
+
+    def member_of(ws):  # closure factory: PySpark lambdas must be unary
+        return lambda t: t.isin(*ws)
+
+    bound = F.array(F.struct(tokens(c).alias("t")))
+
+    def evidence(s: Column) -> Column:
+        t = s["t"]
+        return F.struct(
+            F.size(t).alias("n"),
+            F.size(F.filter(t, member_of(STOPWORDS))).alias("n_stop"),
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).alias("total_len"),
+            F.aggregate(
+                t,
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 31 + md5_hash32(x)) % F.lit(HASH_MOD),
+            ).alias("fingerprint"),
+            *[
+                F.size(F.filter(t, member_of(words))).alias(f"s_{lang}")
+                for lang, words in LANG_PROFILES.items()
+            ],
+        )
+
+    def emit(r: Column) -> Column:
+        n = r["n"]
+        sw = F.when(n > 0, r["n_stop"] / n).otherwise(F.lit(0.0))
+        mtl = F.when(n > 0, r["total_len"] / n).otherwise(F.lit(0.0))
+        fluency = F.least(sw * 4, F.lit(1.0))
+        clean = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+        sane_len = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+        raw = (fluency + clean + sane_len) / 3
+        quality = F.when((n >= 10) & (n <= 10_000), raw).otherwise(F.lit(0.0))
+        lang = argmax_label({lang: r[f"s_{lang}"] for lang in LANG_PROFILES})
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
+            F.length(c).cast("long").alias("n_chars"),
+            F.round(mtl, 6).alias("mean_token_len"),
+            F.round(punct_ratio(c), 6).alias("punct_ratio"),
+            F.round(sw, 6).alias("stopword_ratio"),
+            F.round(quality, 6).alias("quality"),
+            lang.alias("pred_lang"),
+            r["fingerprint"].alias("fingerprint"),
+        )
+
+    profile = F.element_at(F.transform(F.transform(bound, evidence), emit), 1)
     return df.select(
-        F.col(id_col),
-        token_count(c).cast("long").alias("n_tokens"),
-        bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
-        F.length(c).cast("long").alias("n_chars"),
-        F.round(mean_token_length(c), 6).alias("mean_token_len"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(quality_score(c), 6).alias("quality"),
-        predict_language(c).alias("pred_lang"),
-        rolling_fingerprint(c).alias("fingerprint"),
-    )
+        F.col(id_col), F.explode(F.array(profile)).alias("__p")
+    ).select(id_col, "__p.*")
