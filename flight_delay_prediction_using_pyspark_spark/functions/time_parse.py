@@ -15,7 +15,10 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+    with_global_agg,
+    with_global_aggs,
+)
 
 TWO_PI = 2.0 * math.pi
 
@@ -84,13 +87,18 @@ def add_polar_coordinates(df: DataFrame, columns: list[str] | None = None) -> Da
     emitting `<c>_polar_x/_polar_y`.
 
     The reference computes max(v) with an unbounded window over a single
-    partition (dataset_utils.py:57-59); here it is a parallel scalar
-    aggregate broadcast onto every row — identical values, no
-    single-task bottleneck at any scale.
+    partition (dataset_utils.py:57-59); here ALL the column maxes run as
+    ONE parallel scalar aggregate broadcast onto every row — identical
+    values, no single-task bottleneck at any scale, and one upstream
+    pass instead of one per column (the per-column scalar agg re-ran
+    the whole unpersisted prepare lineage three times).
     """
-    for column in columns or ["DayofMonth", "Month", "DayOfWeek"]:
+    columns = columns or ["DayofMonth", "Month", "DayOfWeek"]
+    df = with_global_aggs(
+        df, {f"__max_{c}": F.max(c) for c in columns}
+    )
+    for column in columns:
         max_col = f"__max_{column}"
-        df = with_global_agg(df, F.max(column), out_col=max_col)
         angle = TWO_PI * (F.col(column) - 1) / F.col(max_col) + (math.pi / 2.0)
         df = (
             df.withColumn(f"{column}_polar_x", F.cos(angle))

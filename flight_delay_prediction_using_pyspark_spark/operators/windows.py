@@ -59,6 +59,17 @@ def with_global_agg(df: DataFrame, agg: Column, out_col: str) -> DataFrame:
     return df.crossJoin(F.broadcast(scalar))
 
 
+def with_global_aggs(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """Attach SEVERAL global aggregates in ONE pass (W2 rewrite,
+    batched): one scalar-agg job + one broadcast crossJoin for the
+    whole dict. Chaining with_global_agg once per aggregate would
+    re-execute the upstream lineage per call — on an unpersisted
+    frontier (a generator, a cleaned/deduped frame) that multiplies
+    the entire pipeline's cost by the aggregate count."""
+    scalar = df.agg(*[agg.alias(name) for name, agg in aggs.items()])
+    return df.crossJoin(F.broadcast(scalar))
+
+
 def lag_lead_delta(
     df: DataFrame,
     partition_by: Sequence[str],
