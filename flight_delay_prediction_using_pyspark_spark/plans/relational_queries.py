@@ -722,9 +722,14 @@ def q_lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Percentiles are rounded to 6dp on both engines before clipping so
     the boundary comparisons and the decimal sum are bit-stable."""
     li = load_table(spark, sf_dir, "lineitem")
+    # One percentile(col, array(...)) aggregate: a single value buffer
+    # serves both cut points (two scalar percentile calls each buffer
+    # and sort the full column independently).
     q = li.agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 6).alias("p05"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("__p")
+    ).select(
+        F.round(F.col("__p")[0], 6).alias("p05"),
+        F.round(F.col("__p")[1], 6).alias("p95"),
     )
     clipped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
