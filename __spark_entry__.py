@@ -75,6 +75,7 @@ _DEFER = [
     "doc_repetition_stats",
     "corpus_span_dedup",
     "corpus_mixture_plan",
+    "embedding_label_centroids",
 ]
 
 

@@ -542,3 +542,89 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, i - 1 AS dim, xs[i] AS x
+      FROM v, unnest(range(1, len(xs) + 1)) AS t(i)
+    ),
+    s AS (
+      SELECT label, dim, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n
+      FROM e GROUP BY label, dim
+    ),
+    cl AS (
+      SELECT label, list(CAST(sx // n AS BIGINT) ORDER BY dim) AS cent
+      FROM s GROUP BY label
+    ),
+    d AS (
+      SELECT v.vec_id, v.label,
+             CAST(list_sum(list_transform(range(1, len(xs) + 1),
+                    i -> (xs[i] - cent[i]) * (xs[i] - cent[i]))) AS BIGINT) AS dist
+      FROM v JOIN cl USING (label)
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist,
+           CAST(MAX(dist) AS BIGINT) AS max_dist,
+           CAST(SUM(dist) // COUNT(*) AS BIGINT) AS avg_dist
+    FROM d GROUP BY label
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + squared-distance spread — the
+    E-step/statistics half of SemDeDup-style semantic clustering, and
+    the per-domain diversity audit a training-data pipeline runs on
+    its embedding table (a label whose distance mass collapses is a
+    mode-collapsed or duplicated slice; one that explodes is noisy).
+    Everything is exact integer math: components floor-scale to micro
+    units, centroids are truncating integer division (verified
+    identical in Spark DIV and DuckDB //, negatives included), and
+    squared distances are bigint — so the oracle hash-matches where
+    any float mean/variance would drift.
+
+    Scale shape: ONE dimension-parallel reduction (posexplode →
+    groupBy(label, dim), skinny 24-byte rows, map-side partials) build
+    the centroids; the (labels × dims) centroid table is broadcast
+    back; distances are a map-side zip_with fold; the final per-label
+    agg is the only other shuffle. No driver collect, no cartesian —
+    the same plan at a billion vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    v = emb.select("vec_id", "label", xs.alias("xs"))
+    sums = (
+        v.select("label", F.posexplode("xs").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = (
+        sums.select("label", "dim", F.expr("sx DIV n").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select("label", F.expr("transform(dc, p -> p.c)").alias("cent"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("xs"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    per = v.join(F.broadcast(cent), "label").select(
+        "label", dist.alias("dist")
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+        F.expr("sum(dist) DIV count(1)").cast("long").alias("avg_dist"),
+    )

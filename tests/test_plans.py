@@ -489,3 +489,13 @@ def test_mixture_plan_two_exchanges(spark):
     the domain key and one single-row reduce — two exchanges."""
     plan = plan_of(QUERIES["corpus_mixture_plan"](spark, SF_CORRECTNESS_DIR))
     assert n_exchanges(plan) <= 2
+
+
+def test_label_centroids_broadcast_no_cartesian(spark):
+    """Centroid statistics: the (labels x dims) centroid table rides a
+    broadcast join back onto the vectors; the distance fold is JVM
+    HOF work (no Python), and nothing goes cartesian."""
+    plan = plan_of(QUERIES["embedding_label_centroids"](spark, SF_CORRECTNESS_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
