@@ -810,7 +810,17 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    flagged = TC.decontaminate(corpus, bench)
+    # The cached signature frame already carries every doc's shingle
+    # hashes — reuse them instead of re-tokenizing the corpus side
+    # (the bench docs in the frame are harmless: their flags attach
+    # to no corpus row).
+    flagged = TC.decontaminate(
+        corpus,
+        bench,
+        corpus_hashes=_sigs_cached(spark, sf_dir)
+        .select("doc_id", "sh_hashes")
+        .filter(F.col("doc_id") % 50 != 0),
+    )
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("contaminated"), 1)).alias("n_contaminated"),
@@ -1009,7 +1019,13 @@ def q_corpus_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survivors' signatures are a semi-join away (pure per-doc fn)
         sigs=_sigs_cached(spark, sf_dir),
     )
-    clean = TC.decontaminate(kept, bench).filter(~F.col("contaminated"))
+    clean = TC.decontaminate(
+        kept,
+        bench,
+        # same cache: sh_hashes ARE the decontamination join hashes;
+        # extra (non-kept) ids flag nothing via the left join back
+        corpus_hashes=_sigs_cached(spark, sf_dir).select("doc_id", "sh_hashes"),
+    ).filter(~F.col("contaminated"))
     with_source = clean.select("doc_id", "text").join(
         docs.select("doc_id", "source"), "doc_id"
     )

@@ -36,6 +36,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing ANY
     token n-gram with a benchmark/eval set, so training data can't
@@ -48,14 +49,27 @@ def decontaminate(
     corpus side shuffles only (id, hash) pairs; the broadcast side is
     the eval set's distinct shingle hashes (eval sets are tiny
     relative to any training corpus — if yours isn't, swap the
-    broadcast for a bucketed shuffle join, the semantics hold)."""
+    broadcast for a bucketed shuffle join, the semantics hold).
+
+    `corpus_hashes`: optional (id_col, sh_hashes array<long>) frame —
+    e.g. the cached minhash-signature frame, whose sh_hashes are the
+    SAME per-shingle md5 longs — skips the corpus-side tokenize +
+    shingle + digest pass entirely. Ids absent from `corpus` are
+    harmless (the flag attaches by left join); ids absent from
+    `corpus_hashes` (sub-n-token docs) can never be flagged, exactly
+    like their empty shingle set under the text path."""
     bench_hashes = (
         benchmark.select(F.explode(shingle_hashes(text_col, n)).alias("__h"))
         .distinct()
     )
-    corpus_pairs = corpus.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("__h")
-    )
+    if corpus_hashes is not None:
+        corpus_pairs = corpus_hashes.select(
+            F.col(id_col), F.explode("sh_hashes").alias("__h")
+        )
+    else:
+        corpus_pairs = corpus.select(
+            F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("__h")
+        )
     contaminated_ids = (
         corpus_pairs.join(F.broadcast(bench_hashes), "__h", "left_semi")
         .select(id_col)

@@ -98,6 +98,19 @@ def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
     return F.element_at(F.transform(hashed_wrapped, sig_from), 1)
 
 
+def minhash_sig_from_hashes(hashes_col: Column, k: int = MINHASH_K) -> Column:
+    """Signature from an already-materialized shingle-hash array —
+    the k affine variants reference a plain column (cheap attribute
+    reads), so no let-binding wrapper is needed."""
+
+    def affine(i):
+        return lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+
+    return F.array(
+        *[F.array_min(F.transform(hashes_col, affine(i))) for i in range(k)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -106,20 +119,40 @@ def minhash_signatures(
     k: int = MINHASH_K,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """Per-document (id, shingles, minhash signature). Rows with no
-    shingles (docs shorter than n tokens) are dropped.
+    """Per-document (id, shingles, sh_hashes, minhash signature).
+    Rows with no shingles (docs shorter than n tokens) are dropped.
 
-    `parallelism`: explicit repartition before the (CPU-heavy, k·|sh|
-    md5 calls per row) signature computation. Use when the source is a
-    few dense files (local testdata = 1 row-group = 1 task); leave
-    None at real scale, where the scan is already split and an extra
-    shuffle of the text would cost more than it buys."""
+    `sh_hashes` (the per-shingle 32-bit md5 longs) is materialized
+    behind a Generate barrier so the single md5 pass feeds BOTH the
+    signature (k affine variants over the array) and any downstream
+    consumer of raw shingle hashes — decontamination joins on exactly
+    these hashes, so sharing the cached signature frame saves it a
+    full tokenize+shingle+digest pass over the corpus.
+
+    `parallelism`: explicit repartition before the (CPU-heavy, per-
+    shingle md5) computation. Use when the source is a few dense files
+    (local testdata = 1 row-group = 1 task); leave None at real scale,
+    where the scan is already split and an extra shuffle of the text
+    would cost more than it buys."""
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
     with_sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    return with_sh.withColumn("sig", minhash_signature(F.col("shingles"), k))
+    bound = with_sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("shingles").alias("shingles"),
+                    F.transform("shingles", lambda s: md5_hash32(s)).alias(
+                        "sh_hashes"
+                    ),
+                )
+            )
+        ).alias("__s"),
+    ).select(id_col, "__s.shingles", "__s.sh_hashes")
+    return bound.withColumn("sig", minhash_sig_from_hashes(F.col("sh_hashes"), k))
 
 
 def lsh_band_buckets(
