@@ -76,6 +76,7 @@ _DEFER = [
     "corpus_span_dedup",
     "corpus_mixture_plan",
     "embedding_label_centroids",
+    "corpus_decontaminate_report",
 ]
 
 

@@ -1956,3 +1956,92 @@ def q_corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return TC.mixture_plan(docs, budget_tokens=1_000_000)
+
+
+def _bench_shingle_sql(pred: str) -> str:
+    """Distinct 32-bit shingle hashes of the documents matching
+    `pred` (same construction as the full-pipeline oracle)."""
+    return f"""
+      SELECT DISTINCT unnest(list_transform(
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                    ELSE [] END,
+               x -> {_md5i('x')})) AS h
+      FROM (SELECT {_TOKS} AS t FROM documents WHERE {pred})
+    """
+
+
+@query(
+    "corpus_decontaminate_report",
+    oracle=f"""
+    WITH bh AS (
+      SELECT 'holdout_a' AS benchmark, h FROM ({_bench_shingle_sql('doc_id % 50 = 0')})
+      UNION ALL
+      SELECT 'holdout_b', h FROM ({_bench_shingle_sql('doc_id % 50 = 25')})
+    ),
+    ct AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+      WHERE doc_id % 50 != 0 AND doc_id % 50 != 25
+    ),
+    ch AS (
+      SELECT doc_id, unnest(list_transform(
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                    ELSE [] END,
+               x -> {_md5i('x')})) AS h
+      FROM ct
+    ),
+    flags AS (
+      SELECT DISTINCT c.doc_id, b.benchmark FROM ch c JOIN bh b USING (h)
+    )
+    SELECT d.source, f.benchmark, COUNT(*) AS n_flagged
+    FROM flags f JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination report: which eval set leaks into
+    which corpus slice — the census a training-data team actually
+    tracks (one flag bit is not enough when several benchmarks are
+    held out; a source×benchmark cell lighting up tells you WHICH
+    pipeline drop stops the leak). Two synthetic holdouts (doc_id
+    ≡ 0 and ≡ 25 mod 50) tag their distinct shingle-hash sets; the
+    corpus side reuses the cached signature frame's sh_hashes —
+    NO re-tokenization — and the tagged hash sets broadcast. Output:
+    per (source, benchmark) flagged-doc counts, exact integers.
+
+    Scale: corpus side shuffles (doc_id, 8-byte hash); the benchmark
+    union stays broadcast-sized by construction (eval sets ≪ corpus);
+    flags dedupe on (doc_id, benchmark) before the tiny census agg."""
+    from flight_delay_prediction_using_pyspark_spark.text.corpus import shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_hashes = None
+    for name, rem in (("holdout_a", 0), ("holdout_b", 25)):
+        bh = (
+            docs.filter(F.col("doc_id") % 50 == rem)
+            .select(F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+            .distinct()
+            .withColumn("benchmark", F.lit(name))
+        )
+        bench_hashes = bh if bench_hashes is None else bench_hashes.unionAll(bh)
+    corpus_ids = docs.filter(
+        (F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 50 != 25)
+    ).select("doc_id")
+    corpus_pairs = (
+        _sigs_cached(spark, sf_dir)
+        .select("doc_id", F.explode("sh_hashes").alias("h"))
+        .join(corpus_ids, "doc_id", "left_semi")
+    )
+    flags = (
+        corpus_pairs.join(F.broadcast(bench_hashes), "h")
+        .select("doc_id", "benchmark")
+        .distinct()
+    )
+    return (
+        flags.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "benchmark")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
