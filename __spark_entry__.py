@@ -50,10 +50,10 @@ def _driver_attempted() -> set[str]:
 # flights_prepare_summary re-verification is green in CORRECTNESS_r03).
 _MUST_HAVE: list[str] = []
 
-# Fresh-but-subsumed queries pushed to the BACK of the fresh tier: each
-# is a narrower variant of a sibling that IS in this round's slot
-# window, so spending a scarce round-4 slot on it verifies nothing new.
-# They stay in the catalog (bench/tests/judge still see them) and the
+# Fresh queries pushed to the BACK of the fresh tier — either subsumed
+# by a sibling already in this round's slot window, or added mid-round
+# (they must not displace the older never-attempted backlog). They stay
+# in the catalog (bench/tests/judge still see them) and the
 # self-maintaining rotation gives them slots the following round.
 #   events_daily_users_hll    ⊂ events_hll_union_weekly (daily sketches
 #                               are built and contract-checked there)

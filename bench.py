@@ -102,6 +102,8 @@ HEADLINE = [
     "doc_repetition_stats",
     "corpus_span_dedup",
     "corpus_mixture_plan",
+    "embedding_label_centroids",
+    "corpus_decontaminate_report",
 ]
 
 
