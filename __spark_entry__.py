@@ -77,6 +77,7 @@ _DEFER = [
     "corpus_mixture_plan",
     "embedding_label_centroids",
     "corpus_decontaminate_report",
+    "semdedup_prune_census",
 ]
 
 

@@ -122,7 +122,13 @@ def main() -> None:
     # so per-query numbers measure the queries, not session startup.
     QUERIES["pricing_summary"](spark, sf_dir).toPandas()
 
-    names = list(QUERIES) if full else [n for n in HEADLINE if n in QUERIES]
+    # Full mode runs the HEADLINE prefix in HEADLINE order (then the
+    # rest): blocks that share a memoized fit (the ml_* family) must
+    # attribute the shared cost to the same query in both modes, or a
+    # full run flags a phantom per-query "regression" purely from
+    # which sibling paid the one-time fit.
+    head = [n for n in HEADLINE if n in QUERIES]
+    names = head + [n for n in QUERIES if n not in set(head)] if full else head
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()

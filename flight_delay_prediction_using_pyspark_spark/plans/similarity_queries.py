@@ -628,3 +628,42 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dist").cast("long").alias("max_dist"),
         F.expr("sum(dist) DIV count(1)").cast("long").alias("avg_dist"),
     )
+
+
+_SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "semdedup_prune_census",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v, {_NORM.format(v='v')} AS nrm, {_bucket_sql('v')} AS bucket
+      FROM e
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)
+            >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+    )
+    SELECT bucket,
+           COUNT(*) AS n_vectors,
+           COUNT(*) FILTER (WHERE p.vec_id IS NOT NULL) AS n_pruned,
+           COUNT(*) - COUNT(*) FILTER (WHERE p.vec_id IS NOT NULL) AS n_kept
+    FROM n LEFT JOIN pruned p USING (vec_id)
+    GROUP BY bucket
+    """,
+)
+def q_semdedup_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (ann.semdedup_census): hyperplane-
+    quantizer cells stand in for the paper's k-means clusters; inside
+    each cell a vector is dropped iff a smaller-id neighbor is
+    cosine-≥ τ similar (keep-lowest-id makes the decision one pairwise
+    EXISTS, not a sequential greedy chain). Per-bucket retention
+    census — the go/no-go dashboard of an embedding-level dedup pass.
+    All-pairs work is bucket-confined (add planes as the corpus
+    grows); the oracle rebuilds the identical cells and cosines from
+    the same plane literals with IEEE-identical operand order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.semdedup_census(emb, threshold=_SEMDEDUP_TAU)

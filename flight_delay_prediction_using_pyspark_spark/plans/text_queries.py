@@ -2045,3 +2045,76 @@ def q_corpus_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("source", "benchmark")
         .agg(F.count(F.lit(1)).alias("n_flagged"))
     )
+
+
+@query(
+    "doc_lm_perplexity_buckets",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    tr_toks AS (SELECT unnest(t) AS w FROM d WHERE lang = 'en'),
+    uni AS (SELECT w, COUNT(*) AS cu FROM tr_toks GROUP BY w),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    tr_big AS (
+      SELECT t[i-1] AS w1, t[i] AS w2
+      FROM (SELECT t FROM d WHERE lang = 'en') tr,
+           unnest(generate_series(2, len(t))) AS g(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS cb FROM tr_big GROUP BY w1, w2),
+    probe AS (
+      SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+      FROM d, unnest(generate_series(2, len(t))) AS g(i)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(floor(100000 * ln((COALESCE(b.cb, 0) + 1.0) /
+                  (COALESCE(u.cu, 0) + v.v + 0.0))) AS BIGINT) AS q
+      FROM probe p
+      LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN uni u ON p.w1 = u.w
+      CROSS JOIN vocab v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(q) AS BIGINT) // COUNT(*) AS avg_q
+      FROM scored GROUP BY doc_id
+    )
+    SELECT lang,
+           CASE WHEN avg_q IS NULL THEN 'short'
+                WHEN avg_q >= -340000 THEN 'fluent'
+                WHEN avg_q >= -346000 THEN 'mid'
+                ELSE 'weird' END AS ppl_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(avg_q, 0)) AS BIGINT) AS sum_avg_logp_q
+    FROM d LEFT JOIN per_doc USING (doc_id)
+    GROUP BY lang, ppl_bucket
+    """,
+)
+def q_doc_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (analysis.bigram_lm_doc_scores):
+    an add-one bigram LM fit on the lang='en' slice scores every
+    document's average log-probability; documents bucket into
+    fluent / mid / weird (plus short for <2 tokens), reported per
+    labeled language. 'en' docs concentrate in 'fluent' and the other
+    languages sink — the perplexity filter a training-data pipeline
+    runs before mixing. ln() is floor-quantized to 1e-5 (integer
+    comparisons cross-engine, the TF-IDF precedent); averages are
+    exact integer division. Counts build in two hash aggs; the probe
+    joins are key-partitioned shuffle equi-joins — no driver vocab,
+    no broadcast of the big side, the same plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TA.bigram_lm_doc_scores(docs, docs.filter(F.col("lang") == "en"))
+    j = docs.select("doc_id", "lang").join(scores, "doc_id", "left")
+    bucket = (
+        F.when(F.col("avg_logp_q").isNull(), "short")
+        .when(F.col("avg_logp_q") >= -340000, "fluent")
+        .when(F.col("avg_logp_q") >= -346000, "mid")
+        .otherwise("weird")
+    )
+    return j.groupBy("lang", bucket.alias("ppl_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("avg_logp_q"), F.lit(0)))
+        .cast("long")
+        .alias("sum_avg_logp_q"),
+    )

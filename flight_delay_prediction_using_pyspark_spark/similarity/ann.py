@@ -233,6 +233,77 @@ def knn_join(
     )
 
 
+def semdedup_census(
+    df: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: Sequence[Sequence[float]] = PLANES,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning census (Abbas et al. 2023,
+    arXiv:2303.09540), Spark-first: cluster the corpus with the
+    deterministic hyperplane quantizer (the paper uses k-means; the
+    LSH signature is the SQL-mirrorable stand-in with the same role —
+    confine the O(n²) similarity test to small cells), then inside
+    each bucket drop every vector that has a ≥ threshold cosine
+    neighbor with a SMALLER id. The keep-lowest-id rule makes the
+    retention decision a one-pass pairwise EXISTS — no sequential
+    greedy chain — so it is deterministic, distributable, and
+    oracle-checkable.
+
+    Returns one row per bucket: (bucket, n_vectors, n_pruned, n_kept).
+
+    Scale shape: norms are computed once per vector (O(n·d)); the pair
+    stage is a bucket-equi-join, so all-pairs work is confined to
+    single buckets (~n/2^planes rows each — add planes as the corpus
+    grows); the shuffle carries (bucket, id, vec) once. No driver-side
+    data, no cartesian.
+    """
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        nrm.alias("nrm"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = base.select(
+        F.col("bucket"),
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("bucket"),
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pair_cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    pruned = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        base.join(pruned, ["id"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count(F.col("is_pruned")).alias("n_pruned"),
+            (F.count(F.lit(1)) - F.count(F.col("is_pruned"))).alias("n_kept"),
+        )
+    )
+
+
 def int8_quantize(v: Column) -> Column:
     """Symmetric int8 scalar quantization of a (double[]) vector:
     normalize to unit L2, then floor(127 * x̂) per element. The

@@ -517,3 +517,76 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(
         F.col(id_col), F.explode(F.array(profile)).alias("__p")
     ).select(id_col, "__p.*")
+
+
+def token_bigram_pairs(col: Column | str) -> Column:
+    """Adjacent token pairs as `array<struct<w1,w2>>` — the join-ready
+    form of token_2grams (w1 is needed alone for the context-count
+    join in the bigram LM). Slice-based, so <2-token docs yield an
+    empty array without the descending-`sequence` trap. Map-only."""
+    toks = tokens(col)
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.transform(
+        head,
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(toks, i + F.lit(2)).alias("w2")
+        ),
+    )
+
+
+def bigram_lm_doc_scores(
+    docs: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 100_000,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., LREC'20), the
+    Spark-expressible core: fit an add-one-smoothed token-bigram LM on
+    a trusted subset (`train`; CCNet uses Wikipedia+KenLM), then score
+    every document by its average per-bigram log-probability. Docs far
+    from the trusted distribution (other languages, gibberish,
+    boilerplate) score low — the standard perplexity-bucket filter of
+    a training-data pipeline.
+
+    logP(w2|w1) = ln((c(w1,w2)+1) / (c(w1)+V)), floor-quantized to
+    1/`quant` so the cross-engine ln() comparison is on integers (the
+    TF-IDF precedent); per-doc average is exact integer division.
+    Returns (id_col, n_bigrams, avg_logp_q) for docs with ≥1 bigram.
+
+    Scale shape: counts are two hash aggs over the train token stream;
+    the probe stream joins bigram counts on (w1,w2) and context counts
+    on w1 — plain shuffle equi-joins that partition by key at any
+    corpus size (no driver-side vocab, no broadcast of the big side);
+    V rides a broadcast single-row cross join. The per-doc agg is the
+    only other shuffle.
+    """
+    lowered = F.lower(F.col(text_col))
+    probe = docs.select(
+        F.col(id_col), F.explode(token_bigram_pairs(lowered)).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tr_toks = train.select(F.explode(tokens(lowered)).alias("w"))
+    uni = tr_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = (
+        train.select(F.explode(token_bigram_pairs(lowered)).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    q = F.floor(
+        quant
+        * F.log(
+            (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v") + 0.0)
+        )
+    ).cast("long")
+    scored = (
+        probe.join(big, ["w1", "w2"], "left")
+        .join(uni, probe.w1 == uni.w, "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), q.alias("q"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(q) DIV count(1)").cast("long").alias("avg_logp_q"),
+    )

@@ -135,6 +135,7 @@ def test_hof_stats_no_explode_single_shuffle(spark):
         "dedup_lsh_levenshtein",
         "ann_lsh_bucket_topk",
         "ann_multiprobe_topk",
+        "semdedup_prune_census",
     ],
 )
 def test_candidate_generation_never_cartesian(spark, name):
