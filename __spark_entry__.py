@@ -78,6 +78,12 @@ _DEFER = [
     "embedding_label_centroids",
     "corpus_decontaminate_report",
     "semdedup_prune_census",
+    "doc_lm_perplexity_buckets",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_blocking_suppliers",
+    "tpch_q22_idle_rich_customers",
+    "corpus_importance_resample",
 ]
 
 

@@ -2090,3 +2090,219 @@ def q_region_nation_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_orders"),
         A.exact_decimal_sum("o_totalprice").alias("revenue"),
     )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    WITH qty AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM qty
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE sum_qty > 300
+    """,
+)
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING-subquery shape —
+    orders whose total line quantity exceeds 300 — rewritten as one
+    pre-aggregation reused as BOTH the filter and the output column
+    (the classic Q18 optimization: no second lineitem scan, no IN
+    subquery). The aggregate shrinks lineitem to one row per order
+    before the joins; customer attaches via broadcast. Quantities are
+    floor()-cast to exact integers on both engines, so sums and the
+    threshold compare are order-immune."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to this schema's
+    columns): a three-branch disjunction mixing part and lineitem
+    predicates. Catalyst cannot push a mixed-table OR, so the
+    table-local implications are factored out by hand — part keeps
+    only the three (brand, size) branches and lineitem only
+    quantity ∈ [1, 30] — which prunes both scans before the join (the
+    standard Q19 rewrite); the exact disjunction then filters the
+    joined rows. The filtered part side broadcasts."""
+    branches_part = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15))
+    )
+    part = load_table(spark, sf_dir, "part").filter(branches_part)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    full = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return joined.filter(full).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(revenue.cast("decimal(30,6)")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "tpch_q21_blocking_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    o AS (
+      SELECT l_orderkey, MAX(ms) AS m, COUNT(*) AS n_supp
+      FROM per GROUP BY l_orderkey
+    ),
+    blockers AS (
+      SELECT p.l_orderkey, p.l_suppkey
+      FROM per p JOIN o USING (l_orderkey)
+      WHERE p.ms = o.m AND o.n_supp >= 2
+    ),
+    sole AS (
+      SELECT l_orderkey, MIN(l_suppkey) AS sk
+      FROM blockers GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s_name, sk AS s_suppkey, COUNT(*) AS numwait
+    FROM sole JOIN supplier ON s_suppkey = sk
+    GROUP BY s_name, sk
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to this
+    schema's single date column: in every multi-supplier order, the
+    supplier whose latest line ships last — and NO other supplier ties
+    that latest date — "blocked" the order (the EXISTS / NOT-EXISTS
+    pair of the original becomes the n_supp >= 2 gate and the
+    HAVING COUNT(*) = 1 sole-blocker rule). Three shrinking hash aggs
+    (lineitem → per-(order, supp) → per-order) replace the correlated
+    subqueries; supplier names attach by broadcast; top-20 is a
+    TakeOrderedAndProject with the suppkey tiebreak."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
+    )
+    o = per.groupBy("l_orderkey").agg(
+        F.max("ms").alias("m"), F.count(F.lit(1)).alias("n_supp")
+    )
+    blockers = (
+        per.join(o, "l_orderkey")
+        .filter((F.col("ms") == F.col("m")) & (F.col("n_supp") >= 2))
+    )
+    sole = (
+        blockers.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("sk"), F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == 1)
+    )
+    return (
+        sole.groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        .select("s_name", F.col("sk").alias("s_suppkey"), "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ),
+    thr AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+      FROM c WHERE cents > 0
+    )
+    SELECT n_name, COUNT(*) AS numcust,
+           CAST(SUM(cents) AS BIGINT) AS tot_cents
+    FROM c, thr
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE c.cents * thr.n > thr.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 480000)
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: customers whose
+    balance beats the positive-balance average and who never placed a
+    premium (> 480k) order, grouped by nation. The scalar-subquery
+    threshold compare is cross-multiplied into exact integer cents
+    (cents · n > sum_cents) so no float average crosses engines; the
+    NOT EXISTS is a left-anti join against the pre-filtered premium
+    orders (anti side shrinks before the shuffle); nation attaches by
+    broadcast. Same decorrelated shape Spark plans for the original."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    thr = c.filter(F.col("cents") > 0).agg(
+        F.sum("cents").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    premium = orders.filter(F.col("o_totalprice") > 480000).select("o_custkey")
+    sel = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(premium, c.c_custkey == premium.o_custkey, "left_anti")
+    )
+    return (
+        sel.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cents").cast("long").alias("tot_cents"),
+        )
+    )

@@ -2118,3 +2118,55 @@ def q_doc_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_avg_logp_q"),
     )
+
+
+@query(
+    "corpus_importance_resample",
+    oracle=f"""
+    {_PROFILE_CTE}
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE kept) AS n_kept,
+           CAST(COALESCE(SUM(n_tokens) FILTER (WHERE kept), 0) AS BIGINT)
+             AS kept_tokens
+    FROM (
+      SELECT d.lang, s.n_tokens,
+             (CAST(concat('0x', substr(md5(concat('rs_', d.doc_id)), 1, 8))
+                   AS BIGINT) / 4294967296.0)
+               < ROUND({_QUALITY_SQL}, 6) AS kept
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    GROUP BY lang
+    """,
+)
+def q_corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling (the DCLM/DataComp-LM
+    move): keep each document with probability equal to its quality
+    score, via the engine's deterministic md5-uniform — u(doc) < q(doc)
+    — instead of an RNG, so the SAMPLE ITSELF is reproducible across
+    engines, partitionings, and reruns (the property seeded Bernoulli
+    sampling cannot give, per lineitem_bernoulli_sample). Map-only
+    filter + one per-language agg; the acceptance test pushes to the
+    scan like any other predicate. Reports per-language doc/token
+    retention — the mixing dashboard after a weighted downsample."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        TA.md5_hash32(F.concat(F.lit("rs_"), F.col("doc_id").cast("string")))
+        / F.lit(4294967296.0)
+    )
+    kept = u < F.round(TA.quality_score(F.col("text")), 6)
+    return (
+        docs.select(
+            "lang",
+            TA.token_count(F.col("text")).alias("n_tokens"),
+            kept.alias("kept"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+            ).cast("long").alias("kept_tokens"),
+        )
+    )
