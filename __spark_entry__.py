@@ -84,6 +84,8 @@ _DEFER = [
     "tpch_q21_blocking_suppliers",
     "tpch_q22_idle_rich_customers",
     "corpus_importance_resample",
+    "doc_bpe_merge_candidates",
+    "doc_token_pmi_pairs",
 ]
 
 

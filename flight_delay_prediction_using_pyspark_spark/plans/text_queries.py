@@ -2170,3 +2170,129 @@ def q_corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "doc_bpe_merge_candidates",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair, freq
+      FROM tf, unnest(generate_series(1, length(tok) - 1)) AS g(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+)
+def q_doc_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration (Sennrich et al., ACL'16):
+    corpus-wide adjacent character-pair frequencies — the argmax is
+    the first merge a byte-pair tokenizer would learn. Counting runs
+    over the DISTINCT-token frequency table, not the raw token stream
+    (the standard BPE trick: pair work scales with vocabulary, not
+    corpus size — at 100 TB the distinct-token frame is orders of
+    magnitude smaller than the token stream, and the explode fans out
+    per distinct token only). Exact integer counts; top-20 is a
+    TakeOrderedAndProject with the lexicographic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TA.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # substring with a dynamic start comes via expr(); the sequence
+    # stop is clamped to 1 so sub-2-char tokens never descend, and the
+    # resulting 1-char "pairs" are filtered (the oracle's
+    # generate_series(1, len-1) simply generates nothing for them).
+    pairs = tf.select(
+        F.col("freq"),
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(tok) - 1, 1)), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_token_pmi_pairs",
+    oracle=r"""
+    WITH d AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    toks AS (SELECT unnest(t) AS w FROM d),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    nt AS (SELECT COUNT(*) AS n FROM toks),
+    bigr AS (
+      SELECT t[i-1] AS w1, t[i] AS w2
+      FROM d, unnest(generate_series(2, len(t))) AS g(i)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY w1, w2),
+    nb AS (SELECT COUNT(*) AS n FROM bigr),
+    scored AS (
+      SELECT b.w1, b.w2, b.c12,
+             CAST(floor(100000 * ln(((b.c12 + 0.0) * nt.n * nt.n)
+                                    / ((nb.n + 0.0) * u1.c * u2.c)))
+                  AS BIGINT) AS pmi_q
+      FROM big b
+      JOIN uni u1 ON b.w1 = u1.w
+      JOIN uni u2 ON b.w2 = u2.w
+      CROSS JOIN nt CROSS JOIN nb
+      WHERE b.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi_q
+    FROM scored
+    ORDER BY pmi_q DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_doc_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent token pairs by pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with a
+    c12 ≥ 5 support floor (Church & Hanks, CL'90 — the phrase-mining
+    pass a tokenizer/embedding pipeline runs to promote multi-word
+    units). The probability ratio is assembled in one fixed operand
+    order on both engines and ln() floor-quantized to 1e-5 (the
+    TF-IDF precedent), so ranking integers match bit-for-bit. Counts
+    are three hash aggs; scalars N_tokens/N_bigrams ride broadcast
+    one-row cross joins; the unigram joins key-partition on the word
+    — no driver vocab at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TA.tokens(F.lower(F.col("text")))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = toks.agg(F.count(F.lit(1)).alias("n_t"))
+    bigr = docs.select(
+        F.explode(TA.token_bigram_pairs(F.lower(F.col("text")))).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nb = bigr.agg(F.count(F.lit(1)).alias("n_b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi_q = F.floor(
+        100000
+        * F.log(
+            ((F.col("c12") + 0.0) * F.col("n_t") * F.col("n_t"))
+            / ((F.col("n_b") + 0.0) * F.col("c1") * F.col("c2"))
+        )
+    ).cast("long")
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c12", pmi_q.alias("pmi_q"))
+        .orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
