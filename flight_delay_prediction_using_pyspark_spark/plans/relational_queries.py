@@ -2224,20 +2224,28 @@ def q_tpch_q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     TakeOrderedAndProject with the suppkey tiebreak."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    per = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("ms")
+    # ONE wide shuffle: lineitem groups per order (line counts are
+    # bounded by order size, ≤7 in TPC-H data, so the collected list
+    # is tiny); the per-supplier-max / sole-blocker logic then runs
+    # per-order in higher-order functions instead of re-shuffling the
+    # nearly-lineitem-sized per-(order, supplier) frame two more
+    # times. Only the blocker rows (one per qualifying order) reach
+    # the second, per-supplier shuffle.
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_suppkey", "l_shipdate")).alias("ls")
     )
-    o = per.groupBy("l_orderkey").agg(
-        F.max("ms").alias("m"), F.count(F.lit(1)).alias("n_supp")
-    )
-    blockers = (
-        per.join(o, "l_orderkey")
-        .filter((F.col("ms") == F.col("m")) & (F.col("n_supp") >= 2))
-    )
+    suppliers = F.array_distinct(F.expr("transform(ls, x -> x.l_suppkey)"))
     sole = (
-        blockers.groupBy("l_orderkey")
-        .agg(F.min("l_suppkey").alias("sk"), F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") == 1)
+        per_order.select(
+            F.expr(
+                "array_distinct(transform("
+                "  filter(ls, x -> x.l_shipdate == array_max(transform(ls, y -> y.l_shipdate))),"
+                "  x -> x.l_suppkey))"
+            ).alias("blk"),
+            F.size(suppliers).alias("n_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.size("blk") == 1))
+        .select(F.element_at("blk", 1).alias("sk"))
     )
     return (
         sole.groupBy("sk")
