@@ -86,6 +86,7 @@ _DEFER = [
     "corpus_importance_resample",
     "doc_bpe_merge_candidates",
     "doc_token_pmi_pairs",
+    "corpus_weighted_sample_topk",
 ]
 
 

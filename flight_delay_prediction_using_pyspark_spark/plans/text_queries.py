@@ -2296,3 +2296,54 @@ def q_doc_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "corpus_weighted_sample_topk",
+    oracle=f"""
+    {_PROFILE_CTE}
+    SELECT doc_id, lang, n_tokens, key_q
+    FROM (
+      SELECT d.doc_id, d.lang, s.n_tokens,
+             CAST(floor(1000000 * ln((CAST(concat('0x',
+                    substr(md5(concat('ws_', d.doc_id)), 1, 8)) AS BIGINT)
+                    + 1) / 4294967296.0)
+                  / ROUND({_QUALITY_SQL}, 6)) AS BIGINT) AS key_q
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE ROUND({_QUALITY_SQL}, 6) > 0
+    )
+    ORDER BY key_q DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_corpus_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement
+    (Efraimidis-Spirakis, IPL'06): each document draws the key
+    u^(1/w) — here ln(u)/w with the deterministic md5-uniform u and
+    w = quality score — and the k largest keys ARE a weighted sample
+    without replacement. The fixed-k companion to
+    corpus_importance_resample's per-doc acceptance: budgeted corpus
+    selection ("best 50 docs, quality-weighted, reproducibly").
+    Zero-weight docs are excluded (their key diverges). ln() is
+    floor-quantized to 1e-6; the whole operator is a per-row key plus
+    TakeOrderedAndProject — partition-local top-k, no shuffle of the
+    corpus, deterministic across engines, partitionings, and
+    retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.round(TA.quality_score(F.col("text")), 6)
+    u = (
+        TA.md5_hash32(F.concat(F.lit("ws_"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key_q = F.floor(1000000 * F.log(u) / w).cast("long")
+    return (
+        docs.filter(w > 0)
+        .select(
+            "doc_id",
+            "lang",
+            TA.token_count(F.col("text")).alias("n_tokens"),
+            key_q.alias("key_q"),
+        )
+        .orderBy(F.desc("key_q"), F.asc("doc_id"))
+        .limit(50)
+    )
