@@ -87,6 +87,7 @@ _DEFER = [
     "doc_bpe_merge_candidates",
     "doc_token_pmi_pairs",
     "corpus_weighted_sample_topk",
+    "copurchase_association_rules",
 ]
 
 

@@ -2314,3 +2314,82 @@ def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("cents").cast("long").alias("tot_cents"),
         )
     )
+
+
+@query(
+    "copurchase_association_rules",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS c FROM basket GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS c12
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      GROUP BY ante, cons
+    )
+    SELECT ante, cons, c12,
+           CAST((1000000 * c12) // ia.c AS BIGINT) AS conf_q,
+           CAST((1000000 * c12 * n.n_orders) // (ia.c * ic.c) AS BIGINT)
+             AS lift_q
+    FROM pair
+    JOIN item ia ON ia.l_partkey = ante
+    JOIN item ic ON ic.l_partkey = cons
+    CROSS JOIN n
+    WHERE c12 >= 3
+    ORDER BY lift_q DESC, ante, cons
+    LIMIT 20
+    """,
+)
+def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal-Srikant
+    support/confidence/lift): directed rules A→B with support ≥ 3,
+    ranked by lift. Everything is EXACT integer arithmetic —
+    confidence and lift are scaled integer divisions (1e6·c12/cA,
+    1e6·c12·N/(cA·cB)), so unlike PMI no transcendental crosses
+    engines at all. Baskets dedup (order, part) first; the pair
+    self-join shuffles on l_orderkey with fan-out quadratic only in
+    per-order basket size (≤7); item supports attach by key-partitioned
+    join; N rides a broadcast one-row cross join; top-20 is a
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("c").alias("ca"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("c").alias("cc"))
+    return (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "c12",
+            F.expr("(1000000 * c12) DIV ca").cast("long").alias("conf_q"),
+            F.expr("(1000000 * c12 * n_orders) DIV (ca * cc)")
+            .cast("long")
+            .alias("lift_q"),
+        )
+        .orderBy(F.desc("lift_q"), F.asc("ante"), F.asc("cons"))
+        .limit(20)
+    )
