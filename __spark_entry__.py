@@ -88,6 +88,7 @@ _DEFER = [
     "doc_token_pmi_pairs",
     "corpus_weighted_sample_topk",
     "copurchase_association_rules",
+    "doc_script_mismatch_census",
 ]
 
 

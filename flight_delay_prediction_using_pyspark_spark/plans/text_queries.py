@@ -2347,3 +2347,53 @@ def q_corpus_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("key_q"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@query(
+    "doc_script_mismatch_census",
+    oracle=r"""
+    WITH m AS (
+      SELECT lang,
+             length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))
+               AS cjk,
+             length(lower(text)) - length(regexp_replace(lower(text), '[a-z]', '', 'g'))
+               AS latin
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN cjk * 2 > cjk + latin THEN 'cjk' ELSE 'latin' END
+             AS dominant_script,
+           COUNT(*) AS n_docs,
+           CAST(SUM(cjk) AS BIGINT) AS sum_cjk_chars,
+           CAST(SUM(latin) AS BIGINT) AS sum_latin_chars
+    FROM m
+    GROUP BY lang, dominant_script
+    """,
+)
+def q_doc_script_mismatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-vs-label sanity census — the cheap Unicode-script cross
+    check every language-ID pipeline runs before trusting labels: a
+    'zh'-labeled doc whose characters are overwhelmingly Latin (or
+    vice versa) is mislabeled or transliterated. Char counting uses
+    the replace-length trick (no per-char explode) with a CJK class
+    expressible in BOTH Java regex and RE2; dominance is an integer
+    cross-multiplication, so no float ratio crosses engines. Map-only
+    + one tiny grouped agg — zero-shuffle scale shape. On the
+    synthetic corpus the alarm genuinely fires: every 'zh'-labeled
+    doc is Latin-dominant (the generator writes romanized text), which
+    is exactly the label-vs-content inconsistency this audit reports."""
+    docs = load_table(spark, sf_dir, "documents")
+    cjk = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[一-鿿]", "")
+    )
+    lowered = F.lower(F.col("text"))
+    latin = F.length(lowered) - F.length(F.regexp_replace(lowered, "[a-z]", ""))
+    m = docs.select("lang", cjk.alias("cjk"), latin.alias("latin"))
+    dominant = F.when(
+        F.col("cjk") * 2 > F.col("cjk") + F.col("latin"), "cjk"
+    ).otherwise("latin")
+    return m.groupBy("lang", dominant.alias("dominant_script")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cjk").cast("long").alias("sum_cjk_chars"),
+        F.sum("latin").cast("long").alias("sum_latin_chars"),
+    )
