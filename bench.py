@@ -104,6 +104,16 @@ HEADLINE = [
     "corpus_mixture_plan",
     "embedding_label_centroids",
     "corpus_decontaminate_report",
+    # round-4 late additions
+    "semdedup_prune_census",
+    "doc_lm_perplexity_buckets",
+    "doc_bpe_merge_candidates",
+    "doc_token_pmi_pairs",
+    "copurchase_association_rules",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_blocking_suppliers",
+    "tpch_q22_idle_rich_customers",
 ]
 
 
