@@ -89,6 +89,8 @@ _DEFER = [
     "corpus_weighted_sample_topk",
     "copurchase_association_rules",
     "doc_script_mismatch_census",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
 ]
 
 

@@ -2393,3 +2393,105 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("lift_q"), F.asc("ante"), F.asc("cons"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to this schema's
+    single date column: orders in a quarter with at least one line
+    shipped more than 60 days after the order date ("late" stands in
+    for the original commit<receipt test). The correlated EXISTS
+    decorrelates into a LEFT SEMI join on l_orderkey whose range
+    predicate rides the join condition — lineitem is never aggregated
+    or duplicated, and the quarter filter pushes into the orders
+    scan. One shuffle pair for the semi join, then a 5-group agg."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS rev,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-04-01'
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                           ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+               AS promo_revenue,
+             CAST(SUM(rev) AS DOUBLE) AS total_revenue
+      FROM w
+    )
+    SELECT promo_revenue, total_revenue,
+           ROUND(100 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM s
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one quarter's
+    discounted revenue — the conditional-aggregate-inside-one-pass
+    shape (no second scan for the numerator). The shipdate window
+    pushes into the lineitem scan; part attaches by broadcast; both
+    sums are exact decimals so the derived doubles — and therefore
+    the percentage — are identical across engines before the shared
+    ROUND(·, 6)."""
+    ensure_utc(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    w = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select(
+        rev.alias("rev"), F.col("p_type")
+    )
+    s = w.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(30,6)")
+            )
+        ).cast("double").alias("promo_revenue"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+    return s.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
