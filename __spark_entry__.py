@@ -91,6 +91,8 @@ _DEFER = [
     "doc_script_mismatch_census",
     "tpch_q4_order_priority",
     "tpch_q14_promo_revenue",
+    "corpus_pack_efficiency",
+    "doc_tokenizer_fertility",
 ]
 
 

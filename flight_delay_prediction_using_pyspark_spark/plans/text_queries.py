@@ -2397,3 +2397,101 @@ def q_doc_script_mismatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cjk").cast("long").alias("sum_cjk_chars"),
         F.sum("latin").cast("long").alias("sum_latin_chars"),
     )
+
+
+@query(
+    "corpus_pack_efficiency",
+    oracle=r"""
+    WITH d AS (
+      SELECT len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM documents
+    ),
+    l AS (SELECT unnest([128, 256, 512, 1024]) AS max_len)
+    SELECT max_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(SUM((n + max_len - 1) // max_len) AS BIGINT) AS n_sequences,
+           CAST(SUM(((n + max_len - 1) // max_len) * max_len - n) AS BIGINT)
+             AS padding_waste,
+           CAST((1000000 * SUM(((n + max_len - 1) // max_len) * max_len - n))
+                // SUM(((n + max_len - 1) // max_len) * max_len) AS BIGINT)
+             AS waste_ppm
+    FROM d CROSS JOIN l
+    GROUP BY max_len
+    """,
+)
+def q_corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length budgeting audit: for each candidate training
+    max_len, the number of per-document sequences and the padding
+    waste if documents are chunked WITHOUT cross-document packing —
+    the before-picture that justifies corpus_pack_sequences, and the
+    dashboard a pipeline reads to pick max_len. One map pass computes
+    token counts; the 4-row length table broadcasts; ceil-division
+    and the waste ratio are exact integer arithmetic (ppm via scaled
+    integer division), so every number is engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (128, 256, 512, 1024)])).alias(
+            "max_len"
+        )
+    )
+    d = docs.select(TA.token_count(F.col("text")).alias("n"))
+    seqs = F.expr("(n + max_len - 1) DIV max_len")
+    return (
+        d.crossJoin(F.broadcast(lens))
+        .groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("sum_tokens"),
+            F.sum(seqs).cast("long").alias("n_sequences"),
+            F.sum(seqs * F.col("max_len") - F.col("n"))
+            .cast("long")
+            .alias("padding_waste"),
+            F.expr(
+                "(1000000 * sum(((n + max_len - 1) DIV max_len) * max_len - n))"
+                " DIV sum(((n + max_len - 1) DIV max_len) * max_len)"
+            ).cast("long").alias("waste_ppm"),
+        )
+    )
+
+
+@query(
+    "doc_tokenizer_fertility",
+    oracle=rf"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+                AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}')))
+                AS BIGINT) AS bpe_tokens,
+           CAST((1000000 * SUM(len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}'))))
+                // SUM(len(string_split_regex(trim(lower(text)), '\s+')))
+                AS BIGINT) AS fertility_ppm
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-style pre-tokenizer
+    pieces per whitespace word (the standard metric for how expensive
+    a language is under a tokenizer — high fertility = more compute
+    per word). Map-only counting with the replace/extract built-ins,
+    one 5-group agg; the ratio is scaled integer division, so the
+    oracle hash-matches without any float crossing engines. (The
+    synthetic corpus is punctuation-free whitespace text, so fertility
+    is exactly 1.0 for every language — the discriminating signal
+    appears on real punctuated/CJK corpora.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        TA.token_count(F.lower(F.col("text"))).alias("ws"),
+        TA.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.expr("(1000000 * sum(bpe)) DIV sum(ws)").cast("long").alias(
+            "fertility_ppm"
+        ),
+    )
