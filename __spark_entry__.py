@@ -93,6 +93,8 @@ _DEFER = [
     "tpch_q14_promo_revenue",
     "corpus_pack_efficiency",
     "doc_tokenizer_fertility",
+    "corpus_incremental_ingest_dedup",
+    "corpus_normalization_gain",
 ]
 
 

@@ -2495,3 +2495,137 @@ def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility_ppm"
         ),
     )
+
+
+_INGEST_SPLIT = 400  # doc_id >= split = "newly ingested batch"
+
+
+@query(
+    "corpus_incremental_ingest_dedup",
+    oracle=f"""
+    WITH {_minhash_ctes(0.5)},
+    exact_dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b JOIN documents c
+        ON md5(b.text) = md5(c.text)
+       AND b.doc_id >= {_INGEST_SPLIT} AND c.doc_id < {_INGEST_SPLIT}
+    ),
+    near_ids AS (
+      SELECT DISTINCT id_b AS doc_id FROM verified
+      WHERE id_a < {_INGEST_SPLIT} AND id_b >= {_INGEST_SPLIT}
+    )
+    SELECT COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL) AS n_exact_dup,
+           COUNT(*) FILTER (WHERE e.doc_id IS NULL AND nr.doc_id IS NOT NULL)
+             AS n_near_dup,
+           COUNT(*) FILTER (WHERE e.doc_id IS NULL AND nr.doc_id IS NULL)
+             AS n_accepted
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_INGEST_SPLIT}) b
+    LEFT JOIN exact_dup e USING (doc_id)
+    LEFT JOIN near_ids nr USING (doc_id)
+    """,
+)
+def q_corpus_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the DAILY shape of corpus dedup:
+    a newly arrived batch (doc_id ≥ split stands in for today's crawl)
+    is screened against the EXISTING corpus, not against itself.
+    Exact screen: md5 content-hash semi-join. Near screen: the batch's
+    LSH band buckets equi-join the corpus's buckets (cross-frame, so
+    candidate work is confined to shared buckets exactly like the
+    self-join variant), then exact-Jaccard ≥ 0.5 verification.
+    Reports batch size, exact hits, near hits, accepted. At 100 TB the
+    corpus side's signatures/buckets are precomputed and stored
+    partitionBy(band) — the daily job only shingles the batch; here
+    both sides derive inline from one shared signature frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") >= _INGEST_SPLIT
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    exact_ids = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus.select(F.md5("text").alias("h")), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+    sigs = TD.minhash_signatures(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
+    buckets = TD.lsh_band_buckets(sigs)
+    cand = (
+        buckets.filter(F.col("doc_id") < _INGEST_SPLIT)
+        .select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        .join(
+            buckets.filter(F.col("doc_id") >= _INGEST_SPLIT).select(
+                "band", "band_hash", F.col("doc_id").alias("id_b")
+            ),
+            ["band", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    near_ids = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .filter(TD.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count(F.col("is_exact")).alias("n_exact_dup"),
+            F.count(F.when(F.col("is_exact").isNull() & F.col("is_near").isNotNull(), 1))
+            .alias("n_near_dup"),
+            F.count(F.when(F.col("is_exact").isNull() & F.col("is_near").isNull(), 1))
+            .alias("n_accepted"),
+        )
+    )
+
+
+@query(
+    "corpus_normalization_gain",
+    oracle=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_raw_distinct,
+           COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+             AS n_norm_distinct,
+           COUNT(DISTINCT md5(text))
+             - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+             AS n_merged
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_corpus_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization gain audit: how many additional duplicate
+    groups exact dedup would merge if the corpus were normalized first
+    (lowercase + whitespace-collapse + trim — the cheap prefix of
+    NFKC-style canonicalization). Per language: raw-distinct vs
+    normalized-distinct content hashes; the delta is the dedup yield
+    the normalization pass buys. Map-only hashing + one grouped
+    distinct-count agg; hashes shuffle instead of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    d = docs.select(
+        "lang",
+        F.md5("text").alias("h_raw"),
+        F.md5(norm).alias("h_norm"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h_raw").alias("n_raw_distinct"),
+        F.countDistinct("h_norm").alias("n_norm_distinct"),
+        (F.countDistinct("h_raw") - F.countDistinct("h_norm")).alias("n_merged"),
+    )
