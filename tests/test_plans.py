@@ -136,6 +136,7 @@ def test_hof_stats_no_explode_single_shuffle(spark):
         "ann_lsh_bucket_topk",
         "ann_multiprobe_topk",
         "semdedup_prune_census",
+        "corpus_incremental_ingest_dedup",
     ],
 )
 def test_candidate_generation_never_cartesian(spark, name):
