@@ -95,6 +95,10 @@ _DEFER = [
     "doc_tokenizer_fertility",
     "corpus_incremental_ingest_dedup",
     "corpus_normalization_gain",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q8_market_share",
 ]
 
 

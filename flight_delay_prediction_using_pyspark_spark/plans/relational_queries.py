@@ -2495,3 +2495,239 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             100 * F.col("promo_revenue") / F.col("total_revenue"), 6
         ).alias("promo_pct"),
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure-scan
+    aggregation — three conjunctive predicates, no join. Every
+    predicate pushes into the parquet scan (PushedFilters carries all
+    three), making this the canonical data-skipping benchmark: with
+    shipdate-sorted files the scan prunes to one year of row groups.
+    The discount BETWEEN uses the stored double values directly (the
+    generator writes exact hundredths) and the sum is exact-decimal."""
+    ensure_utc(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sel = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             AS late_lines,
+           COUNT(*) FILTER (WHERE l_shipdate <= o_orderdate + INTERVAL 90 DAY)
+             AS ontime_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted to this
+    schema: per order priority, how many of a year's lines shipped
+    late (> 90 days after ordering) vs on time — the
+    conditional-count-after-join shape (the original's CASE WHEN
+    priority buckets become FILTER counts on lateness). The year
+    filter pushes into the lineitem scan; one wide equi-join on
+    orderkey; 5-group agg with map-side partials."""
+    ensure_utc(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(late, 1)).alias("late_lines"),
+            F.count(F.when(~late, 1)).alias("ontime_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_profit_by_nation_year",
+    oracle="""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                    - CAST(p_retailprice * l_quantity AS DECIMAL(30,6)))
+                AS DOUBLE) AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: ps_supplycost does not
+    exist in this schema, so cost is proxied by p_retailprice·quantity
+    — the shape (name-LIKE part filter, profit expression over a
+    4-dim join, nation × order-year rollup) is intact. The part filter
+    prunes FIRST and broadcasts (the classic Q9 optimization: the
+    '%green%' selection cuts lineitem by ~1/|colors| before anything
+    wide happens); supplier→nation pre-joins and broadcasts; orders
+    joins on the orderkey shuffle. Profit subtracts two exact decimals
+    so the grouped sums are order-immune."""
+    ensure_utc(spark)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(30,6)")
+        - (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(30,6)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_5"
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH sales AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS rev,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = '{_Q8_REGION}'
+    ),
+    y AS (
+      SELECT o_year,
+             CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN rev
+                           ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+               AS nation_revenue,
+             CAST(SUM(rev) AS DOUBLE) AS total_revenue
+      FROM sales GROUP BY o_year
+    )
+    SELECT o_year, nation_revenue, total_revenue,
+           ROUND(nation_revenue / total_revenue, 6) AS mkt_share
+    FROM y
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): inside one consuming region's
+    order volume, the yearly revenue share supplied by one nation.
+    Both dimension chains (customer→nation→region filter;
+    supplier→nation label) pre-join into broadcast frames, so the
+    fact path is lineitem ⨝ orders on the one wide orderkey shuffle;
+    the share is a conditional aggregate in the same pass (no second
+    scan) and divides two exact-decimal-derived doubles under the
+    shared ROUND(·, 6)."""
+    ensure_utc(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_dim = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == _Q8_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    sales = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    y = sales.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == _Q8_NATION, F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(30,6)")
+            )
+        ).cast("double").alias("nation_revenue"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+    return y.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    )
