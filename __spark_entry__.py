@@ -99,6 +99,8 @@ _DEFER = [
     "tpch_q12_late_shipment_priority",
     "tpch_q9_profit_by_nation_year",
     "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q16_supplier_variety",
 ]
 
 

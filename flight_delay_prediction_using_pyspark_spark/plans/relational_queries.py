@@ -2731,3 +2731,108 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         ),
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST((1000 * SUM(CAST(round(l_extendedprice * 100) AS BIGINT)))
+                  // SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS unit_milli_cents
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    mn AS (
+      SELECT l_partkey, MIN(unit_milli_cents) AS min_cost
+      FROM ps GROUP BY l_partkey
+    )
+    SELECT p.l_partkey AS p_partkey, p.l_suppkey AS s_suppkey,
+           p.unit_milli_cents,
+           CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+    FROM ps p
+    JOIN mn ON mn.l_partkey = p.l_partkey AND p.unit_milli_cents = mn.min_cost
+    JOIN supplier ON s_suppkey = p.l_suppkey
+    ORDER BY s_acctbal_cents DESC, p_partkey, s_suppkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: partsupp does not
+    exist, so the observed part-supplier relation and its unit cost
+    derive from lineitem (total cents / total quantity, as an exact
+    scaled-integer division). The correlated MIN subquery decorrelates
+    into a per-part pre-agg equi-joined back on (part, min cost) —
+    the same rewrite Spark plans for the original — and both aggs
+    key-partition on l_partkey so the second reuses the first's
+    shuffle. Richest-supplier-first output with full deterministic
+    tiebreaks, balances in integer cents."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "(1000 * sum(cast(round(l_extendedprice * 100) as bigint)))"
+            " DIV sum(cast(floor(l_quantity) as bigint))"
+        ).cast("long").alias("unit_milli_cents")
+    )
+    mn = ps.groupBy("l_partkey").agg(
+        F.min("unit_milli_cents").alias("min_cost")
+    ).select(F.col("l_partkey").alias("mn_partkey"), "min_cost")
+    return (
+        ps.join(
+            mn,
+            (F.col("l_partkey") == F.col("mn_partkey"))
+            & (F.col("unit_milli_cents") == F.col("min_cost")),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_milli_cents",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal_cents"), F.asc("p_partkey"), F.asc("s_suppkey")
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    WITH rel AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM rel JOIN part ON p_partkey = l_partkey
+    WHERE p_brand != 'Brand#5'
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 20
+    """,
+)
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the observed
+    part-supplier pairs from lineitem stand in for partsupp. Distinct
+    pairs first (the dedup BEFORE the dimension join, so the join
+    input is relation-sized, not lineitem-sized), part attributes by
+    broadcast, one brand excluded at the part scan, then the
+    distinct-supplier count per (brand, type, size) bucket. Top-20
+    with full lexicographic tiebreaks."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#5"
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    rel = lineitem.select("l_partkey", "l_suppkey").distinct()
+    return (
+        rel.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )
