@@ -101,6 +101,7 @@ _DEFER = [
     "tpch_q8_market_share",
     "tpch_q2_min_cost_supplier",
     "tpch_q16_supplier_variety",
+    "corpus_source_entropy",
 ]
 
 

@@ -2629,3 +2629,44 @@ def q_corpus_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("h_norm").alias("n_norm_distinct"),
         (F.countDistinct("h_raw") - F.countDistinct("h_norm")).alias("n_merged"),
     )
+
+
+@query(
+    "corpus_source_entropy",
+    oracle="""
+    WITH sc AS (
+      SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    ),
+    n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY lang)
+    SELECT lang,
+           CAST(MAX(n.n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_sources,
+           CAST(SUM(-CAST(floor(1000000 * ((c + 0.0) / n.n)
+                                * ln((c + 0.0) / n.n)) AS BIGINT))
+                AS BIGINT) AS entropy_q
+    FROM sc JOIN n USING (lang)
+    GROUP BY lang
+    """,
+)
+def q_corpus_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity entropy per language — the mixture dashboard
+    a data pipeline watches for mode collapse: Shannon entropy of the
+    source distribution, H = -Σ p·ln p, with each term floor-quantized
+    to 1e-6 BEFORE the sum (integers cross engines; the shared
+    quantize-then-aggregate discipline). Two skinny hash aggs (the
+    second over lang×source rows), a per-lang scalar join — nothing
+    corpus-sized shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    n = sc.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    p = (F.col("c") + 0.0) / F.col("n")
+    term = -F.floor(1000000 * p * F.log(p)).cast("long")
+    return (
+        sc.join(F.broadcast(n), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(term).cast("long").alias("entropy_q"),
+        )
+    )
