@@ -102,6 +102,8 @@ _DEFER = [
     "tpch_q2_min_cost_supplier",
     "tpch_q16_supplier_variety",
     "corpus_source_entropy",
+    "orders_equi_depth_histogram",
+    "events_ks_drift",
 ]
 
 

@@ -2836,3 +2836,64 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "orders_equi_depth_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    h AS (SELECT cents, COUNT(*) AS c FROM v GROUP BY cents),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    cdf AS (
+      SELECT cents, c,
+             CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cum
+      FROM h
+    ),
+    b AS (
+      SELECT cents, c,
+             CAST(((cum - 1) * 8) // n.n AS BIGINT) AS bucket
+      FROM cdf CROSS JOIN n
+    )
+    SELECT bucket,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           COUNT(*) AS n_distinct
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def q_orders_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram of o_totalprice (8 buckets)
+    — the statistics a cost-based optimizer collects for selectivity
+    estimation. Bucket assignment is exact and rank-free: the
+    cumulative count over the VALUE HISTOGRAM (one row per distinct
+    cent value, not per order) maps each value to bucket
+    ((cum-1)·8) DIV n, so ties always land in one bucket and every
+    number is integer. The sort window runs over the aggregated
+    histogram — bounded by the value domain (price cents), orders of
+    magnitude smaller than the table; for unbounded domains the GK
+    sketch (lineitem_quantile_sketch_accuracy) is the scale path."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    h = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    n = h.agg(F.sum("c").cast("long").alias("n"))
+    cdf = h.withColumn(
+        "cum",
+        F.sum("c").over(W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    b = cdf.crossJoin(F.broadcast(n)).select(
+        "cents", "c", F.expr("((cum - 1) * 8) DIV n").cast("long").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )

@@ -1024,3 +1024,79 @@ def q_events_hll_union_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                <= tol * F.col("exact_users"))
         ).alias("contract_ok"),
     )
+
+
+@query(
+    "events_ks_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    h AS (
+      SELECT cents,
+             CAST(SUM(g) AS BIGINT) AS c1,
+             CAST(SUM(1 - g) AS BIGINT) AS c2
+      FROM v GROUP BY cents
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM h
+    ),
+    cdf AS (
+      SELECT CAST(SUM(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+      FROM h
+    )
+    SELECT n.n1, n.n2,
+           CAST(MAX(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS ks_num,
+           CAST((1000000 * MAX(abs(cum1 * n.n2 - cum2 * n.n1)))
+                // (n.n1 * n.n2) AS BIGINT) AS ks_ppm
+    FROM cdf CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    purchase and click value distributions — the continuous-
+    distribution companion to orders_price_drift_chi2's binned test.
+    D = max |ECDF₁ − ECDF₂| evaluated in EXACT integers: cumulative
+    counts cross-multiplied (|cum1·n2 − cum2·n1|) instead of divided,
+    so no float CDF ever crosses engines; the reported ks_ppm is a
+    final scaled-integer division. The cumulative window runs over the
+    per-cent-value histogram (value-domain-sized, not event-sized) —
+    the same aggregated-frame window pattern as the equi-depth
+    histogram and Pareto queries."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    h = v.groupBy("cents").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(1 - F.col("g")).cast("long").alias("c2"),
+    )
+    n = h.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    cdf = h.select(
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+            .cast("long")
+            .alias("ks_num"),
+            F.expr(
+                "(1000000 * max(abs(cum1 * n2 - cum2 * n1))) DIV (n1 * n2)"
+            ).cast("long").alias("ks_ppm"),
+        )
+    )
