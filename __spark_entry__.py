@@ -107,6 +107,8 @@ _DEFER = [
     "corpus_source_entropy",
     "orders_equi_depth_histogram",
     "events_ks_drift",
+    "orders_seasonality_index",
+    "events_user_gini",
 ]
 
 

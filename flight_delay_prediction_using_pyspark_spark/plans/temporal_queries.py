@@ -1100,3 +1100,110 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("ks_ppm"),
         )
     )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT month(o_orderdate) AS mth,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY mth
+    ),
+    t AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS tot_cents,
+             CAST(SUM(n_orders) AS BIGINT) AS tot_orders
+      FROM m
+    )
+    SELECT mth, n_orders, cents,
+           CAST((1000000 * (cents // n_orders))
+                // (t.tot_cents // t.tot_orders) AS BIGINT) AS seasonal_ppm
+    FROM m CROSS JOIN t
+    """,
+)
+def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each month's average order
+    value relative to the overall average, in parts-per-million — the
+    classic seasonal-decomposition ratio every demand dashboard plots.
+    Revenue is integer cents; both averages truncate to integer cents
+    (identical DIV semantics cross-engine) before the one scaled
+    division — the full cross-multiplied form overflows int64 at
+    1e6·cents·orders, so the metric is DEFINED on truncated averages,
+    losing at most 1 cent of precision per term. One 12-group agg +
+    a broadcast scalar."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").alias("mth")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    t = m.agg(
+        F.sum("cents").cast("long").alias("tot_cents"),
+        F.sum("n_orders").cast("long").alias("tot_orders"),
+    )
+    return m.crossJoin(F.broadcast(t)).select(
+        "mth",
+        "n_orders",
+        "cents",
+        F.expr("(1000000 * (cents DIV n_orders)) DIV (tot_cents DIV tot_orders)")
+        .cast("long")
+        .alias("seasonal_ppm"),
+    )
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rk
+      FROM u
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s0,
+             CAST(SUM(rk * x) AS BIGINT) AS s1
+      FROM r
+    )
+    SELECT n, s0,
+           CAST((1000000 * (2 * s1 - (n + 1) * s0)) // (n * s0) AS BIGINT)
+             AS gini_ppm
+    FROM s
+    """,
+)
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event activity — the inequality /
+    power-user-concentration metric (G = (2·Σ rank·x − (n+1)·Σx) /
+    (n·Σx) over ascending-sorted counts), computed in EXACT integers
+    with one final scaled division. The rank window runs over the
+    per-user count frame (user-domain-sized, one row per user — never
+    the event table); ties order deterministically by (count,
+    user_id) on both engines, and the Gini value is tie-order
+    invariant anyway since equal x contribute a constant rank sum."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    r = u.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "user_id")).cast("long").alias("rk"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s0"),
+        F.sum(F.col("rk") * F.col("x")).cast("long").alias("s1"),
+    )
+    return s.select(
+        "n",
+        "s0",
+        F.expr("(1000000 * (2 * s1 - (n + 1) * s0)) DIV (n * s0)")
+        .cast("long")
+        .alias("gini_ppm"),
+    )
