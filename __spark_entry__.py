@@ -73,7 +73,7 @@ _DEFER = [
     # replica): they must not displace the round-3 never-attempted
     # backlog (incl. the judge's named flagships) from the 50-slot
     # window, so they take slots in round 5 — after this round the
-    # backlog is 44 queries, which fits round 5's window with room to
+    # backlog is 38 queries, which fits round 5's window with room to
     # spare.
     "doc_repetition_stats",
     "corpus_span_dedup",
