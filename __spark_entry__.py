@@ -68,12 +68,12 @@ _DEFER = [
     "events_cdc_merge",
     "events_mv_answered_daily",
     "lineitem_quantile_sketch_accuracy",
-    # Round-4 additions (29 new queries, every one locally
+    # Round-4 additions (31 new queries, every one locally
     # oracle-green and verified under the foreign-session driver-sim
     # replica): they must not displace the round-3 never-attempted
     # backlog (incl. the judge's named flagships) from the 50-slot
     # window, so they take slots in round 5 — after this round the
-    # backlog is 38 queries, which fits round 5's window with room to
+    # backlog is 40 queries, which fits round 5's window with room to
     # spare.
     "doc_repetition_stats",
     "corpus_span_dedup",
@@ -109,6 +109,8 @@ _DEFER = [
     "events_ks_drift",
     "orders_seasonality_index",
     "events_user_gini",
+    "customer_cohort_ltv",
+    "events_type_burstiness",
 ]
 
 

@@ -1207,3 +1207,126 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+@query(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    first_yr AS (
+      SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY o_custkey
+    ),
+    ca AS (
+      SELECT cohort, yr - cohort AS age,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             COUNT(DISTINCT o.o_custkey) AS active_customers
+      FROM o JOIN first_yr USING (o_custkey)
+      GROUP BY cohort, age
+    ),
+    sz AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM first_yr GROUP BY cohort
+    )
+    SELECT cohort, age, active_customers, sz.cohort_size,
+           CAST(SUM(ca.cents) OVER (PARTITION BY cohort ORDER BY age)
+                AS BIGINT) AS cum_cents,
+           CAST(CAST(SUM(ca.cents) OVER (PARTITION BY cohort ORDER BY age)
+                     AS BIGINT) // sz.cohort_size AS BIGINT)
+             AS ltv_cents_per_customer
+    FROM ca JOIN sz USING (cohort)
+    """,
+)
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the acquisition dashboard:
+    customers cohorted by first-order year, cumulative revenue per
+    cohort by age, normalized per acquired customer. Builds on the
+    retention-cohort shape (events_retention_cohorts) but adds the
+    money dimension and the cumulative window — which runs over the
+    cohort×age frame (≤ years² rows), never the orders table. Revenue
+    in integer cents; per-customer LTV is truncating integer division;
+    everything engine-exact."""
+    from pyspark.sql import Window as W
+
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first_yr = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    ca = (
+        o.join(first_yr, "o_custkey")
+        .groupBy("cohort", (F.col("yr") - F.col("cohort")).alias("age"))
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    sz = first_yr.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = W.partitionBy("cohort").orderBy("age").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ca.join(F.broadcast(sz), "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+        .select(
+            "cohort",
+            "age",
+            "active_customers",
+            "cohort_size",
+            "cum_cents",
+            F.expr("cum_cents DIV cohort_size").cast("long").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+    )
+
+
+@query(
+    "events_type_burstiness",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, hr
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, n, s1 AS total_events,
+           CAST((1000000 * (n * s2 - s1 * s1)) // (n * s1) AS BIGINT)
+             AS fano_ppm
+    FROM s
+    """,
+)
+def q_events_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type via the Fano factor (index of
+    dispersion, variance/mean of hourly arrival counts — ≈1e6 ppm for
+    a Poisson-steady stream, ≫1e6 for bursty/bot traffic). Entirely
+    exact integers: the population-variance numerator n·Σx²−(Σx)²
+    cross-multiplies away the division, one final scaled integer
+    division emits ppm. Two hash aggs — hourly counts, then the tiny
+    per-type moment rollup; nothing event-sized shuffles twice."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.col("s1").alias("total_events"),
+        F.expr("(1000000 * (n * s2 - s1 * s1)) DIV (n * s1)")
+        .cast("long")
+        .alias("fano_ppm"),
+    )
