@@ -46,72 +46,19 @@ def _driver_attempted() -> set[str]:
 
 
 # Queries the judge asked to re-verify in a specific round regardless
-# of rotation (none outstanding for round 4; round 3's
-# flights_prepare_summary re-verification is green in CORRECTNESS_r03).
-_MUST_HAVE: list[str] = []
+# of rotation. Round 5: orders_price_drift_chi2's only driver row
+# (r03) predates the round-4 two-sided floor(price/50000.0) cast fix
+# (plans/relational_queries.py:1950) — the judge asked for a fresh
+# green row attesting to the current code.
+_MUST_HAVE: list[str] = ["orders_price_drift_chi2"]
 
-# Fresh queries pushed to the BACK of the fresh tier — either subsumed
-# by a sibling already in this round's slot window, or added mid-round
-# (they must not displace the older never-attempted backlog). They stay
-# in the catalog (bench/tests/judge still see them) and the
-# self-maintaining rotation gives them slots the following round.
-#   events_daily_users_hll    ⊂ events_hll_union_weekly (daily sketches
-#                               are built and contract-checked there)
-#   events_cdc_merge          ⊂ events_cdc_merge_deletes (same
-#                               cdc_merge_sink, plus tombstones)
-#   events_mv_answered_daily  ⊂ events_mv_retraction + the
-#                               events_incremental_rollup merge path
-#   lineitem_quantile_sketch_accuracy — rows-only GK audit whose
-#                               contract is already pytest-asserted
-_DEFER = [
-    "events_daily_users_hll",
-    "events_cdc_merge",
-    "events_mv_answered_daily",
-    "lineitem_quantile_sketch_accuracy",
-    # Round-4 additions (31 new queries, every one locally
-    # oracle-green and verified under the foreign-session driver-sim
-    # replica): they must not displace the round-3 never-attempted
-    # backlog (incl. the judge's named flagships) from the 50-slot
-    # window, so they take slots in round 5 — after this round the
-    # backlog is 40 queries, which fits round 5's window with room to
-    # spare.
-    "doc_repetition_stats",
-    "corpus_span_dedup",
-    "corpus_mixture_plan",
-    "embedding_label_centroids",
-    "corpus_decontaminate_report",
-    "semdedup_prune_census",
-    "doc_lm_perplexity_buckets",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_blocking_suppliers",
-    "tpch_q22_idle_rich_customers",
-    "corpus_importance_resample",
-    "doc_bpe_merge_candidates",
-    "doc_token_pmi_pairs",
-    "corpus_weighted_sample_topk",
-    "copurchase_association_rules",
-    "doc_script_mismatch_census",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
-    "corpus_pack_efficiency",
-    "doc_tokenizer_fertility",
-    "corpus_incremental_ingest_dedup",
-    "corpus_normalization_gain",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q8_market_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q16_supplier_variety",
-    "corpus_source_entropy",
-    "orders_equi_depth_histogram",
-    "events_ks_drift",
-    "orders_seasonality_index",
-    "events_user_gini",
-    "customer_cohort_ltv",
-    "events_type_burstiness",
-]
+# Fresh queries pushed to the BACK of the fresh tier (subsumed by a
+# sibling, or added mid-round so they must not displace the older
+# never-attempted backlog). Round 5: EMPTY by judge mandate — the
+# whole 40-query round-4 backlog (incl. the 4 previously-subsumed
+# variants) goes through the driver this round; 40 never-attempted +
+# 1 must-have + the round-5 additions still fit the 50-slot window.
+_DEFER: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

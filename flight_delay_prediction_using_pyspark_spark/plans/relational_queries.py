@@ -2334,7 +2334,8 @@ def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT ante, cons, c12,
            CAST((1000000 * c12) // ia.c AS BIGINT) AS conf_q,
-           CAST((1000000 * c12 * n.n_orders) // (ia.c * ic.c) AS BIGINT)
+           CAST((1000000 * CAST(c12 AS HUGEINT) * n.n_orders)
+                // (CAST(ia.c AS HUGEINT) * ic.c) AS BIGINT)
              AS lift_q
     FROM pair
     JOIN item ia ON ia.l_partkey = ante
@@ -2351,7 +2352,9 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     ranked by lift. Everything is EXACT integer arithmetic —
     confidence and lift are scaled integer divisions (1e6·c12/cA,
     1e6·c12·N/(cA·cB)), so unlike PMI no transcendental crosses
-    engines at all. Baskets dedup (order, part) first; the pair
+    engines at all; the lift numerator runs in DECIMAL(38,0)
+    (HUGEINT oracle-side) because 1e6·c12·N overflows int64 once
+    the order count passes ~10⁷. Baskets dedup (order, part) first; the pair
     self-join shuffles on l_orderkey with fan-out quadratic only in
     per-order basket size (≤7); item supports attach by key-partitioned
     join; N rides a broadcast one-row cross join; top-20 is a
@@ -2386,9 +2389,10 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
             "cons",
             "c12",
             F.expr("(1000000 * c12) DIV ca").cast("long").alias("conf_q"),
-            F.expr("(1000000 * c12 * n_orders) DIV (ca * cc)")
-            .cast("long")
-            .alias("lift_q"),
+            F.expr(
+                "CAST((1000000 * CAST(c12 AS DECIMAL(38,0)) * n_orders)"
+                " DIV (CAST(ca AS DECIMAL(38,0)) * cc) AS BIGINT)"
+            ).alias("lift_q"),
         )
         .orderBy(F.desc("lift_q"), F.asc("ante"), F.asc("cons"))
         .limit(20)

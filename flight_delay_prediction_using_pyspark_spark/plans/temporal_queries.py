@@ -1051,9 +1051,9 @@ def q_events_hll_union_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT n.n1, n.n2,
-           CAST(MAX(abs(cum1 * n.n2 - cum2 * n.n1)) AS BIGINT) AS ks_num,
-           CAST((1000000 * MAX(abs(cum1 * n.n2 - cum2 * n.n1)))
-                // (n.n1 * n.n2) AS BIGINT) AS ks_ppm
+           CAST((1000000 * MAX(abs(CAST(cum1 AS HUGEINT) * n.n2
+                                   - CAST(cum2 AS HUGEINT) * n.n1)))
+                // (CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS ks_ppm
     FROM cdf CROSS JOIN n
     GROUP BY n.n1, n.n2
     """,
@@ -1065,10 +1065,14 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     D = max |ECDF₁ − ECDF₂| evaluated in EXACT integers: cumulative
     counts cross-multiplied (|cum1·n2 − cum2·n1|) instead of divided,
     so no float CDF ever crosses engines; the reported ks_ppm is a
-    final scaled-integer division. The cumulative window runs over the
-    per-cent-value histogram (value-domain-sized, not event-sized) —
-    the same aggregated-frame window pattern as the equi-depth
-    histogram and Pareto queries."""
+    final scaled-integer division. The cross-products are computed in
+    DECIMAL(38,0) (HUGEINT on the DuckDB side) because cum·n is
+    bounded by n1·n2, which exceeds int64 once both sides pass ~3M
+    events — only the final ppm (≤ 1e6 by construction) is cast back
+    to BIGINT. The cumulative window runs over the per-cent-value
+    histogram (value-domain-sized, not event-sized) — the same
+    aggregated-frame window pattern as the equi-depth histogram and
+    Pareto queries."""
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
@@ -1092,12 +1096,11 @@ def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdf.crossJoin(F.broadcast(n))
         .groupBy("n1", "n2")
         .agg(
-            F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
-            .cast("long")
-            .alias("ks_num"),
             F.expr(
-                "(1000000 * max(abs(cum1 * n2 - cum2 * n1))) DIV (n1 * n2)"
-            ).cast("long").alias("ks_ppm"),
+                "CAST((1000000 * max(abs(CAST(cum1 AS DECIMAL(38,0)) * n2"
+                " - CAST(cum2 AS DECIMAL(38,0)) * n1)))"
+                " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+            ).alias("ks_ppm"),
         )
     )
 
@@ -1161,20 +1164,23 @@ def q_orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS (
       SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
     ),
-    r AS (
-      SELECT x,
-             CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rk
-      FROM u
+    g AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY x
+    ),
+    cg AS (
+      SELECT x, c, CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS cum FROM g
     ),
     s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS s0,
-             CAST(SUM(rk * x) AS BIGINT) AS s1
-      FROM r
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(x * c) AS BIGINT) AS s0,
+             SUM(CAST(x AS HUGEINT)
+                 * (2 * CAST(c AS HUGEINT) * cum
+                    - CAST(c AS HUGEINT) * (c - 1))) AS t
+      FROM cg
     )
     SELECT n, s0,
-           CAST((1000000 * (2 * s1 - (n + 1) * s0)) // (n * s0) AS BIGINT)
-             AS gini_ppm
+           CAST((1000000 * (t - (CAST(n AS HUGEINT) + 1) * s0))
+                // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
     FROM s
     """,
 )
@@ -1182,30 +1188,40 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user event activity — the inequality /
     power-user-concentration metric (G = (2·Σ rank·x − (n+1)·Σx) /
     (n·Σx) over ascending-sorted counts), computed in EXACT integers
-    with one final scaled division. The rank window runs over the
-    per-user count frame (user-domain-sized, one row per user — never
-    the event table); ties order deterministically by (count,
-    user_id) on both engines, and the Gini value is tie-order
-    invariant anyway since equal x contribute a constant rank sum."""
+    with one final scaled division. Gini is tie-order invariant (equal
+    x contribute a constant rank sum), so instead of ranking the
+    per-user frame — a 10⁹-row single-task global sort at 100 TB —
+    the rank-sum folds in CLOSED FORM over the count-VALUE histogram:
+    groupBy(x).count() is value-domain-sized (≤ max per-user activity,
+    thousands not billions), the cumulative window runs over that tiny
+    frame, and a value x held by c users whose ranks span
+    (cum−c, cum] contributes x·(2·c·cum − c·(c−1)) to 2·Σ rank·x.
+    Moment products run in DECIMAL(38,0) (HUGEINT oracle-side) since
+    Σ rank·x ≤ n·Σx overflows int64 at cluster scale; only the final
+    ppm (≤ 1e6) casts back to BIGINT."""
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
     u = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    r = u.select(
-        "x",
-        F.row_number().over(W.orderBy("x", "user_id")).cast("long").alias("rk"),
-    )
-    s = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s0"),
-        F.sum(F.col("rk") * F.col("x")).cast("long").alias("s1"),
+    g = u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cg = g.select("x", "c", F.sum("c").over(w).cast("long").alias("cum"))
+    s = cg.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("c")).cast("long").alias("s0"),
+        F.expr(
+            "SUM(CAST(x AS DECIMAL(38,0))"
+            " * (2 * CAST(c AS DECIMAL(38,0)) * cum"
+            " - CAST(c AS DECIMAL(38,0)) * (c - 1)))"
+        ).alias("t"),
     )
     return s.select(
         "n",
         "s0",
-        F.expr("(1000000 * (2 * s1 - (n + 1) * s0)) DIV (n * s0)")
-        .cast("long")
-        .alias("gini_ppm"),
+        F.expr(
+            "CAST((1000000 * (t - (CAST(n AS DECIMAL(38,0)) + 1) * s0))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * s0) AS BIGINT)"
+        ).alias("gini_ppm"),
     )
 
 
@@ -1312,7 +1328,11 @@ def q_events_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers: the population-variance numerator n·Σx²−(Σx)²
     cross-multiplies away the division, one final scaled integer
     division emits ppm. Two hash aggs — hourly counts, then the tiny
-    per-type moment rollup; nothing event-sized shuffles twice."""
+    per-type moment rollup; nothing event-sized shuffles twice.
+    date_trunc('hour') must bucket in UTC on both engines, hence
+    ensure_utc — a non-UTC session (fractional offsets especially)
+    would shift hour edges and diverge n/s1/s2 from the oracle."""
+    ensure_utc(spark)
     events = load_table(spark, sf_dir, "events")
     h = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")

@@ -31,6 +31,13 @@ def _md5i(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def _md5i60(expr: str) -> str:
+    """Portable 60-bit md5 hash (mirrors analysis.md5_hash60) — the
+    identity hash for destructive dedup keys; 15 hex chars always
+    fit BIGINT."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def _in_list(var: str, words) -> str:
     quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
     return f"{var} IN ({quoted})"
@@ -235,7 +242,7 @@ def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(n_copies) AS max_copies,
            COUNT(*) FILTER (WHERE n_copies > 1) AS n_dup_groups
     FROM (
-      SELECT {_md5i('text')} AS content_hash, COUNT(*) AS n_copies
+      SELECT {_md5i60('text')} AS content_hash, COUNT(*) AS n_copies
       FROM documents GROUP BY 1
     )
     """,
@@ -243,7 +250,9 @@ def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup census: distinct content hashes, total docs, the
     largest duplicate group. Shuffle carries only the 8-byte hash —
-    the 100 TB-safe exact dedup."""
+    the 100 TB-safe exact dedup. Identity is the 60-bit md5 slice
+    (32 bits collides above ~10^5 docs and would under-count
+    n_hashes undetectably, since both engines share the hash)."""
     stats = TD.exact_dup_stats(load_table(spark, sf_dir, "documents"))
     return stats.agg(
         F.count(F.lit(1)).alias("n_hashes"),
@@ -1872,7 +1881,7 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     spans AS (
       SELECT doc_id, span_id,
-             {_md5i("array_to_string(t[(span_id * 8 + 1):(span_id * 8 + 8)], ' ')")}
+             {_md5i60("array_to_string(t[(span_id * 8 + 1):(span_id * 8 + 8)], ' ')")}
                AS h
       FROM ids
     ),

@@ -78,9 +78,25 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def md5_hash32(col: Column | str) -> Column:
     """Portable 32-bit hash: first 8 hex chars of md5 as a long.
     Bit-identical in Spark and DuckDB (oracle-verifiable), uniform,
-    and cheap — the basis for all fingerprints/minhashes here."""
+    and cheap — the basis for all fingerprints/minhashes here.
+    Birthday bound: expect collisions above ~2^16 distinct keys, so
+    use this for SKETCH keys (minhash slots, band hashes, sampling
+    orders) where a rare collision only perturbs an estimate — never
+    as the sole identity for destructive dedup; that's md5_hash60."""
     c = F.col(col) if isinstance(col, str) else col
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash60(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as a long
+    (15·4 = 60 bits, max 2^60−1 — always fits int64 on both engines,
+    unlike a full 16-char slice whose top bit wraps differently).
+    Birthday bound ~2^30 distinct keys (collision odds < 1e-6 below
+    ~10^6 keys, < 1% at 10^8) — the identity hash for DESTRUCTIVE
+    dedup decisions (exact content dedup, span dedup) where a
+    32-bit collision would silently delete unique text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def rolling_fingerprint(col: Column | str, mod: int = HASH_MOD) -> Column:

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32, tokens
+from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32, md5_hash60, tokens
 from flight_delay_prediction_using_pyspark_spark.text.dedup import shingles
 
 
@@ -170,7 +170,15 @@ def span_dedup(
     winners back to a per-doc sorted id list, and one join against the
     token arrays rebuilds the surviving text map-side via slice +
     flatten. A hash shared by f documents costs f shuffled rows and an
-    O(f) partial-min — no fan-out, no skew cliff."""
+    O(f) partial-min — no fan-out, no skew cliff.
+
+    Span identity is the 60-bit md5 slice (analysis.md5_hash60): the
+    former 32-bit key collides above ~10^5 distinct spans — i.e. on
+    any realistic corpus — and a collision here DELETES unique text
+    on both engines identically, so the oracle could never catch it.
+    60 bits pushes the birthday bound to ~10^9 spans (< 1e-6 odds at
+    10^6); the per-doc `kept_text_hash` stays 32-bit because it is a
+    verification checksum, not a dedup decision."""
     toks = tokens(text_col)
     base = docs.select(F.col(id_col), toks.alias("__toks"))
     n_spans = F.expr(f"CAST((size(__toks) + {span_tokens - 1}) DIV {span_tokens} AS BIGINT)")
@@ -181,7 +189,7 @@ def span_dedup(
     ).select(
         id_col,
         "span_id",
-        md5_hash32(
+        md5_hash60(
             F.concat_ws(
                 " ",
                 F.slice(

@@ -38,7 +38,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32, tokens
+from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32, md5_hash60, tokens
 
 #: Default MinHash geometry: 16 hashes = 4 bands × 4 rows. With
 #: Jaccard s, P(candidate) = 1-(1-s^4)^4 — the s-curve crosses 0.5
@@ -467,9 +467,12 @@ def winnowing_pairs(
 def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact-duplicate census via content-hash groupBy: one row per
     distinct content hash with its multiplicity. The scan shuffles
-    only (hash) — at 100 TB the text never moves."""
+    only (hash) — at 100 TB the text never moves. Keyed on the
+    60-bit md5 slice (md5_hash60): the 32-bit slice collides above
+    ~10^5 distinct docs, which would merge distinct documents into
+    one census row at any realistic corpus size."""
     return (
-        df.select(md5_hash32(F.col(text_col)).alias("content_hash"))
+        df.select(md5_hash60(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_copies"))
     )
@@ -477,8 +480,9 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep one row per distinct content hash (first-wins, the A8
-    `dropDuplicates` semantics on a computed key)."""
-    return df.withColumn("__h", md5_hash32(F.col(text_col))).dropDuplicates(["__h"]).drop("__h")
+    `dropDuplicates` semantics on a computed key). 60-bit key — a
+    32-bit collision here silently DELETES a unique document."""
+    return df.withColumn("__h", md5_hash60(F.col(text_col))).dropDuplicates(["__h"]).drop("__h")
 
 
 def embedding_near_dup_pairs(

@@ -197,6 +197,34 @@ def test_first_last_window_single_shuffle(spark):
     assert n_exchanges(plan) == 1
 
 
+def test_gini_window_over_value_histogram(spark):
+    """events_user_gini must never rank the per-user frame: the old
+    row_number().over(orderBy(...)) with no partitionBy was a
+    single-task sort of one-row-per-user (~10⁹ rows at 100 TB). The
+    rewrite folds the rank-sum in closed form over the count-VALUE
+    histogram, so the plan has (a) no row_number at all and (b) the
+    cumulative Window strictly ABOVE both aggregation layers (per-user
+    count, then per-value histogram) that shrink the frame to value-
+    domain size — in formatted explain, node ids grow leaf→root, so
+    both partial+final HashAggregate pairs must carry smaller ids
+    than the Window."""
+    import re
+
+    plan = plan_of(QUERIES["events_user_gini"](spark, SF_CORRECTNESS_DIR))
+    assert "row_number" not in plan
+    w = re.search(r"^\((\d+)\) Window", plan, re.MULTILINE)
+    assert w, "cumulative window missing"
+    aggs_below = [
+        int(m)
+        for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.MULTILINE)
+        if int(m) < int(w.group(1))
+    ]
+    assert len(aggs_below) >= 4, (
+        f"window must sit above both aggregation layers, found "
+        f"{len(aggs_below)} HashAggregates below it:\n{plan}"
+    )
+
+
 def test_compact_small_files(spark, tmp_path):
     """Many tiny files compact to the computed target count and the
     data round-trips exactly."""

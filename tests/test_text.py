@@ -523,7 +523,9 @@ def test_quality_language_struct_equals_separate_gates(spark):
     """The let-bound gate struct must be VALUE-IDENTICAL to the
     separate quality_score/predict_language columns (the corpus
     oracles encode the originals' exact arithmetic)."""
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS_DIR}/documents.parquet")
     both = docs.select(
         F.round(TA.quality_score(F.col("text")), 6).alias("q0"),
         TA.predict_language(F.col("text")).alias("l0"),
