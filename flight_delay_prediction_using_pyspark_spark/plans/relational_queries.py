@@ -2843,6 +2843,281 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    v AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM s)
+      GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM v CROSS JOIN t
+    WHERE 1000 * CAST(value_cents AS HUGEINT) > total_cents
+    """,
+)
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: partsupp
+    does not exist, so a part's "stock value" for suppliers of one
+    nation is its observed revenue from lineitem. The correlated
+    HAVING-subquery (value > fraction · total) decorrelates into a
+    broadcast one-row scalar cross join — the total reuses the
+    per-part agg, so lineitem shuffles ONCE on l_partkey. The nation's
+    supplier list is a broadcast semi-join at the scan (100 TB safe:
+    suppliers-per-nation is dimension-sized). Threshold compare runs
+    in DECIMAL(38,0)/HUGEINT since 1000·total_cents overflows int64
+    around a ~10 TB revenue slice."""
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    s = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    v = (
+        lineitem.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    t = v.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(
+            F.expr("1000 * CAST(value_cents AS DECIMAL(38,0)) > total_cents")
+        )
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+@query(
+    "tpch_q13_customer_order_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted to this
+    schema's columns: the '%special%requests%' comment exclusion
+    becomes an o_orderpriority <> '1-URGENT' filter (no comment
+    column). The LEFT join keeps zero-order customers — COUNT of the
+    nullable join key gives them c_count = 0, exactly the original's
+    outer-join + count semantics. The per-customer count shuffles on
+    the join key it was just joined on (one exchange serves both);
+    the distribution rollup then groups the customer-sized frame onto
+    a handful of c_count values — trivially small output."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    c_orders = (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    sel AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#7' AND p_type = 'SMALL'
+    ),
+    sm AS (
+      SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN sel ON l.l_partkey = sel.p_partkey
+      JOIN pa ON pa.l_partkey = l.l_partkey
+      WHERE 5 * CAST(floor(l.l_quantity) AS BIGINT) * pa.cnt < pa.sq
+    )
+    SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM sm
+    """,
+)
+def q_tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lines of
+    one brand/type bucket whose quantity is below 20% of that part's
+    average. The correlated AVG subquery decorrelates into a per-part
+    (sum, count) pre-agg joined back — the canonical rewrite — and
+    the fractional compare is EXACT integers: q < 0.2·(sq/cnt) ⟺
+    5·q·cnt < sq (quantities are integer-valued; 5·q·cnt ≤ 250·lines-
+    per-part, safe in int64 to ~10¹⁶ lines per part). Both the
+    pre-agg and the probe shuffle on l_partkey, so AQE overlaps them;
+    the brand filter broadcasts into BOTH sides as a semi-join on the
+    9-part dimension slice, so the big agg only processes selected
+    parts' groups. avg_yearly divides the 7-year span (1995-2001)
+    out of total revenue, truncating — identical DIV both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sel = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#7") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    li_sel = lineitem.join(
+        F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    pa = li_sel.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    sm = li_sel.join(pa, F.col("l_partkey") == F.col("pa_partkey")).filter(
+        5 * F.floor("l_quantity").cast("long") * F.col("cnt") < F.col("sq")
+    )
+    return sm.agg(
+        F.coalesce(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr(
+            "CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)"
+            " DIV 7 AS BIGINT)"
+        ).alias("avg_yearly_cents"),
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH psel AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    rel AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty_total,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                            AND l_shipdate < TIMESTAMP '1998-01-01'
+                           THEN CAST(floor(l_quantity) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS qty_1997
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM psel)
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT l_suppkey FROM rel WHERE 2 * qty_1997 > qty_total
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN excess ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+                     'NATION_4', 'NATION_5')
+    """,
+)
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: availqty does
+    not exist, so a supplier "has excess" of a name-selected part when
+    more than half its total observed volume of that part shipped in
+    1997 (2·qty_1997 > qty_total replaces availqty > 0.5·yearly-qty —
+    same correlated-threshold shape, exact integers). The original's
+    doubly-nested IN chain decorrelates into the same semi-join
+    ladder Spark would plan: part-name slice broadcast-semi-joins
+    into the lineitem scan (prunes 85%+ before the shuffle), ONE
+    (part, supplier) agg computes both the total and the 1997 window
+    via a conditional sum — no self-join of lineitem — and the
+    surviving supplier keys semi-join into the supplier dimension
+    with the nation filter broadcast. Fact table shuffles once."""
+    psel = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    rel = (
+        lineitem.join(
+            F.broadcast(psel), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty_total"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate")
+                     >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                    & (F.col("l_shipdate")
+                       < F.lit("1998-01-01").cast("timestamp_ntz")),
+                    F.floor("l_quantity").cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("qty_1997"),
+        )
+    )
+    excess = (
+        rel.filter(2 * F.col("qty_1997") > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
     "orders_equi_depth_histogram",
     oracle="""
     WITH v AS (
