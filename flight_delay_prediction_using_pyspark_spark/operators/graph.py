@@ -142,15 +142,20 @@ def pagerank_integer(
     floor(pr_nbr/deg_nbr)) with all divisions integral (`div`), so the
     fixed-iteration result is engine-portable bit-for-bit. Symmetric
     graph ⇒ no dangling mass. Returns (node, pr)."""
-    # Persist the symmetrized edge list ONCE: every iteration joins
+    # Persist the symmetrized edge list ONCE — every iteration joins
     # against it, and without the persist each join would re-derive the
     # whole upstream edge lineage (for co-purchase graphs that is the
-    # full pair-generation shuffle) per iteration. At cluster scale,
-    # pre-shuffling sym by src would additionally make the per-iteration
-    # join exchange-free; here the persist is the load-bearing part.
+    # full pair-generation shuffle) per iteration — and pre-shuffle it
+    # by src ONCE: the cached frame then carries HashPartitioning(src),
+    # so the degree agg and every per-iteration contribution join reuse
+    # that layout instead of re-exchanging the edge list each round
+    # (iters×|E| shuffled bytes → 1×|E|). This is the cached-frame
+    # analogue of Pregel/GraphX vertex-cut placement: ship the small
+    # rank vector to the static edge partitions, never the reverse.
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionAll(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .repartition("src")
         .persist()
     )  # sym is a new plan (union), so persisting it never collides
     # with a caller-managed cache on `edges` itself.
