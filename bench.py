@@ -139,6 +139,9 @@ HEADLINE = [
     "customer_cohort_ltv",
     "events_type_burstiness",
     "corpus_source_entropy",
+    "doc_ngram_novelty",
+    "doc_zipf_fit",
+    "events_changepoint_scan",
 ]
 
 

@@ -1350,3 +1350,96 @@ def q_events_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fano_ppm"),
     )
+
+
+@query(
+    "events_changepoint_scan",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY hr
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nh, CAST(SUM(x) AS BIGINT) AS s
+      FROM h
+    ),
+    c AS (
+      SELECT hr,
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS t,
+             CAST(SUM(x) OVER (ORDER BY hr) AS BIGINT) AS st
+      FROM h
+    ),
+    scored AS (
+      SELECT hr, abs(tot.nh * st - t * tot.s) AS g, tot.nh, tot.s
+      FROM c CROSS JOIN tot
+      WHERE t < tot.nh
+    ),
+    mx AS (SELECT MAX(g) AS gmax FROM scored)
+    SELECT nh AS n_hours, s AS total_events,
+           MIN(hr) AS split_hr,
+           CAST((1000000 * CAST(gmax AS HUGEINT))
+                // (CAST(nh AS HUGEINT) * s) AS BIGINT) AS score_ppm
+    FROM scored CROSS JOIN mx
+    WHERE g = gmax
+    GROUP BY nh, s, gmax
+    """,
+)
+def q_events_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint scan over the hourly arrival series — the
+    binary-segmentation statistic every ops dashboard runs to answer
+    "did the traffic level shift, and when": for every candidate
+    split t the deviation of the observed cumulative count from the
+    homogeneous expectation, G_t = |n_hours·S_t − t·S_total|
+    (the integer-exact CUSUM numerator; G_t/(n·S) ∈ [0,1)), maximized
+    over t with the earliest argmax hour reported deterministically.
+
+    Scale shape: the event table reduces to the hourly histogram
+    first (time-domain-sized — a decade is < 10⁵ rows), the
+    cumulative window and the scan run over that aggregated frame
+    only (the KS/equi-depth pattern), the max attaches by broadcast
+    one-row cross join, and the final ratio runs in DECIMAL(38,0)/
+    HUGEINT since 1e6·G_t overflows int64 at cluster scale. All
+    integers cross engines; hour bucketing pinned to UTC."""
+    from pyspark.sql import Window as W
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    h = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    tot = h.agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = W.orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    c = h.select(
+        "hr",
+        F.row_number().over(W.orderBy("hr")).cast("long").alias("t"),
+        F.sum("x").over(w).cast("long").alias("st"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("nh"))
+        .select(
+            "hr",
+            F.abs(F.col("nh") * F.col("st") - F.col("t") * F.col("s")).alias("g"),
+            "nh",
+            "s",
+        )
+    )
+    mx = scored.agg(F.max("g").alias("gmax"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .filter(F.col("g") == F.col("gmax"))
+        .groupBy("nh", "s", "gmax")
+        .agg(F.min("hr").alias("split_hr"))
+        .select(
+            F.col("nh").alias("n_hours"),
+            F.col("s").alias("total_events"),
+            "split_hr",
+            F.expr(
+                "CAST((1000000 * CAST(gmax AS DECIMAL(38,0)))"
+                " DIV (CAST(nh AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+    )

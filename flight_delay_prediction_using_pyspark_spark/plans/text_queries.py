@@ -2679,3 +2679,169 @@ def q_corpus_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("long").alias("entropy_q"),
         )
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> {_md5i60("concat_ws(' ', t[i], t[i+1], t[i+2])")}
+             ))) AS h
+      FROM toks WHERE len(t) >= 3
+    ),
+    f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((1000000 * SUM(CASE WHEN f.first_doc = g.doc_id
+                                    THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM g JOIN f USING (h)
+    GROUP BY g.doc_id
+    """,
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/duplication
+    curve a training-data pipeline tracks while streaming a corpus in
+    doc_id order: the fraction of a document's distinct 3-grams whose
+    FIRST corpus-wide occurrence is this document (novelty_ppm = 1 ⇒
+    all-new text; → 0 ⇒ the document is stitched from already-seen
+    passages — the soft sibling of C4 span dedup's hard cut).
+
+    Scale shape: the shuffle carries (gram_hash60, doc_id) only —
+    never text; first-occurrence is an associative MIN per hash (no
+    window, map-side partials), the back-join is key-partitioned on
+    the same hash so AQE reuses the exchange, and the per-doc rollup
+    shuffles a doc-bounded frame. 60-bit gram identity: a 32-bit
+    collision would falsely mark novel text as seen (the same silent
+    deletion class as span dedup). Docs under 3 tokens have no grams
+    and are excluded on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TA.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    head = F.slice(F.col("t"), 1, F.greatest(F.size("t") - 2, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(
+            head,
+            lambda x, i: TA.md5_hash60(
+                F.concat_ws(
+                    " ",
+                    x,
+                    F.element_at(F.col("t"), i + F.lit(2)),
+                    F.element_at(F.col("t"), i + F.lit(3)),
+                )
+            ),
+        )
+    )
+    g = base.select("doc_id", F.explode(grams).alias("h"))
+    f = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(f, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(1000000 * n_novel) DIV n_grams")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+@query(
+    "doc_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents)
+      GROUP BY t
+    ),
+    top AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 1000),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM top
+    ),
+    q AS (
+      SELECT CAST(floor(100000 * ln(rk)) AS BIGINT) AS x,
+             CAST(floor(100000 * ln(c)) AS BIGINT) AS y
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM q
+    )
+    SELECT n,
+           CAST((1000000 * (CAST(n AS HUGEINT) * sxy
+                            - CAST(sx AS HUGEINT) * sy))
+                // (CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_ppm
+    FROM s
+    """,
+)
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus token-frequency distribution —
+    the standard corpus-health check (natural text fits ln f ≈
+    a + s·ln r with s ≈ −1; templated/spammy corpora bend away from
+    it). OLS slope over (ln rank, ln freq) for the top-1000 terms,
+    reported in ppm (≈ −1e6 for clean text).
+
+    Scale shape: the vocab agg is corpus-bounded work, but the
+    top-1000 selection is a TakeOrderedAndProject — distributed
+    partial top-k, NOT a global vocab sort (a 100 TB corpus has a
+    10⁸+-term vocabulary; ranking it with an unpartitioned window
+    would be the Gini anti-pattern). The rank window then runs over
+    the 1000-row frame only. ln() is floor-quantized to 1e-5 on both
+    engines (the shared transcendental discipline) and the OLS
+    moments run in DECIMAL(38,0)/HUGEINT — n·Σxy overflows int64
+    exactly when the quantized logs meet 1000 terms."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TA.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tf.orderBy(F.desc("c"), F.asc("term")).limit(1000)
+    r = top.select(
+        "c",
+        F.row_number().over(W.orderBy(F.desc("c"), F.asc("term"))).alias("rk"),
+    )
+    q = r.select(
+        F.floor(100000 * F.log(F.col("rk").cast("double"))).cast("long").alias("x"),
+        F.floor(100000 * F.log(F.col("c").cast("double"))).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+    )
