@@ -2887,6 +2887,11 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
+    # Persist the part-level aggregate: it feeds BOTH the scalar total
+    # and the filtered output, and without the persist each consumer
+    # re-derives the full lineitem scan + shuffle (plan-asserted: one
+    # lineitem scan). The cached frame is part-domain-sized — a ~1e6-
+    # row skinny pair list even at 100 TB, not fact-table data.
     v = (
         lineitem.join(
             F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
@@ -2897,6 +2902,7 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_cents")
         )
+        .persist()
     )
     t = v.agg(F.sum("value_cents").cast("long").alias("total_cents"))
     return (

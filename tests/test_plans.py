@@ -197,6 +197,47 @@ def test_first_last_window_single_shuffle(spark):
     assert n_exchanges(plan) == 1
 
 
+def test_tpch_q20_semi_join_ladder_single_wide_shuffle(spark):
+    """Q20's doubly-nested IN must plan as broadcast semi-joins around
+    ONE wide lineitem exchange: the part-name slice prunes the fact
+    scan map-side (broadcast, LeftSemi), the correlated comparison is
+    a conditional sum inside the single (part, supplier) agg — no
+    lineitem self-join — and the supplier dimension attaches by
+    broadcast. No SortMergeJoin anywhere."""
+    plan = plan_of(QUERIES["tpch_q20_excess_suppliers"](spark, SF_CORRECTNESS_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q11_total_reuses_partkey_agg(spark):
+    """Q11's decorrelated HAVING scalar must ride a broadcast one-row
+    cross join (BroadcastNestedLoopJoin) over the PERSISTED part-level
+    aggregate — never a second lineitem scan: exactly one 'Scan
+    parquet' section whose detail block references lineitem (the
+    second consumer reads the InMemoryRelation instead)."""
+    import re
+
+    plan = plan_of(QUERIES["tpch_q11_important_parts"](spark, SF_CORRECTNESS_DIR))
+    sections = re.split(r"^(?=\(\d+\) )", plan, flags=re.MULTILINE)
+    li_scans = [
+        s for s in sections
+        if s.startswith("(") and "Scan parquet" in s.split("\n", 1)[0]
+        and "lineitem" in s
+    ]
+    assert len(li_scans) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "InMemoryRelation" in plan
+
+
+def test_zipf_topk_is_take_ordered_not_global_sort(spark):
+    """doc_zipf_fit's top-1000 selection must be a distributed partial
+    top-k (TakeOrderedAndProject), never a global vocab sort — a
+    100 TB corpus has a 10⁸+-term vocabulary and ranking it with an
+    unpartitioned window would be the Gini anti-pattern."""
+    plan = plan_of(QUERIES["doc_zipf_fit"](spark, SF_CORRECTNESS_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_gini_window_over_value_histogram(spark):
     """events_user_gini must never rank the per-user frame: the old
     row_number().over(orderBy(...)) with no partitionBy was a
