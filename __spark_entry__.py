@@ -49,8 +49,11 @@ def _driver_attempted() -> set[str]:
 # of rotation. Round 5: orders_price_drift_chi2's only driver row
 # (r03) predates the round-4 two-sided floor(price/50000.0) cast fix
 # (plans/relational_queries.py:1950) — the judge asked for a fresh
-# green row attesting to the current code.
-_MUST_HAVE: list[str] = ["orders_price_drift_chi2"]
+# green row attesting to the current code. customer_rfm_segments is
+# self-queued by the same logic: its r2 row predates the round-5
+# distributed-global-rank rewrite (output identical to SQL ntile,
+# but the evidence should attest to the shipped plan).
+_MUST_HAVE: list[str] = ["orders_price_drift_chi2", "customer_rfm_segments"]
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

@@ -1739,13 +1739,31 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(4), then the 4×4×4 segment histogram. Quartile ordering ties
     are broken on the customer key so bucket boundaries are
     bit-identical across engines — unkeyed ntile is nondeterministic
-    under any parallel scan. Scale shape: one groupBy on o_custkey
-    (partial aggs), then three window passes over the CUSTOMER-grain
-    frame (≪ orders; single global sort each — at larger grain these
-    become range-partitioned sorts), then a tiny histogram agg. The
-    corpus max date attaches via scalar-agg broadcast, no driver
+    under any parallel scan.
+
+    Scale shape: one groupBy on o_custkey (partial aggs), then a
+    size-based strategy switch (the dedup-cluster threshold pattern,
+    operators.windows.GLOBAL_RANK_LOCAL_THRESHOLD): below ~4M
+    customers the original one-pass triple-ntile select runs — three
+    bounded single-task sorts in one stage, far cheaper than a
+    15-stage distributed plan at that size. Above it — 10⁹ customers
+    at 100 TB, where the metrics are near-unique so no value-histogram
+    decomposition exists — each metric quartiles via the DISTRIBUTED
+    global_rank (range-partition + partition-offset ranks) with
+    ntile(4) recovered in closed form from (rank, n), fully parallel.
+    Both paths are bit-identical to SQL ntile (operator unit-tested
+    against the single-task reference for every n mod k case; the
+    query-level equivalence is asserted with a forced threshold in
+    test_plans), so the DuckDB oracle keeps its native ntile form.
+    The customer frame persists once and feeds the count + rankings;
+    the corpus max date attaches via scalar-agg broadcast, no driver
     round-trip."""
-    from flight_delay_prediction_using_pyspark_spark.operators.windows import with_global_agg
+    from flight_delay_prediction_using_pyspark_spark.operators import windows as W_OP
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        global_rank,
+        ntile_from_rank,
+        with_global_agg,
+    )
     from pyspark.sql import Window
 
     ensure_utc(spark)
@@ -1768,13 +1786,38 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
         "frequency",
         "monetary_cents",
-    )
-    scored = cust.select(
-        "ck",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("ck"))).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("ck"))).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), F.asc("ck"))).alias("m_q"),
-    )
+    ).persist()
+    n_cust = cust.count()
+
+    if n_cust <= W_OP.GLOBAL_RANK_LOCAL_THRESHOLD:
+        scored = cust.select(
+            "ck",
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("recency_days"), F.asc("ck")))
+            .alias("r_q"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("frequency"), F.asc("ck")))
+            .alias("f_q"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("monetary_cents"), F.asc("ck")))
+            .alias("m_q"),
+        )
+    else:
+        n_col = F.lit(n_cust).cast("long")
+
+        def quartile(order_cols, out_name):
+            ranked = global_rank(
+                cust, order_cols, out_col="__rk", mode="distributed"
+            )
+            return ranked.select(
+                "ck", ntile_from_rank(F.col("__rk"), n_col, 4).alias(out_name)
+            )
+
+        scored = (
+            quartile([F.asc("recency_days"), F.asc("ck")], "r_q")
+            .join(quartile([F.desc("frequency"), F.asc("ck")], "f_q"), "ck")
+            .join(quartile([F.desc("monetary_cents"), F.asc("ck")], "m_q"), "ck")
+        )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

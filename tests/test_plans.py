@@ -238,6 +238,30 @@ def test_zipf_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_rfm_scale_path_is_distributed_and_value_identical(spark, monkeypatch):
+    """customer_rfm_segments switches strategy on customer count
+    (GLOBAL_RANK_LOCAL_THRESHOLD): tiny frames keep the original
+    one-pass triple-ntile (bounded by the threshold), big frames fork
+    into three distributed global_rank pipelines. Forcing the
+    threshold to 0 must produce (a) a plan with range partitioning
+    and NO raw ntile window, and (b) the exact same segment histogram
+    as the local path — the switch may change the plan, never a
+    value."""
+    from flight_delay_prediction_using_pyspark_spark.operators import windows as W_OP
+
+    local = (
+        QUERIES["customer_rfm_segments"](spark, SF_CORRECTNESS_DIR)
+        .orderBy("r_q", "f_q", "m_q")
+        .collect()
+    )
+    monkeypatch.setattr(W_OP, "GLOBAL_RANK_LOCAL_THRESHOLD", 0)
+    big_df = QUERIES["customer_rfm_segments"](spark, SF_CORRECTNESS_DIR)
+    plan = plan_of(big_df)
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert big_df.orderBy("r_q", "f_q", "m_q").collect() == local
+
+
 def test_gini_window_over_value_histogram(spark):
     """events_user_gini must never rank the per-user frame: the old
     row_number().over(orderBy(...)) with no partitionBy was a

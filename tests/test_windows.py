@@ -1,0 +1,94 @@
+"""Unit tests for the distributed ranking operators
+(operators/windows.py): global_rank must reproduce the single-task
+row_number EXACTLY for any total order, and ntile_from_rank must match
+SQL ntile for every n mod k residue — these two together let rank-based
+segmentation (RFM quartiles) drop the unpartitioned-window anti-pattern
+without changing a single output value."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+    global_rank,
+    ntile_from_rank,
+)
+
+
+def _scrambled(spark, n=1003):
+    # multiplicative scramble -> non-unique values (911 residues) with a
+    # unique tiebreak key, spread arbitrarily across input partitions
+    return spark.range(0, n, 1, 8).select(
+        (F.col("id") * 37 % 911).alias("v"), F.col("id").alias("k")
+    )
+
+
+def test_global_rank_matches_single_task_row_number(spark):
+    df = _scrambled(spark)
+    g = global_rank(df, [F.asc("v"), F.asc("k")], out_col="rk", mode="distributed")
+    ref = df.select(
+        "v", "k", F.row_number().over(Window.orderBy("v", "k")).cast("long").alias("rk0")
+    )
+    assert g.join(ref, ["v", "k"]).filter(F.col("rk") != F.col("rk0")).count() == 0
+    # ranks are a permutation of 1..n (no gaps, no dupes)
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rk").alias("lo"),
+        F.max("rk").alias("hi"),
+        F.countDistinct("rk").alias("d"),
+    ).first()
+    assert (stats.lo, stats.hi, stats.d) == (1, stats.n, stats.n)
+
+
+def test_global_rank_descending_order(spark):
+    df = _scrambled(spark)
+    g = global_rank(df, [F.desc("v"), F.asc("k")], out_col="rk", mode="distributed")
+    ref = df.select(
+        "v",
+        "k",
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.asc("k")))
+        .cast("long")
+        .alias("rk0"),
+    )
+    assert g.join(ref, ["v", "k"]).filter(F.col("rk") != F.col("rk0")).count() == 0
+
+
+def test_global_rank_no_single_partition_sort(spark):
+    """The point of the operator: the plan carries a range exchange,
+    never an unpartitioned Window/ntile."""
+    df = _scrambled(spark)
+    g = global_rank(df, [F.asc("v"), F.asc("k")], out_col="rk", mode="distributed")
+    plan = g._sc._jvm.PythonSQLUtils.explainString(
+        g._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "row_number" not in plan  # local index comes from the id, not a window
+
+
+def test_ntile_from_rank_matches_sql_ntile_all_residues(spark):
+    # n = 1..9 covers every n mod 4 residue incl. n < k; 1003 for bulk
+    for n in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1003]:
+        d = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+        mine = d.select(
+            "rk", ntile_from_rank(F.col("rk"), F.lit(n).cast("long"), 4).alias("t")
+        )
+        ref = d.select("rk", F.ntile(4).over(Window.orderBy("rk")).alias("t0"))
+        bad = mine.join(ref, "rk").filter(F.col("t") != F.col("t0")).count()
+        assert bad == 0, f"n={n}"
+
+
+def test_global_rank_auto_switch_paths_agree(spark):
+    """auto mode picks the local sort for a small frame (no range
+    exchange) and both paths produce identical ranks — the strategy
+    switch must never change a value, only the plan."""
+    df = _scrambled(spark, n=500)
+    auto = global_rank(df, [F.asc("v"), F.asc("k")], out_col="rk")
+    plan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" not in plan.lower()  # local path chosen
+    dist = global_rank(df, [F.asc("v"), F.asc("k")], out_col="rk2", mode="distributed")
+    bad = auto.join(dist, ["v", "k"]).filter(F.col("rk") != F.col("rk2")).count()
+    assert bad == 0
