@@ -166,6 +166,73 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "cum",
+    n_partitions: int | None = None,
+    mode: str = "auto",
+) -> DataFrame:
+    """Distributed running total over a total order — the prefix-sum
+    sibling of global_rank, replacing `SUM(v) OVER (ORDER BY ...)`
+    windows that single-task-sort row-scale frames (Pareto cumulative
+    revenue over 10⁹ customers, sweep-line running concurrency over a
+    decade of session boundaries).
+
+    Scale path: range-repartition on the order keys, a per-partition
+    running sum (window partitioned by the physical partition id —
+    parallel, one task per range slice), plus broadcast offsets built
+    from the tiny per-partition totals. Exactly the textbook two-pass
+    parallel scan; with a unique tiebreak in `order_by` the result is
+    deterministic for any boundary placement. Costs one extra wide
+    exchange (hash on pid for the window) over global_rank's single
+    range exchange — still every stage parallel.
+
+    `mode` as in global_rank: "auto" counts the frame and keeps the
+    single-task window below GLOBAL_RANK_LOCAL_THRESHOLD, where its
+    one bounded sort beats the distributed path's stage overhead.
+    """
+    if mode == "auto":
+        mode = (
+            "local"
+            if df.count() <= GLOBAL_RANK_LOCAL_THRESHOLD
+            else "distributed"
+        )
+    if mode == "local":
+        w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+        return df.withColumn(out_col, F.sum(value_col).over(w).cast("long"))
+    parts = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    ordered = df.repartitionByRange(int(parts), *order_by).sortWithinPartitions(
+        *order_by
+    )
+    with_pid = ordered.select("*", F.spark_partition_id().alias("__pid"))
+    offsets = (
+        with_pid.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("__s"))
+        .withColumn(
+            "__offset",
+            F.sum("__s").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__offset") + F.sum(value_col).over(w)).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
 def _intdiv(a: Column, b: Column) -> Column:
     """Exact integer floor-division for non-negative operands as a
     Column expression: (a − a % b) / b is an exact float op (both

@@ -1165,12 +1165,18 @@ def q_orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     """Revenue concentration (Pareto / 80-20): how many of the
     top-revenue customers it takes to cover 80% of total revenue.
     The heavy work is the per-customer aggregate (one shuffle over the
-    fact table); the cumulative window then runs over the SMALL
-    aggregated frame — a deliberate small-side global sort, like
-    orders_monthly_trend's. All arithmetic in integer cents with the
+    fact table); the cumulative total then comes from
+    operators.windows.global_prefix_sum — below the 4M-row threshold
+    that is the same small-side global-sort window as before, above
+    it (10⁹ customers at 100 TB) a range-partitioned two-pass
+    parallel prefix scan; the grand total attaches as a broadcast
+    scalar either way. All arithmetic in integer cents with the
     5·cum ≤ 4·total comparison, so the boundary is exact in both
     engines."""
-    from pyspark.sql import Window
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        global_prefix_sum,
+        with_global_agg,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
@@ -1178,15 +1184,13 @@ def q_orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("decimal(30,0)")
         .cast("long")
         .alias("cents")
-    )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = rev.select(
-        "cents",
-        F.sum("cents").over(w).alias("cum"),
-        F.sum("cents").over(wt).alias("total"),
+    ).persist()
+    ranked = with_global_agg(
+        global_prefix_sum(
+            rev, [F.desc("cents"), F.asc("o_custkey")], "cents", out_col="cum"
+        ),
+        F.sum("cents").cast("long"),
+        out_col="total",
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -490,16 +490,18 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-double expression on both sides. This catalog entry ranks
     the full corpus (the evaluation harness shape); production fuses
     each retriever's TOP-K candidate lists instead — same fusion,
-    candidate-sized input."""
-    from pyspark.sql import Window
-
+    candidate-sized input. Both rankings ride
+    operators.windows.global_rank: the size switch keeps the one-task
+    window below 4M rows and range-partitions above it, so the
+    harness shape survives a corpus-scale run too."""
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import global_rank
     from flight_delay_prediction_using_pyspark_spark.text.analysis import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     qt = docs.filter(F.col("doc_id") == _QUERY_VEC_ID).select(
         F.array_distinct(tokens(F.col("text"))).alias("qterms")
     )
-    lex = (
+    lex = global_rank(
         docs.filter(F.col("doc_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(qt))
         .select(
@@ -507,24 +509,23 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(
                 F.array_intersect(F.array_distinct(tokens(F.col("text"))), F.col("qterms"))
             ).alias("overlap"),
-        )
-        .withColumn(
-            "r_lex",
-            F.row_number().over(Window.orderBy(F.desc("overlap"), F.asc("doc_id"))),
-        )
+        ),
+        [F.desc("overlap"), F.asc("doc_id")],
+        out_col="r_lex",
     )
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") != _QUERY_VEC_ID
     )
-    scored = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(
-            ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
-            6,
-        ).alias("cos"),
-    ).withColumn(
-        "r_vec",
-        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
+    scored = global_rank(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
+                6,
+            ).alias("cos"),
+        ),
+        [F.desc("cos"), F.asc("doc_id")],
+        out_col="r_vec",
     )
     fused = lex.select("doc_id", "r_lex").join(
         scored.select("doc_id", "r_vec"), "doc_id"

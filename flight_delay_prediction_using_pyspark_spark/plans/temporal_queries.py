@@ -623,15 +623,21 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     the running sum's peak — the classic max-concurrent-intervals
     algorithm, distributed. The per-user sessionize shuffles once on
     user_id; the sweep runs over SESSION BOUNDARIES (two rows per
-    session, ~n_sessions ≪ n_events), so the single-partition global
-    window is a deliberate small-side sort, like orders_monthly_trend.
-    Deltas are aggregated to a NET value per second before the running
-    sum, so the peak reads only post-second values — a session starting
-    at second X+1 is never transiently counted alongside one that ended
-    at X, and the result is tie-order independent by construction (no
-    intra-second ordering exists to get wrong)."""
+    session, ~n_sessions ≪ n_events) via
+    operators.windows.global_prefix_sum — one bounded sort task below
+    the 4M-row threshold, a range-partitioned two-pass parallel scan
+    above it (a decade of boundary seconds at 100 TB clears the
+    threshold easily). Deltas are aggregated to a NET value per second
+    before the running sum, so the peak reads only post-second values —
+    a session starting at second X+1 is never transiently counted
+    alongside one that ended at X, and the result is tie-order
+    independent by construction (no intra-second ordering exists to
+    get wrong)."""
     ensure_utc(spark)
-    from pyspark.sql import Window
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        global_prefix_sum,
+        with_global_agg,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", TP.epoch_seconds("ts").alias("sec")
@@ -643,15 +649,9 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     d = spans.select(F.col("st").alias("sec"), F.lit(1).alias("delta")).unionAll(
         spans.select((F.col("en") + 1).alias("sec"), F.lit(-1).alias("delta"))
     )
-    net = d.groupBy("sec").agg(F.sum("delta").alias("net"))
-    w = Window.orderBy("sec").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = net.select("sec", F.sum("net").over(w).alias("run"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    peak = r.select("sec", "run", F.max("run").over(wall).alias("mx"))
+    net = d.groupBy("sec").agg(F.sum("delta").alias("net")).persist()
+    r = global_prefix_sum(net, [F.asc("sec")], "net", out_col="run")
+    peak = with_global_agg(r, F.max("run"), out_col="mx")
     n_sessions = spans.count()
     return peak.agg(
         F.max("run").cast("bigint").alias("max_concurrent"),

@@ -1767,21 +1767,23 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer arithmetic (ranks, counts), so the oracle is
     bit-exact — unlike log-prob scoring, whose ln() differs in final
     ulps across engines. Scale shape: token explode → vocab groupBy
-    (partial aggs), ONE global vocab sort (vocabulary ≪ corpus; at
-    web scale this is a range-partitioned sort), frequency-keyed join
-    back (vocab broadcast when it fits), per-doc agg, tiny histogram."""
+    (partial aggs), then the vocab ranks via
+    operators.windows.global_rank (one bounded sort task below the 4M
+    threshold, a range-partitioned offset rank above it — 10⁸+-term
+    web-scale vocabularies never hit a single task), frequency-keyed
+    join back (vocab broadcast when it fits), per-doc agg, tiny
+    histogram."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    from pyspark.sql import Window
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import global_rank
 
     occ = docs.select(
         "doc_id", F.explode(TA.tokens(F.col("text"))).alias("token")
     )
     tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    ranked = tf.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))),
+    ranked = global_rank(
+        tf, [F.desc("c"), F.asc("token")], out_col="rnk"
     )
     per_doc = (
         occ.join(F.broadcast(ranked), "token")

@@ -92,3 +92,34 @@ def test_global_rank_auto_switch_paths_agree(spark):
     dist = global_rank(df, [F.asc("v"), F.asc("k")], out_col="rk2", mode="distributed")
     bad = auto.join(dist, ["v", "k"]).filter(F.col("rk") != F.col("rk2")).count()
     assert bad == 0
+
+
+def test_global_prefix_sum_matches_single_task_window(spark):
+    """Distributed prefix sum == the single-task cumulative window,
+    including negative values (sweep-line ±1 deltas) and desc order
+    (Pareto's revenue-desc cumulative)."""
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    df = spark.range(0, 997, 1, 8).select(
+        (F.col("id") * 13 % 701).alias("v"),
+        F.col("id").alias("k"),
+        (F.when(F.col("id") % 3 == 0, -2).otherwise(5)).alias("x"),
+    )
+    for order in ([F.asc("v"), F.asc("k")], [F.desc("v"), F.asc("k")]):
+        got = global_prefix_sum(df, order, "x", out_col="cum", mode="distributed")
+        ref = df.withColumn(
+            "cum0",
+            F.sum("x")
+            .over(Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        bad = got.join(ref, ["v", "k"]).filter(F.col("cum") != F.col("cum0")).count()
+        assert bad == 0
+    # auto on a small frame stays local (no range exchange)
+    auto = global_prefix_sum(df, [F.asc("v"), F.asc("k")], "x", out_col="cum")
+    plan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" not in plan.lower()
