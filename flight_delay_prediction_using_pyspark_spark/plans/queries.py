@@ -41,6 +41,17 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # A silently-shadowed catalog entry is a correctness trap:
+            # round 5 caught a duplicate tpch_q17 registration where
+            # whichever module imported last won and the other
+            # implementation (plus its oracle) vanished without a
+            # trace. Fail at import time instead.
+            raise ValueError(
+                f"duplicate catalog query name {name!r} "
+                f"(existing: {QUERIES[name].__module__}.{QUERIES[name].__name__}, "
+                f"new: {fn.__module__}.{fn.__name__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

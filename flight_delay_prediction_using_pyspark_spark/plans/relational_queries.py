@@ -1570,51 +1570,6 @@ def q_events_users_linear_counting(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "tpch_q17_small_quantity_revenue",
-    oracle="""
-    WITH pa AS (
-      SELECT l_partkey AS pk,
-             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
-                    / COUNT(*)) AS threshold
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
-                 / 7.0, 6) AS avg_yearly
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN pa ON pk = l_partkey
-    WHERE p_brand = 'Brand#4' AND l_quantity < threshold
-    """,
-)
-def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 (small-quantity-order revenue): lineitems whose
-    quantity is below 20% of their part's average quantity — the
-    canonical correlated-scalar-subquery query, decorrelated the way
-    every engine's optimizer does it: pre-aggregate per-part averages,
-    then equi-join. Scale shape: the per-part agg and the fact join
-    both shuffle on l_partkey, so AQE can reuse co-partitioning; the
-    brand filter broadcasts (part is dim-sized) and prunes BEFORE the
-    threshold join. Exact-decimal sums keep the float column
-    hash-stable."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * (A.exact_decimal_sum("l_quantity") / F.count(F.lit(1))))
-        .alias("threshold")
-    )
-    small = (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(pa, F.col("pk") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("threshold"))
-    )
-    return small.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_small"),
-        F.round(A.exact_decimal_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
-    )
-
-
-@query(
     "tpch_q15_top_supplier",
     oracle="""
     WITH rev AS (
