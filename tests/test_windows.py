@@ -123,3 +123,33 @@ def test_global_prefix_sum_matches_single_task_window(spark):
         auto._jdf.queryExecution(), "formatted"
     )
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ntile_from_rank_exhaustive_small_domain(spark):
+    """Exhaustive check of the closed form against a Python reference
+    of ANSI ntile semantics (first n mod k tiles get ceil(n/k) rows)
+    for every n <= 60 and k in {2,3,4,5,7} — every residue class and
+    the n < k degenerate cases, in one Spark job per k."""
+    import itertools
+
+    def ref_ntile(rank, n, k):
+        q, r = divmod(n, k)
+        cut = r * (q + 1)
+        if rank <= cut:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - cut - 1) // q + 1 if q else rank
+
+    for k in (2, 3, 4, 5, 7):
+        rows = [
+            (n, rank, ref_ntile(rank, n, k))
+            for n in range(1, 61)
+            for rank in range(1, n + 1)
+        ]
+        df = spark.createDataFrame(rows, ["n", "rk", "expected"])
+        got = df.select(
+            "expected",
+            ntile_from_rank(
+                F.col("rk").cast("long"), F.col("n").cast("long"), k
+            ).alias("t"),
+        )
+        assert got.filter(F.col("t") != F.col("expected")).count() == 0, f"k={k}"
