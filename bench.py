@@ -142,6 +142,7 @@ HEADLINE = [
     "doc_ngram_novelty",
     "doc_zipf_fit",
     "events_changepoint_scan",
+    "events_asof_forward",
 ]
 
 

@@ -54,16 +54,21 @@ def asof_join(
     time_col: str,
     payload_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the payload of the most recent right
-    row with `right.time <= left.time` within the same key (backward
-    as-of, ties match). Right-side payload columns come back as
-    `<col><suffix>`, null when no prior right row exists.
+    """For each left row, attach the payload of the nearest right row
+    within the same key: `direction="backward"` (default) takes the
+    most recent right row with `right.time <= left.time`,
+    `direction="forward"` the next right row with `right.time >=
+    left.time` (both: ties match). Right-side payload columns come
+    back as `<col><suffix>`, null when no matching right row exists.
 
-    Plan: union(tagged) → window per key ordered by (time, side) with
-    right rows sorting before simultaneous left rows → running
-    `last(payload, ignorenulls=True)` → filter to left rows. Exactly
-    one hash shuffle on `key`.
+    Plan: union(tagged) → window per key ordered by time with the
+    right side tie-ordered onto the matching side of simultaneous
+    left rows → running `last(payload, ignorenulls)` over the
+    preceding frame (backward) or `first(...)` over the following
+    frame (forward) → filter to left rows. Exactly one hash shuffle
+    on `key` either way.
     """
     lcols = left.columns
     l_tagged = left.select(
@@ -82,18 +87,30 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(time_col), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (0) sorts before simultaneous left (1): same-ts right
+        # rows land inside the left row's preceding frame (ties match)
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(time_col), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)  # noqa: E731
+    elif direction == "forward":
+        # mirrored: right sorts AFTER simultaneous left, so the
+        # same-ts right row is inside the left row's following frame
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(time_col), F.desc("__is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     carried = unioned.select(
         *lcols,
         F.col("__is_left"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload_cols
-        ],
+        *[carry(c).alias(f"{c}{suffix}") for c in payload_cols],
     )
     return carried.filter(F.col("__is_left") == 1).drop("__is_left")
 

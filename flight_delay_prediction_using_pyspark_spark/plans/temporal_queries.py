@@ -62,6 +62,59 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, p.value AS value_asof
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_clicks,
+           COUNT(value_asof) AS n_with_next_purchase,
+           CAST(SUM(CAST(value_asof AS DECIMAL(30,6))) AS DOUBLE) AS sum_next_value
+    FROM j
+    GROUP BY user_id
+    """,
+)
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the attribution direction: each click
+    picks up the NEXT purchase value per user (did the click convert,
+    and for how much). Same union-trick plan as the backward variant
+    (one shuffle on user_id, `first(ignorenulls)` over the following
+    frame with same-ts right rows tie-ordered into reach), mirrored —
+    never a range join. Verified against DuckDB's native forward ASOF
+    (`c.ts <= p.ts`)."""
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = TP.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        time_col="ts",
+        payload_cols=["value"],
+        direction="forward",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("value_asof").alias("n_with_next_purchase"),
+        A.exact_decimal_sum("value_asof").alias("sum_next_value"),
+    )
+
+
 _BANDS = [
     ("tiny", 0, 50_000),
     ("small", 50_000, 150_000),

@@ -74,3 +74,36 @@ def test_resample_ffill_gap_filling(spark):
         (1, 3): 5.0,   # latest-in-bucket wins
         (2, 10): 9.0,
     }
+
+
+def test_asof_join_forward_semantics_and_ties(spark):
+    """Forward as-of: each left row takes the NEXT right payload
+    (right.ts >= left.ts), a same-timestamp right row MATCHES (ties
+    in reach), and a left row after the last right row gets null —
+    the mirror of the backward contract."""
+    import datetime as dt
+
+    from flight_delay_prediction_using_pyspark_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(20), 101), (1, t(40), 102), (2, t(5), 200)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(20), 7.0), (1, t(30), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, key="user_id", time_col="ts",
+            payload_cols=["value"], direction="forward",
+        ).collect()
+    }
+    assert out == {
+        100: 7.0,   # next right at t20
+        101: 7.0,   # same-ts right matches (tie)
+        102: None,  # nothing after t40
+        200: None,  # key with no right rows
+    }
