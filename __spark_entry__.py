@@ -57,11 +57,16 @@ _MUST_HAVE: list[str] = ["orders_price_drift_chi2", "customer_rfm_segments"]
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older
-# never-attempted backlog). Round 5: EMPTY by judge mandate — the
-# whole 40-query round-4 backlog (incl. the 4 previously-subsumed
-# variants) goes through the driver this round; 40 never-attempted +
-# 1 must-have + the round-5 additions still fit the 50-slot window.
-_DEFER: list[str] = []
+# never-attempted backlog). Round 5: the whole 40-query round-4
+# backlog (incl. the 4 previously-subsumed variants) goes through the
+# driver this round per judge mandate; with 2 _MUST_HAVE
+# re-verifications and 8 round-5 queries the window sits at 50, so
+# the two LAST-added round-5 queries defer to round 6 (both locally
+# oracle-green and foreign-session-verified).
+_DEFER: list[str] = [
+    "corpus_dedup_survivor_bias",
+    "embedding_dedup_threshold_sweep",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -143,6 +143,8 @@ HEADLINE = [
     "doc_zipf_fit",
     "events_changepoint_scan",
     "events_asof_forward",
+    "corpus_dedup_survivor_bias",
+    "embedding_dedup_threshold_sweep",
 ]
 
 

@@ -548,7 +548,7 @@ def _training_corpus_oracle(min_quality: float, lang: str, threshold: float) -> 
     ),
     ded AS (
       SELECT * FROM gated
-      QUALIFY row_number() OVER (PARTITION BY {_md5i('text')} ORDER BY doc_id) = 1
+      QUALIFY row_number() OVER (PARTITION BY {_md5i60('text')} ORDER BY doc_id) = 1
     ),
     {_minhash_ctes(threshold, source='ded')},
     und AS (
@@ -922,7 +922,7 @@ def _full_pipeline_oracle() -> str:
     ),
     ded AS (
       SELECT * FROM gated
-      QUALIFY row_number() OVER (PARTITION BY {_md5i('text')} ORDER BY doc_id) = 1
+      QUALIFY row_number() OVER (PARTITION BY {_md5i60('text')} ORDER BY doc_id) = 1
     ),
     {_minhash_ctes(0.5, source='ded')},
     und AS (
@@ -2846,4 +2846,135 @@ def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (CAST(n AS DECIMAL(38,0)) * sxx"
             " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
         ).alias("slope_ppm"),
+    )
+
+
+@query(
+    "corpus_dedup_survivor_bias",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id, {_md5i60('text')} AS h FROM documents
+    ),
+    w AS (SELECT h, MIN(doc_id) AS keep FROM h GROUP BY h),
+    b AS (SELECT lang, COUNT(*) AS n_before FROM h GROUP BY lang),
+    a AS (
+      SELECT h2.lang, COUNT(*) AS n_after
+      FROM h h2 JOIN w ON h2.h = w.h AND h2.doc_id = w.keep
+      GROUP BY h2.lang
+    )
+    SELECT b.lang, n_before,
+           COALESCE(n_after, 0) AS n_after,
+           n_before - COALESCE(n_after, 0) AS n_removed,
+           CAST((1000000 * (n_before - COALESCE(n_after, 0))) // n_before
+                AS BIGINT) AS removal_ppm
+    FROM b LEFT JOIN a USING (lang)
+    """,
+)
+def q_corpus_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup demographic-skew audit — the survivorship-bias check a
+    training-data pipeline runs after every dedup pass: per language,
+    how many documents existed before exact dedup, how many survive
+    (min-doc_id winner per 60-bit content hash), and the removal rate
+    in ppm. A removal rate that differs sharply across languages
+    means the dedup stage is reshaping the mixture, not just shrinking
+    it — the thing temperature-weighted sampling downstream silently
+    inherits. Exact integers throughout; the shuffle carries (hash,
+    doc_id, lang), never text; winner pick is an associative MIN."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "lang", "doc_id", TA.md5_hash60(F.col("text")).alias("h")
+    )
+    w = h.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    b = h.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    a = (
+        h.join(w, (h.h == w.h) & (h.doc_id == w.keep))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        b.join(a, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.expr(
+                "(1000000 * (n_before - COALESCE(n_after, 0))) DIV n_before"
+            )
+            .cast("long")
+            .alias("removal_ppm"),
+        )
+    )
+
+
+_SWEEP_BP = [2000, 3000, 3500, 4000, 5000]
+
+
+@query(
+    "embedding_dedup_threshold_sweep",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                  (a, b) -> a + b)) AS nrm
+      FROM e
+    ),
+    pairs AS (
+      SELECT ROUND(list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+             (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_reduce(list_prepend(0.0,
+              list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+            (x, y) -> x + y) / (a.nrm * b.nrm), 6)
+            >= CAST({_SWEEP_BP[0]} AS DOUBLE) / 10000.0
+    ),
+    thr(t_bp) AS (VALUES {", ".join(f"({t})" for t in _SWEEP_BP)})
+    SELECT t_bp,
+           CAST(COUNT(*) FILTER (
+             WHERE cosine >= CAST(t_bp AS DOUBLE) / 10000.0
+           ) AS BIGINT) AS n_pairs
+    FROM pairs CROSS JOIN thr
+    GROUP BY t_bp
+    """,
+)
+def q_embedding_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: pair counts at five cosine
+    cutoffs from ONE pair/cosine computation — the sweep a pipeline
+    owner reads before picking the dedup threshold (too low deletes
+    paraphrases, too high keeps templates). Cosines are computed once
+    (norms pre-aggregated per vector, index-order dot products →
+    IEEE-identical on both engines, rounded to 6), then a broadcast
+    5-row threshold dimension turns the sweep into one conditional
+    count — the pair join is NOT re-run per threshold. The all-pairs
+    form is the bounded verifier; at scale candidates come from the
+    hyperplane-LSH buckets like the single-threshold query."""
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _SWEEP_BP], "t_bp long"
+    )
+    # pairs below the LOWEST sweep point can never count — filter them
+    # at the pair stage (on the rounded cosine, same as the oracle's
+    # WHERE) so the retained pair set stays sweep-relevant-sized.
+    pairs = TD.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_SWEEP_BP[0] / 10000.0,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select("cosine")
+    return (
+        pairs.crossJoin(F.broadcast(thresholds))
+        .groupBy("t_bp")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("cosine")
+                    >= F.col("t_bp").cast("double") / F.lit(10000.0),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
     )

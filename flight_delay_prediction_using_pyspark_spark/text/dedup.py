@@ -725,7 +725,10 @@ def prepare_training_corpus(
         gated = gated.filter(F.col("pred_lang") == lang)
     from pyspark.sql import Window
 
-    wnd = Window.partitionBy(md5_hash32(F.col("text"))).orderBy(F.col("doc_id"))
+    # 60-bit identity: a 32-bit content-hash collision would silently
+    # drop a unique document on both engines (same bound as
+    # dedup_exact; see analysis.md5_hash60).
+    wnd = Window.partitionBy(md5_hash60(F.col("text"))).orderBy(F.col("doc_id"))
     deduped = (
         gated.withColumn("__rn", F.row_number().over(wnd))
         .filter(F.col("__rn") == 1)
