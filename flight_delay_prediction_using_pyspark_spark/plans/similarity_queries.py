@@ -501,7 +501,9 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = docs.filter(F.col("doc_id") == _QUERY_VEC_ID).select(
         F.array_distinct(tokens(F.col("text"))).alias("qterms")
     )
-    lex = global_rank(
+    # both scored frames persist: global_rank's auto-mode count would
+    # otherwise re-run the tokenize/cosine scan a second time
+    lex_scored = (
         docs.filter(F.col("doc_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(qt))
         .select(
@@ -509,23 +511,24 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(
                 F.array_intersect(F.array_distinct(tokens(F.col("text"))), F.col("qterms"))
             ).alias("overlap"),
-        ),
-        [F.desc("overlap"), F.asc("doc_id")],
-        out_col="r_lex",
+        )
+        .persist()
+    )
+    lex = global_rank(
+        lex_scored, [F.desc("overlap"), F.asc("doc_id")], out_col="r_lex"
     )
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") != _QUERY_VEC_ID
     )
+    vec_scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
+            6,
+        ).alias("cos"),
+    ).persist()
     scored = global_rank(
-        emb.select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
-                6,
-            ).alias("cos"),
-        ),
-        [F.desc("cos"), F.asc("doc_id")],
-        out_col="r_vec",
+        vec_scored, [F.desc("cos"), F.asc("doc_id")], out_col="r_vec"
     )
     fused = lex.select("doc_id", "r_lex").join(
         scored.select("doc_id", "r_vec"), "doc_id"

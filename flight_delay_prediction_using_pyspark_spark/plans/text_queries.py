@@ -1781,7 +1781,10 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(
         "doc_id", F.explode(TA.tokens(F.col("text"))).alias("token")
     )
-    tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: global_rank's auto-mode count, the ranking pass, and
+    # the broadcast build below would otherwise each re-run the
+    # corpus-wide explode+agg lineage
+    tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
     ranked = global_rank(
         tf, [F.desc("c"), F.asc("token")], out_col="rnk"
     )
