@@ -66,6 +66,7 @@ _MUST_HAVE: list[str] = ["orders_price_drift_chi2", "customer_rfm_segments"]
 _DEFER: list[str] = [
     "corpus_dedup_survivor_bias",
     "embedding_dedup_threshold_sweep",
+    "corpus_ngram_coverage_curve",
 ]
 
 

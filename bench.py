@@ -145,6 +145,7 @@ HEADLINE = [
     "events_asof_forward",
     "corpus_dedup_survivor_bias",
     "embedding_dedup_threshold_sweep",
+    "corpus_ngram_coverage_curve",
 ]
 
 

@@ -2981,3 +2981,111 @@ def q_embedding_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataF
             .alias("n_pairs")
         )
     )
+
+
+_COVERAGE_KS = [100, 1000, 10000]
+
+
+@query(
+    "corpus_ngram_coverage_curve",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+             )) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    gf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gram),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_occ,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM gf
+    ),
+    r AS (
+      SELECT c,
+             CAST(row_number() OVER (ORDER BY c DESC, gram) AS BIGINT) AS rk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, gram
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM gf
+    ),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _COVERAGE_KS)})
+    SELECT k, tot.n_distinct, tot.n_occ,
+           CAST(COALESCE(MAX(CASE WHEN rk <= k THEN cum END), 0) AS BIGINT)
+             AS covered_occ,
+           CAST((1000000 * COALESCE(MAX(CASE WHEN rk <= k THEN cum END), 0))
+                // tot.n_occ AS BIGINT) AS coverage_ppm
+    FROM r CROSS JOIN ks CROSS JOIN tot
+    GROUP BY k, tot.n_distinct, tot.n_occ
+    """,
+)
+def q_corpus_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-sizing coverage curve: what fraction of all 3-gram
+    OCCURRENCES the top-k most frequent grams cover, for k ∈ {100,
+    1k, 10k} — the curve that decides phrase-table / n-gram-LM /
+    cache sizes (heavy-tailed corpora saturate early; flat curves
+    mean memorization won't pay). Occurrence counts are exact
+    integers; coverage is a scaled integer division.
+
+    Scale shape: the gram table aggregates first (distinct-gram-
+    sized), then BOTH round-5 order-statistics operators run over it
+    behind the size switch — global_rank for the frequency rank,
+    global_prefix_sum for the cumulative occurrence mass — so a
+    10⁹-gram web corpus never hits a single-task sort; the k
+    thresholds attach as a broadcast 3-row dimension and the totals
+    as a broadcast scalar."""
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        global_prefix_sum,
+        global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TA.tokens(F.col("text"))
+    base = docs.select(toks.alias("t")).filter(F.size("t") >= 3)
+    head = F.slice(F.col("t"), 1, F.greatest(F.size("t") - 2, F.lit(0)))
+    grams = F.transform(
+        head,
+        lambda x, i: F.concat_ws(
+            " ",
+            x,
+            F.element_at(F.col("t"), i + F.lit(2)),
+            F.element_at(F.col("t"), i + F.lit(3)),
+        ),
+    )
+    gf = (
+        base.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    order = [F.desc("c"), F.asc("gram")]
+    r = global_prefix_sum(
+        global_rank(gf, order, out_col="rk"), order, "c", out_col="cum"
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k long")
+    tot = gf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("c").cast("long").alias("n_occ"),
+    )
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_distinct", "n_occ")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("covered_occ"),
+        )
+        .select(
+            "k",
+            "n_distinct",
+            "n_occ",
+            "covered_occ",
+            F.expr("(1000000 * covered_occ) DIV n_occ")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )
