@@ -67,6 +67,8 @@ _DEFER: list[str] = [
     "corpus_dedup_survivor_bias",
     "embedding_dedup_threshold_sweep",
     "corpus_ngram_coverage_curve",
+    "orders_lateral_topk",
+    "orders_month_spine_recursive",
 ]
 
 

@@ -146,6 +146,8 @@ HEADLINE = [
     "corpus_dedup_survivor_bias",
     "embedding_dedup_threshold_sweep",
     "corpus_ngram_coverage_curve",
+    "orders_lateral_topk",
+    "orders_month_spine_recursive",
 ]
 
 

@@ -3184,3 +3184,101 @@ def q_orders_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("cents").alias("max_cents"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
+
+
+@query(
+    "orders_lateral_topk",
+    oracle="""
+    SELECT p.o_orderpriority, s.o_orderkey, s.cents
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+    LATERAL (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      WHERE o.o_orderpriority = p.o_orderpriority
+      ORDER BY cents DESC, o_orderkey
+      LIMIT 2
+    ) s
+    """,
+)
+def q_orders_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT —
+    the SQL-standard top-k-per-group surface (Spark 4 LATERAL),
+    expressed identically on both engines. Same result set as the
+    rank-window form (top3_orders_per_priority's shape at k=2), so
+    the catalog demonstrates BOTH spellings; Catalyst decorrelates
+    the lateral into a window/rank under the hood — assert nothing
+    about the plan here beyond correctness, the window variant owns
+    the plan contract. Cents are exact integers with a deterministic
+    (cents, key) tiebreak so both engines pick identical rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT p.o_orderpriority, s.o_orderkey, s.cents
+        FROM (SELECT DISTINCT o_orderpriority FROM orders_lat) p,
+        LATERAL (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders_lat o
+          WHERE o.o_orderpriority = p.o_orderpriority
+          ORDER BY cents DESC, o_orderkey
+          LIMIT 2
+        ) s
+        """
+    )
+
+
+@query(
+    "orders_month_spine_recursive",
+    oracle="""
+    WITH RECURSIVE spine(mon) AS (
+      SELECT DATE '1995-01-01' AS mon
+      UNION ALL
+      SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE mon < DATE '2001-12-01'
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(spine.mon, '%Y-%m') AS mon, COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(cents, 0) AS cents
+    FROM spine LEFT JOIN rev ON spine.mon = rev.mon
+    """,
+)
+def q_orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling via a NATIVE recursive CTE (Spark
+    4's WITH RECURSIVE, UNION ALL + monotone guard — the supported
+    acyclic form): generate the 1995-2001 month spine recursively,
+    LEFT join monthly revenue, and emit explicit zero months — the
+    report shape where missing months must show as 0 rows, which a
+    plain GROUP BY can never produce. The recursion is bounded (84
+    rows, one step per month) and acyclic by construction; revenue
+    aggregates once on the month key; identical recursive SQL runs on
+    the DuckDB side. Cents exact integers."""
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_spine")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(mon) AS (
+          SELECT DATE '1995-01-01' AS mon
+          UNION ALL
+          SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM spine
+          WHERE mon < DATE '2001-12-01'
+        ),
+        rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders_spine GROUP BY 1
+        )
+        SELECT date_format(spine.mon, 'yyyy-MM') AS mon,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(cents, 0) AS cents
+        FROM spine LEFT JOIN rev ON spine.mon = rev.mon
+        """
+    )
