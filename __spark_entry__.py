@@ -69,6 +69,7 @@ _DEFER: list[str] = [
     "corpus_ngram_coverage_curve",
     "orders_lateral_topk",
     "orders_month_spine_recursive",
+    "orders_observed_metrics",
 ]
 
 

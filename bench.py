@@ -148,6 +148,7 @@ HEADLINE = [
     "corpus_ngram_coverage_curve",
     "orders_lateral_topk",
     "orders_month_spine_recursive",
+    "orders_observed_metrics",
 ]
 
 

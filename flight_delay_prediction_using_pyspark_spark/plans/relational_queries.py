@@ -3282,3 +3282,75 @@ def q_orders_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFram
         FROM spine LEFT JOIN rev ON spine.mon = rev.mon
         """
     )
+
+
+@query(
+    "orders_observed_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY yr
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows_scanned,
+           (SELECT CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0
+                                            OR o_totalprice IS NULL)
+                   AS BIGINT) FROM orders) AS n_nonpositive,
+           (SELECT CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL)
+                   AS BIGINT) FROM orders) AS n_null_dates,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM agg
+    """,
+)
+def q_orders_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via Spark's Observation API
+    (`df.observe`): the row count, non-positive-price count, and
+    null-date count ride the SAME scan that computes the yearly
+    revenue rollup — accumulator-backed, ZERO extra jobs, where the
+    dq_orders_constraints report pays its own pass. This is how a
+    100 TB nightly job gets its quality counters for free: observe()
+    on the frame you were going to aggregate anyway. The observed
+    metrics plus the rollup's own summary come back as one row; the
+    oracle recomputes every number independently, so the
+    accumulator path itself is what gets verified."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows_scanned"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            )
+        ).alias("n_nonpositive"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_dates"),
+    )
+    agg = observed.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    summary = agg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).first()
+    m = obs.get  # populated by the action above; bounded (3 numbers)
+    return orders.sparkSession.createDataFrame(
+        [
+            (
+                int(m["n_rows_scanned"]),
+                int(m["n_nonpositive"]),
+                int(m["n_null_dates"]),
+                int(summary["n_groups"]),
+                int(summary["total_cents"]),
+            )
+        ],
+        "n_rows_scanned long, n_nonpositive long, n_null_dates long, "
+        "n_groups long, total_cents long",
+    )
