@@ -70,6 +70,8 @@ _DEFER: list[str] = [
     "orders_lateral_topk",
     "orders_month_spine_recursive",
     "orders_observed_metrics",
+    "lineitem_grouping_id_rollup",
+    "ml_isotonic_calibration",
 ]
 
 

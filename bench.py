@@ -57,6 +57,7 @@ HEADLINE = [
     # ML
     "ml_decision_tree_metrics",
     "ml_feature_pipeline_stats",
+    "ml_isotonic_calibration",
     # text / dedup / corpus
     "dedup_exact_hash_stats",
     "dedup_minhash_lsh_pairs",
@@ -149,6 +150,7 @@ HEADLINE = [
     "orders_lateral_topk",
     "orders_month_spine_recursive",
     "orders_observed_metrics",
+    "lineitem_grouping_id_rollup",
 ]
 
 

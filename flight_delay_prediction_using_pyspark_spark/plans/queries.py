@@ -1658,3 +1658,65 @@ from flight_delay_prediction_using_pyspark_spark.plans import streaming_queries 
 from flight_delay_prediction_using_pyspark_spark.plans import temporal_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import relational_queries  # noqa: E402,F401
 from flight_delay_prediction_using_pyspark_spark.plans import graph_queries  # noqa: E402,F401
+
+
+@query("ml_isotonic_calibration")
+def q_ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib IsotonicRegression as a prediction CALIBRATOR — the
+    estimator family the catalog lacked: fit the shared decision tree,
+    then fit an isotonic (monotone, PAVA) map from raw prediction to
+    label on the validation frame and score with it. Rows-only check
+    (PAVA is an iterative pooled-adjacent-violators solve, not
+    SQL-expressible), so the row is SELF-CHECKING with two exact
+    mathematical contracts: (a) the calibrated prediction is monotone
+    non-decreasing in the raw prediction (checked with one lag window
+    over the scored frame, sorted by raw), and (b) on the frame the
+    isotonic map was fit on, calibrated MSE ≤ raw MSE + eps — the
+    identity is itself a monotone map, and PAVA returns the
+    squared-error-optimal monotone map, so calibration can never lose
+    on its own training frame. Both folded into contract_ok."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+    from pyspark.sql import Window as W
+
+    from flight_delay_prediction_using_pyspark_spark.ml.train import train_decision_tree
+
+    _, encoded = _encoded_flights(spark)
+    _, val_preds = train_decision_tree(encoded)
+    base = val_preds.select(
+        F.col("ArrDelay").cast("double").alias("label"),
+        F.col("prediction").alias("raw"),
+    )
+    assembled = VectorAssembler(inputCols=["raw"], outputCol="rawvec").transform(
+        base
+    )
+    iso = IsotonicRegression(
+        featuresCol="rawvec", labelCol="label", predictionCol="cal", isotonic=True
+    ).fit(assembled)
+    scored = iso.transform(assembled).select("label", "raw", "cal").persist()
+    w = W.orderBy("raw", "cal")  # validation-sized frame; audit window
+    mono = scored.select(
+        (F.col("cal") >= F.coalesce(F.lag("cal").over(w), F.lit(float("-inf"))))
+        .alias("ok")
+    ).agg(F.min("ok").alias("monotone_ok"))
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_val"),
+        F.avg((F.col("label") - F.col("raw")) ** 2).alias("raw_mse"),
+        F.avg((F.col("label") - F.col("cal")) ** 2).alias("cal_mse"),
+    )
+    row = stats.crossJoin(mono).first()
+    improved = row["cal_mse"] <= row["raw_mse"] + 1e-9
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_val"]),
+                round(float(row["raw_mse"]), 6),
+                round(float(row["cal_mse"]), 6),
+                bool(row["monotone_ok"]),
+                bool(improved),
+                bool(row["monotone_ok"]) and improved,
+            )
+        ],
+        "n_val long, raw_mse double, cal_mse double, monotone_ok boolean, "
+        "improved_ok boolean, contract_ok boolean",
+    )

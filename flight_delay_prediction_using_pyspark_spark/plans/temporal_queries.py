@@ -1496,3 +1496,48 @@ def q_events_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_ppm"),
         )
     )
+
+
+@query(
+    "lineitem_grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_lineitem_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit GROUPING metadata — the missing piece of
+    the multi-dimensional agg surface (cube/rollup/grouping-sets are
+    in the catalog; this exposes WHICH level a row belongs to):
+    grouping_id distinguishes a real NULL group from a subtotal row,
+    the thing every OLAP client needs before rendering totals.
+    Spark's grouping()/grouping_id() composes into the same
+    2-bit id as DuckDB's GROUPING(); NULL group keys render as
+    '<all>' so the subtotal rows compare exactly. One Expand + one
+    hash agg — same single-shuffle plan as the plain rollup."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"),
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            )
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "gid",
+            "n",
+            "qty",
+        )
+    )
