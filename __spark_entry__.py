@@ -72,6 +72,7 @@ _DEFER: list[str] = [
     "orders_observed_metrics",
     "lineitem_grouping_id_rollup",
     "ml_isotonic_calibration",
+    "custom_pysource_stream_stats",
 ]
 
 

@@ -151,6 +151,7 @@ HEADLINE = [
     "orders_month_spine_recursive",
     "orders_observed_metrics",
     "lineitem_grouping_id_rollup",
+    "custom_pysource_stream_stats",
 ]
 
 

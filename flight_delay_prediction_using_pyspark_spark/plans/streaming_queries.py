@@ -717,3 +717,69 @@ def q_events_cdc_merge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, target, key_cols=["user_id"], order_col="event_id", op_col="op"
     )
     return spark.read.parquet(target).drop("__bucket")
+
+
+@query(
+    "custom_pysource_stream_stats",
+    oracle="""
+    WITH g AS (
+      SELECT t.g AS id,
+             CAST(concat('0x', substr(md5(CAST(t.g AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS val
+      FROM generate_series(0, 499) t(g)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_distinct_ids,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM g
+    """,
+)
+def q_custom_pysource_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource STREAMING reader
+    (sources.pysource.make_stream_datasource): the `detstream` format
+    generates deterministic md5-derived rows with an offset contract
+    ({"pos": n} advancing per micro-batch), drained through a real
+    readStream → memory sink with availableNow. The offsets fully
+    determine the data (readBetweenOffsets replays any range), which
+    is the exactly-once property streaming sources must carry; the
+    oracle reproduces every drained row from generate_series, so the
+    STREAMING SOURCE itself sits under the correctness gate like its
+    batch sibling. Five micro-batches of 100 rows = 500 total."""
+    from flight_delay_prediction_using_pyspark_spark.sources import pysource
+
+    pysource.register_stream(spark)
+    stream = (
+        spark.readStream.format("detstream")
+        .option("per_batch", "100")
+        .load()
+    )
+    sink = f"pysource_stream_{next(_dedup_run)}"
+    with _scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # availableNow semantics don't apply to an unbounded generator
+        # (there is always a next batch): drain exactly 5 micro-batches
+        # by watching the progress stream, then stop — the bounded
+        # harness form; production runs continuously.
+        import time as _t
+
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 5:
+                break
+            _t.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+    drained = spark.table(sink).filter(F.col("id") < 500)
+    return drained.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").cast("long").alias("n_distinct_ids"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.max("id").cast("long").alias("max_id"),
+    )

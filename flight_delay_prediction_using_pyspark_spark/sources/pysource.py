@@ -78,3 +78,73 @@ def make_datasource():
 def register(spark) -> None:
     """Idempotent `detrange` format registration."""
     spark.dataSource.register(make_datasource())
+
+
+def make_stream_datasource():
+    """Build the `detstream` STREAMING DataSource class (Spark 4
+    `SimpleDataSourceStreamReader`): an offset-tracked deterministic
+    generator — each micro-batch advances `pos` by `per_batch` rows
+    whose values are the same md5-derived construction as `detrange`,
+    so a SQL oracle reproduces the drained stream exactly. The
+    simple-reader variant reads on the driver and is meant for
+    low-throughput sources; the partitioned `DataSourceStreamReader`
+    is the executor-parallel path (same offset contract). Classes are
+    defined inside the factory for by-value pickling, like the batch
+    source."""
+    import hashlib
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _rows(lo: int, hi: int, mod: int):
+        # materialized LIST, not a generator: the simple-reader runner
+        # prefetches and PICKLES the batch rows (generators are not
+        # picklable); batches are per_batch-bounded so this is small
+        return [
+            (
+                ident,
+                int(hashlib.md5(str(ident).encode()).hexdigest()[:8], 16) % mod,
+            )
+            for ident in range(lo, hi)
+        ]
+
+    class DetStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, per_batch: int, mod: int) -> None:
+            self.per_batch = per_batch
+            self.mod = mod
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            end = pos + self.per_batch
+            return (_rows(pos, end, self.mod), {"pos": end})
+
+        def readBetweenOffsets(self, start, end):
+            # replay path: offsets fully determine the data — the
+            # property that makes the source exactly-once replayable
+            return _rows(start["pos"], end["pos"], self.mod)
+
+    class DetStreamDataSource(DataSource):
+        """`detstream` format. Options: per_batch (rows per
+        micro-batch, default 100), mod (default 1000)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "detstream"
+
+        def schema(self) -> str:
+            return "id long, val long"
+
+        def simpleStreamReader(self, schema):
+            return DetStreamReader(
+                per_batch=int(self.options.get("per_batch", 100)),
+                mod=int(self.options.get("mod", 1000)),
+            )
+
+    return DetStreamDataSource
+
+
+def register_stream(spark) -> None:
+    """Idempotent `detstream` format registration."""
+    spark.dataSource.register(make_stream_datasource())
