@@ -73,6 +73,8 @@ _DEFER: list[str] = [
     "lineitem_grouping_id_rollup",
     "ml_isotonic_calibration",
     "custom_pysource_stream_stats",
+    "layout_dynamic_partition_overwrite",
+    "events_hll_intersection_estimate",
 ]
 
 

@@ -152,6 +152,8 @@ HEADLINE = [
     "orders_observed_metrics",
     "lineitem_grouping_id_rollup",
     "custom_pysource_stream_stats",
+    "layout_dynamic_partition_overwrite",
+    "events_hll_intersection_estimate",
 ]
 
 

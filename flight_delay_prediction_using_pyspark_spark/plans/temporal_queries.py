@@ -1541,3 +1541,120 @@ def q_lineitem_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             "qty",
         )
     )
+
+
+@query("events_hll_intersection_estimate")
+def q_events_hll_intersection_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch set-INTERSECTION via inclusion-exclusion — the question
+    sketches cannot answer natively ("how many users are active on
+    BOTH weekdays and weekends?") answered from three mergeable HLL
+    states: est(A∩B) = est(A) + est(B) − est(A∪B), with the union
+    state coming from hll_union_agg over the same per-side sketches
+    (no rescan). Rows-only (sketch binaries are engine-specific) but
+    self-checking: inclusion-exclusion compounds three sketch errors
+    each scaled by ITS OWN set size, so the contract bounds the
+    estimate against exact within tol·(|A|+|B|+|A∪B|) — loose by
+    design; the point is the mergeable-state algebra, not precision
+    (precise intersections join the exact frames)."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.dayofweek("ts").isin(1, 7)).alias("is_weekend"),
+    )
+    sides = ev.groupBy("is_weekend").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_side"),
+    ).persist()
+    union_est = sides.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    per_side = sides.agg(
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_side_est"),
+        F.sum("exact_side").cast("long").alias("sum_exact_sides"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.col("is_weekend").cast("int")).alias("we"),
+             F.min(F.col("is_weekend").cast("int")).alias("wd"))
+        .agg(
+            F.count(F.when((F.col("we") == 1) & (F.col("wd") == 0), 1))
+            .cast("long")
+            .alias("exact_both"),
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+        )
+    )
+    tol = 0.05
+    return (
+        per_side.crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            (F.col("sum_side_est") - F.col("union_est")).alias("inter_est"),
+            "exact_both",
+            "exact_union",
+            (
+                F.abs(F.col("sum_side_est") - F.col("union_est")
+                      - F.col("exact_both"))
+                <= tol * (F.col("sum_exact_sides") + F.col("exact_union"))
+            ).alias("contract_ok"),
+        )
+    )
+
+
+@query(
+    "layout_dynamic_partition_overwrite",
+    oracle="""
+    WITH final AS (
+      SELECT event_type,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT)
+               * (CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END)
+               AS cents
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY event_type
+    """,
+)
+def q_layout_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse upsert-by-partition
+    write path (partitionOverwriteMode=dynamic): write events
+    partitioned by event_type, then overwrite ONLY the 'purchase'
+    partition with doubled cents. STATIC mode would wipe every other
+    partition (the classic data-loss foot-gun this conf exists to
+    prevent); dynamic replaces exactly the partitions present in the
+    incoming frame. The oracle computes the expected FINAL table
+    (untouched types verbatim + doubled purchases), so both halves
+    of the contract — untouched partitions intact, target partition
+    replaced — are value-verified, not just counted. The conf is
+    scoped and restored."""
+    import tempfile
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    doubled = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("cents", F.col("cents") * 2)
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        doubled.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set(conf, old)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
