@@ -75,6 +75,7 @@ _DEFER: list[str] = [
     "custom_pysource_stream_stats",
     "layout_dynamic_partition_overwrite",
     "events_hll_intersection_estimate",
+    "events_cogroup_asof_python",
 ]
 
 

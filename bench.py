@@ -154,6 +154,7 @@ HEADLINE = [
     "custom_pysource_stream_stats",
     "layout_dynamic_partition_overwrite",
     "events_hll_intersection_estimate",
+    "events_cogroup_asof_python",
 ]
 
 
