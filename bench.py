@@ -155,6 +155,7 @@ HEADLINE = [
     "layout_dynamic_partition_overwrite",
     "events_hll_intersection_estimate",
     "events_cogroup_asof_python",
+    "media_arrow_byte_stats",
 ]
 
 

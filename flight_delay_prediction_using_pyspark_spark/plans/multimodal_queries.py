@@ -206,3 +206,37 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chunks = M.phash_chunks(M.attach_media(docs))
     return M.phash_near_dup(chunks, max_hamming=3)
+
+
+@query(
+    "media_arrow_byte_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM({_ASCII_SUM}) AS BIGINT) AS total_byte_sum
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_media_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload stats through `mapInArrow` — the zero-copy twin
+    of media_byte_stats (same oracle, so the Arrow and pandas decode
+    paths are proven interchangeable): per-row byte sums come from
+    the offsets-buffer cumulative-sum trick directly on the Arrow
+    binary buffers, no pandas materialization, no per-row Python —
+    the batch shape a production media feature-extractor wants when
+    payloads are megabytes, where the pandas path would copy each
+    payload twice per batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features_arrow(M.attach_media(docs))
+    dims = docs.select("doc_id", "source")
+    return (
+        feats.join(F.broadcast(dims), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("byte_sum").alias("total_byte_sum"),
+        )
+    )
