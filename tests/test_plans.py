@@ -594,3 +594,18 @@ def test_label_centroids_broadcast_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_arrow_and_cogroup_paths_use_their_physical_operators(spark):
+    """The round-5 API twins must actually run on their intended
+    physical operators: the zero-copy media path through MapInArrow
+    (not a pandas conversion) and the Python as-of twin through
+    FlatMapCoGroupsInPandas with exactly the two key shuffles a
+    cogroup needs."""
+    plan = plan_of(QUERIES["media_arrow_byte_stats"](spark, SF_CORRECTNESS_DIR))
+    assert "MapInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    plan2 = plan_of(
+        QUERIES["events_cogroup_asof_python"](spark, SF_CORRECTNESS_DIR)
+    )
+    assert "FlatMapCoGroupsInPandas" in plan2
