@@ -77,6 +77,7 @@ _DEFER: list[str] = [
     "events_hll_intersection_estimate",
     "events_cogroup_asof_python",
     "media_arrow_byte_stats",
+    "dedup_minhash_band_tuning",
 ]
 
 

@@ -3089,3 +3089,114 @@ def q_corpus_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("coverage_ppm"),
         )
     )
+
+
+_TUNE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows): b*r = MINHASH_K
+
+
+def _band_tuning_oracle() -> str:
+    k = TD.MINHASH_K
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {TD.MINHASH_A[i]} "
+        f"+ {TD.MINHASH_B[i]}) % {TD.MINHASH_P}))"
+        for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{c}' AS cfg, {b} AS band, {h} AS band_hash FROM sig".format(
+            c=f"{bands}x{rows}",
+            b=b,
+            h=_md5i(
+                "concat_ws('_', "
+                + ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+                + ")"
+            ),
+        )
+        for bands, rows in _TUNE_CONFIGS
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+        "/ (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [] END AS s
+      FROM toks
+    ),
+    sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+    sigbase AS (
+      SELECT doc_id, s, list_transform(s, x -> {_md5i('x')}) AS hs FROM sh2
+    ),
+    sig AS (SELECT doc_id, s, [{sig_exprs}] AS sig FROM sigbase),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.cfg, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.cfg = b.cfg AND a.band = b.band
+       AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT cfg, ROUND({jac}, 6) AS j
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    )
+    SELECT cfg,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(COUNT(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_good,
+           CAST((1000000 * COUNT(*) FILTER (WHERE j >= 0.5)) // COUNT(*)
+                AS BIGINT) AS precision_ppm
+    FROM scored GROUP BY cfg
+    """
+
+
+@query("dedup_minhash_band_tuning", oracle=_band_tuning_oracle())
+def q_dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve tuning table: the SAME 16-perm signatures
+    bucketed under three (bands × rows) splits — (2×8) strict/high-
+    precision, (4×4) the production default, (8×2) loose/high-recall
+    — with candidate volume and exact-Jaccard precision per config.
+    This is the table an operator reads before picking b×r for a
+    corpus (P[candidate] = 1−(1−s^r)^b; more bands ⇒ more candidates
+    ⇒ more verify cost for more recall). One signature pass feeds all
+    three configs (the cached signature frame), all candidate
+    generation stays banded equi-joins tagged by config — never
+    all-pairs — and the exact-Jaccard verify runs once per distinct
+    candidate pair per config."""
+    sigs = _sigs_cached(spark, sf_dir)
+    tagged = None
+    for bands, rows in _TUNE_CONFIGS:
+        b = TD.lsh_band_buckets(sigs, bands=bands, rows=rows).withColumn(
+            "cfg", F.lit(f"{bands}x{rows}")
+        )
+        tagged = b if tagged is None else tagged.unionByName(b)
+    a = tagged.select("cfg", "band", "band_hash", F.col("doc_id").alias("id_a"))
+    bb = tagged.select("cfg", "band", "band_hash", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(bb, ["cfg", "band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cfg", "id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("s_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("s_a") + F.size("s_b") - inter),
+        6,
+    )
+    scored = cand.join(sa, "id_a").join(sb, "id_b").select("cfg", jac.alias("j"))
+    return scored.groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(F.col("j") >= 0.5, 1)).cast("long").alias("n_good"),
+        F.expr(
+            "CAST((1000000 * COUNT(CASE WHEN j >= 0.5 THEN 1 END)) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
