@@ -237,7 +237,11 @@ def _intdiv(a: Column, b: Column) -> Column:
     """Exact integer floor-division for non-negative operands as a
     Column expression: (a − a % b) / b is an exact float op (both
     operands integral and the quotient exact below 2^53), cast back
-    to long. Avoids F.expr so callers can pass anonymous columns."""
+    to long. Avoids F.expr so callers can pass anonymous columns.
+    Exactness bound: operands must stay below 2^53 (~9e15) — ranks
+    and row counts, which even a 100 TB table (~10^13 rows) never
+    approaches; for products beyond that use the DECIMAL(38,0) DIV
+    pattern instead."""
     return ((a - a % b) / b).cast("long")
 
 

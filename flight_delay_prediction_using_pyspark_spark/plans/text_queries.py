@@ -3014,7 +3014,8 @@ _COVERAGE_KS = [100, 1000, 10000]
     SELECT k, tot.n_distinct, tot.n_occ,
            CAST(COALESCE(MAX(CASE WHEN rk <= k THEN cum END), 0) AS BIGINT)
              AS covered_occ,
-           CAST((1000000 * COALESCE(MAX(CASE WHEN rk <= k THEN cum END), 0))
+           CAST((1000000 * CAST(COALESCE(MAX(CASE WHEN rk <= k THEN cum END),
+                                        0) AS HUGEINT))
                 // tot.n_occ AS BIGINT) AS coverage_ppm
     FROM r CROSS JOIN ks CROSS JOIN tot
     GROUP BY k, tot.n_distinct, tot.n_occ
@@ -3084,9 +3085,10 @@ def q_corpus_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_distinct",
             "n_occ",
             "covered_occ",
-            F.expr("(1000000 * covered_occ) DIV n_occ")
-            .cast("long")
-            .alias("coverage_ppm"),
+            F.expr(
+                "CAST((1000000 * CAST(covered_occ AS DECIMAL(38,0)))"
+                " DIV n_occ AS BIGINT)"
+            ).alias("coverage_ppm"),
         )
     )
 
@@ -3149,8 +3151,8 @@ def _band_tuning_oracle() -> str:
     SELECT cfg,
            CAST(COUNT(*) AS BIGINT) AS n_candidates,
            CAST(COUNT(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_good,
-           CAST((1000000 * COUNT(*) FILTER (WHERE j >= 0.5)) // COUNT(*)
-                AS BIGINT) AS precision_ppm
+           CAST((1000000 * CAST(COUNT(*) FILTER (WHERE j >= 0.5) AS HUGEINT))
+                // COUNT(*) AS BIGINT) AS precision_ppm
     FROM scored GROUP BY cfg
     """
 
@@ -3196,7 +3198,7 @@ def q_dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_candidates"),
         F.count(F.when(F.col("j") >= 0.5, 1)).cast("long").alias("n_good"),
         F.expr(
-            "CAST((1000000 * COUNT(CASE WHEN j >= 0.5 THEN 1 END)) DIV COUNT(*)"
-            " AS BIGINT)"
+            "CAST((1000000 * CAST(COUNT(CASE WHEN j >= 0.5 THEN 1 END)"
+            " AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)"
         ).alias("precision_ppm"),
     )
