@@ -1369,8 +1369,9 @@ def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h GROUP BY event_type
     )
     SELECT event_type, n, s1 AS total_events,
-           CAST((1000000 * (n * s2 - s1 * s1)) // (n * s1) AS BIGINT)
-             AS fano_ppm
+           CAST((1000000 * (CAST(n AS HUGEINT) * s2
+                            - CAST(s1 AS HUGEINT) * s1))
+                // (CAST(n AS HUGEINT) * s1) AS BIGINT) AS fano_ppm
     FROM s
     """,
 )
@@ -1399,9 +1400,11 @@ def q_events_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.col("s1").alias("total_events"),
-        F.expr("(1000000 * (n * s2 - s1 * s1)) DIV (n * s1)")
-        .cast("long")
-        .alias("fano_ppm"),
+        F.expr(
+            "CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * s1) AS BIGINT)"
+        ).alias("fano_ppm"),
     )
 
 

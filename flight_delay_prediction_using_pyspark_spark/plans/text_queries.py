@@ -2427,7 +2427,8 @@ def q_doc_script_mismatch_census(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((n + max_len - 1) // max_len) AS BIGINT) AS n_sequences,
            CAST(SUM(((n + max_len - 1) // max_len) * max_len - n) AS BIGINT)
              AS padding_waste,
-           CAST((1000000 * SUM(((n + max_len - 1) // max_len) * max_len - n))
+           CAST((1000000 * CAST(SUM(((n + max_len - 1) // max_len) * max_len
+                                    - n) AS HUGEINT))
                 // SUM(((n + max_len - 1) // max_len) * max_len) AS BIGINT)
              AS waste_ppm
     FROM d CROSS JOIN l
@@ -2462,9 +2463,11 @@ def q_corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("padding_waste"),
             F.expr(
-                "(1000000 * sum(((n + max_len - 1) DIV max_len) * max_len - n))"
+                "CAST((1000000 * CAST(sum(((n + max_len - 1) DIV max_len)"
+                " * max_len - n) AS DECIMAL(38,0)))"
                 " DIV sum(((n + max_len - 1) DIV max_len) * max_len)"
-            ).cast("long").alias("waste_ppm"),
+                " AS BIGINT)"
+            ).alias("waste_ppm"),
         )
     )
 
@@ -2478,7 +2481,8 @@ def q_corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}')))
                 AS BIGINT) AS bpe_tokens,
-           CAST((1000000 * SUM(len(regexp_extract_all(text, '{TA.BPE_ISH_PATTERN}'))))
+           CAST((1000000 * CAST(SUM(len(regexp_extract_all(text,
+                                        '{TA.BPE_ISH_PATTERN}'))) AS HUGEINT))
                 // SUM(len(string_split_regex(trim(lower(text)), '\s+')))
                 AS BIGINT) AS fertility_ppm
     FROM documents
@@ -2505,7 +2509,10 @@ def q_doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws").cast("long").alias("ws_tokens"),
         F.sum("bpe").cast("long").alias("bpe_tokens"),
-        F.expr("(1000000 * sum(bpe)) DIV sum(ws)").cast("long").alias(
+        F.expr(
+            "CAST((1000000 * CAST(sum(bpe) AS DECIMAL(38,0))) DIV sum(ws)"
+            " AS BIGINT)"
+        ).alias(
             "fertility_ppm"
         ),
     )
