@@ -25,7 +25,7 @@ payload column for metadata-only queries.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -53,11 +53,23 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def attach_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
     """Derive a deterministic media column from a text corpus: the
     UTF-8 bytes as payload plus a typed metadata struct. (In a real
     pipeline the payload arrives from object storage; this gives the
-    same column shapes from driver testdata.)"""
+    same column shapes from driver testdata.)
+
+    `carry_cols` are dimension columns (e.g. `source`) projected
+    through unchanged so downstream extractors can echo them per row
+    — at scale this DELETES the join that would otherwise reattach
+    them: joining features back to a doc-id projection of the fact
+    table is a full-fact-table shuffle (or, force-broadcast, an
+    executor OOM) purely to recover columns the scan already had."""
     payload = F.encode(F.col(text_col), "UTF-8")
     return df.select(
         F.col(id_col),
@@ -68,6 +80,7 @@ def attach_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             (F.length(F.col(text_col)) % 480).cast("int").alias("height"),
             F.octet_length(payload).cast("long").alias("n_bytes"),
         ).alias("media_meta"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -82,7 +95,9 @@ def decode_with_codec(payload: bytes, media_type: str) -> object:
     )
 
 
-def decode_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
+def decode_features(
+    df: DataFrame, use_codec: bool = False, carry_cols: Sequence[str] = ()
+) -> DataFrame:
     """Per-media byte-level features via mapInPandas (Arrow batches).
 
     `use_codec=True` routes through the codec stub (raises until a
@@ -90,10 +105,18 @@ def decode_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
     deterministic byte statistics with vectorized numpy — the real
     batch shape, schema, and partitioning of a production decode.
 
+    `carry_cols` (e.g. `("source",)`) are echoed per row from input
+    batch to output batch, so grouping dimensions ride the extractor
+    instead of a post-hoc join against the fact table — the join-free
+    shape a 100 TB media pipeline needs (the alternative reattaches a
+    doc-id projection of the whole fact table per query).
+
     The UDF closure is self-contained (captures only local values,
     no module globals): executor Python workers must not need this
     package importable."""
-    out_cols = [f.name for f in FEATURE_SCHEMA.fields]
+    carry = list(carry_cols)
+    schema = T.StructType(list(FEATURE_SCHEMA.fields) + [df.schema[c] for c in carry])
+    out_cols = [f.name for f in schema.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # local import: runs on executors
@@ -105,11 +128,13 @@ def decode_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
                     "decode_with_codec into this batch loop"
                 )
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload, *extra in zip(
+                pdf["doc_id"], pdf["payload"], *[pdf[c] for c in carry]
+            ):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n = int(arr.size)
                 if n == 0:
-                    rows.append((int(doc_id), 0, 0, 0.0, 0.0))
+                    rows.append((int(doc_id), 0, 0, 0.0, 0.0, *extra))
                     continue
                 counts = np.bincount(arr, minlength=256)
                 probs = counts[counts > 0] / n
@@ -121,11 +146,12 @@ def decode_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
                         int(arr.sum(dtype=np.int64)),
                         float(arr.sum(dtype=np.int64)) / n,
                         entropy,
+                        *extra,
                     )
                 )
             yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(extract, schema=schema)
 
 
 RESIZE_STATS_SCHEMA = T.StructType(
@@ -311,7 +337,7 @@ def phash_near_dup(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
     return ham.filter(F.col("hamming") <= max_hamming)
 
 
-def decode_features_arrow(df: DataFrame) -> DataFrame:
+def decode_features_arrow(df: DataFrame, carry_cols: Sequence[str] = ()) -> DataFrame:
     """`mapInArrow` sibling of decode_features: the same byte features
     computed straight on the Arrow RecordBatch — ZERO pandas
     conversion, zero per-row Python. The binary column is reduced
@@ -324,9 +350,14 @@ def decode_features_arrow(df: DataFrame) -> DataFrame:
     large binary media: pandas round-trips copy every payload twice;
     Arrow hands the kernel the raw buffers.
 
-    Emits (doc_id, n_bytes, byte_sum) — the exact-integer subset of
-    FEATURE_SCHEMA (the float features stay on the pandas path).
+    Emits (doc_id, n_bytes, byte_sum) plus any `carry_cols` — the
+    exact-integer subset of FEATURE_SCHEMA (the float features stay
+    on the pandas path). Carried columns pass through as the original
+    Arrow arrays — literally zero copies, the cheapest possible way
+    to keep a grouping dimension attached (vs the join-back shape,
+    which shuffles the fact table to recover it).
     Self-contained closure, local imports only."""
+    carry = list(carry_cols)
 
     def extract(batches):
         import numpy as np
@@ -338,6 +369,19 @@ def decode_features_arrow(df: DataFrame) -> DataFrame:
             n = len(pay)
             if n == 0:
                 continue
+            if pay.null_count:
+                # The offsets-buffer reduction below reads through the
+                # validity bitmap: a NULL payload row has offs[i+1] ==
+                # offs[i] and would silently come out as n_bytes=0
+                # instead of null, diverging from the pandas decode
+                # path. Fail loudly until a caller actually needs
+                # null-media semantics (then: mask `lens`/`sums` from
+                # the validity bitmap instead).
+                raise ValueError(
+                    f"decode_features_arrow: {pay.null_count} null payload "
+                    "row(s) in batch; null media is not supported on the "
+                    "Arrow fast path"
+                )
             offs = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
                 pay.offset : pay.offset + n + 1
             ]
@@ -350,10 +394,17 @@ def decode_features_arrow(df: DataFrame) -> DataFrame:
                     ids,
                     pa.array(lens, type=pa.int64()),
                     pa.array(sums, type=pa.int64()),
+                    *[
+                        batch.column(batch.schema.get_field_index(c))
+                        for c in carry
+                    ],
                 ],
-                names=["doc_id", "n_bytes", "byte_sum"],
+                names=["doc_id", "n_bytes", "byte_sum", *carry],
             )
 
-    return df.select("doc_id", "payload").mapInArrow(
-        extract, "doc_id long, n_bytes long, byte_sum long"
+    carry_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in (df.schema[c] for c in carry)
+    )
+    return df.select("doc_id", "payload", *carry).mapInArrow(
+        extract, "doc_id long, n_bytes long, byte_sum long" + carry_ddl
     )

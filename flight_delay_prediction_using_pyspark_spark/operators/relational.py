@@ -43,6 +43,65 @@ def broadcast_enrich(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+#: Byte ceiling for dim_join's explicit broadcast hint, measured on
+#: Catalyst's plan-time size estimate of the dim side. 64 MB of plan
+#: estimate is comfortably replicable to every executor (the in-memory
+#: hash relation is a small multiple of this), while anything larger
+#: is left to AQE, which sees the TRUE post-shuffle size at runtime
+#: and still broadcasts when it is actually small. Same documented
+#: threshold-switch pattern as GLOBAL_RANK_LOCAL_THRESHOLD
+#: (operators/windows.py): small side takes the cheap plan, big side
+#: the scalable one, outputs identical.
+DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate for a frame, in bytes —
+    ``optimizedPlan().stats().sizeInBytes`` — obtained WITHOUT running
+    a job (it derives from file sizes, filter selectivity, and
+    column-pruning ratios). The estimate scales WITH the input data:
+    a frame derived from a fact table stops looking "small" exactly
+    when the data grows, which is what makes a threshold on it safe
+    where an unconditional hint is not. (Frames that scale with the
+    fact table should still avoid the hint altogether — their
+    small-SF estimates pass any threshold; see the funnel/retention
+    queries for the pattern.)
+    Returns None when the estimate is unavailable (e.g. Spark
+    Connect, where the JVM plan is not reachable from Python)."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # pragma: no cover - connect / API drift
+        return None
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column | str | Sequence[str],
+    how: str = "inner",
+    max_bytes: int = DIM_BROADCAST_MAX_BYTES,
+) -> DataFrame:
+    """Size-aware dimension join (J1, the scale-safe form).
+
+    Applies the explicit ``F.broadcast`` hint ONLY when Catalyst's
+    plan-time size estimate of the dim side is at or under
+    `max_bytes`; otherwise the join is left unhinted so AQE picks the
+    physical strategy from the side's TRUE runtime size (still a
+    broadcast when it turns out small, a shuffle join when it
+    doesn't). An unconditional ``F.broadcast(customer)`` is the right
+    plan at sf 0.1 and an executor OOM at SF 10⁵ where customer is
+    ~15 B rows — the hint must be conditional on size, never on the
+    table's role in the query. Filtered dims (a region-pruned
+    supplier set, a p_name-filtered part slice) keep their hint
+    because the filter's selectivity shrinks the plan-time estimate
+    under the ceiling.
+    """
+    size = plan_size_bytes(dim)
+    if size is not None and size <= max_bytes:
+        return fact.join(F.broadcast(dim), on=on, how=how)
+    return fact.join(dim, on=on, how=how)
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Column | str | Sequence[str]) -> DataFrame:
     """LEFT SEMI: rows of `left` with a match in `right`. Replaces the
     collect+isin pattern (/root/reference/src/main/dataset_utils.py:14-17)

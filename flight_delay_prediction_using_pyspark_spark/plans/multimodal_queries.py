@@ -36,15 +36,20 @@ _ASCII_SUM = (
 )
 def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload stats through the full multimodal path:
-    attach_media (binary + metadata struct) → mapInPandas Arrow-batch
-    feature extraction → broadcast join back to the dimension column →
-    grouped agg. Verifies the Pandas-UDF plumbing byte-for-byte."""
+    attach_media (binary + metadata struct, `source` carried through)
+    → mapInPandas Arrow-batch feature extraction that echoes the
+    carried dimension per row → grouped agg. JOIN-FREE: the old shape
+    reattached `source` by joining the features back to a doc-id
+    projection of the documents table — a 1:1 projection of the fact
+    table itself, which at 100 TB is a full-fact shuffle (or, force-
+    broadcast, an OOM) purely to recover a column the scan already
+    had. Verifies the Pandas-UDF plumbing byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = M.decode_features(M.attach_media(docs))
-    dims = docs.select("doc_id", "source")
+    feats = M.decode_features(
+        M.attach_media(docs, carry_cols=("source",)), carry_cols=("source",)
+    )
     return (
-        feats.join(F.broadcast(dims), "doc_id")
-        .groupBy("source")
+        feats.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),
@@ -227,13 +232,15 @@ def q_media_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary buffers, no pandas materialization, no per-row Python —
     the batch shape a production media feature-extractor wants when
     payloads are megabytes, where the pandas path would copy each
-    payload twice per batch."""
+    payload twice per batch. JOIN-FREE like media_byte_stats: the
+    `source` dimension passes through as the original Arrow array
+    (zero copies) instead of a join back to the fact table."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = M.decode_features_arrow(M.attach_media(docs))
-    dims = docs.select("doc_id", "source")
+    feats = M.decode_features_arrow(
+        M.attach_media(docs, carry_cols=("source",)), carry_cols=("source",)
+    )
     return (
-        feats.join(F.broadcast(dims), "doc_id")
-        .groupBy("source")
+        feats.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("total_bytes"),

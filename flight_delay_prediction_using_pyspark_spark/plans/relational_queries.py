@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
+from flight_delay_prediction_using_pyspark_spark.operators import relational as RO
 from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
 from flight_delay_prediction_using_pyspark_spark.plans.queries import query
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
@@ -961,11 +962,10 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        lineitem.join(
-            orders, lineitem.l_orderkey == orders.o_orderkey
-        )
-        .join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        RO.dim_join(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey),
+            customer,
+            orders.o_custkey == customer.c_custkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -1116,9 +1116,12 @@ def q_events_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation is exact on integers (.0/.5 doubles), |deviation|
     arithmetic stays exact, so the 3×MAD flag compares identical
     doubles in both engines and counts are oracle-exact. Plan: two
-    grouped aggregates with the per-user frames broadcast back onto
-    the events scan — no per-user sort beyond the medians' own
-    partial aggregation."""
+    grouped aggregates equi-joined back onto the events scan on the
+    SAME user_id they shuffled on — co-partitioned exchanges, NO
+    broadcast hint (the per-user median/MAD frames scale with the
+    user population, 10⁹ rows at 100 TB; AQE broadcasts them at
+    runtime only when they are actually small) — and no per-user
+    sort beyond the medians' own partial aggregation."""
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events")
     s = events.select(
@@ -1126,11 +1129,11 @@ def q_events_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
     )
     med = s.groupBy("user_id").agg(F.median("cents").alias("med"))
-    dev = s.join(F.broadcast(med), "user_id").withColumn(
+    dev = s.join(med, "user_id").withColumn(
         "adev", F.abs(F.col("cents") - F.col("med"))
     )
     mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
-    joined = dev.join(F.broadcast(mad), "user_id")
+    joined = dev.join(mad, "user_id")
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.any_value("med"), 6).alias("med_cents"),
@@ -1234,9 +1237,7 @@ def q_orders_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, sf_dir, "orders").filter(
         BL.bloom_probe(F.col("o_custkey"), words)
     )
-    joined = orders.join(
-        F.broadcast(vips), orders.o_custkey == vips.c_custkey
-    )
+    joined = RO.dim_join(orders, vips, orders.o_custkey == vips.c_custkey)
     return joined.groupBy(
         F.year("o_orderdate").cast("bigint").alias("yr")
     ).agg(
@@ -1296,15 +1297,21 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
     )
+    # nation stays a forced broadcast (25 rows at ANY SF); the nation-
+    # pruned supplier/customer slices below scale with SF, so their
+    # joins go through the size-aware dim_join instead.
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     joined = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        RO.dim_join(
+            RO.dim_join(li, supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey")),
+            cust,
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))

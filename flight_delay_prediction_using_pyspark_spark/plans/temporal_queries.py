@@ -532,12 +532,17 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel with a 24 h conversion window per
     stage (view → click within 24 h of first view → purchase within
     24 h of that click): the product-analytics staple. Staged as three
-    shrinking aggregates — each stage joins the big events scan
-    against the PREVIOUS stage's per-user frame (users ≪ events, so
-    those sides broadcast) and re-aggregates; work decreases
-    monotonically down the funnel, and no window ever sorts the full
-    fact table. Timestamps compare exactly (microsecond integers under
-    the hood), so the staged MIN chain is oracle-exact."""
+    shrinking aggregates — each stage equi-joins the events scan
+    against the PREVIOUS stage's per-user frame ON the same user_id
+    the stage's own groupBy shuffles on, so Spark co-partitions the
+    join with the aggregation exchange; the per-user side carries NO
+    broadcast hint (it scales with the user population — 10⁹ rows at
+    100 TB — so a forced broadcast is an executor OOM at exactly the
+    scale that matters; AQE still broadcasts it at runtime when it IS
+    small). Work decreases monotonically down the funnel, and no
+    window ever sorts the full fact table. Timestamps compare exactly
+    (microsecond integers under the hood), so the staged MIN chain is
+    oracle-exact."""
     ensure_utc(spark)
     window = F.expr("INTERVAL 24 HOUR")
     events = load_table(spark, sf_dir, "events").select(
@@ -550,14 +555,14 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = (
         events.filter(F.col("event_type") == "click")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .filter((F.col("ts") >= F.col("v")) & (F.col("ts") <= F.col("v") + window))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c"))
     )
     t3 = (
         events.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter((F.col("ts") >= F.col("c")) & (F.col("ts") <= F.col("c") + window))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p"))
@@ -599,9 +604,12 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (the product-analytics triangle): users
     grouped by first-activity week, counted as retained in each of
     the next 8 weeks they show any activity. Plan: per-user first
-    week (one agg, users ≪ events), broadcast back onto the events
-    scan, distinct (user, cohort, offset), then the cohort rollup —
-    the distinct reuses the join's user partitioning. Week arithmetic
+    week (one agg), equi-joined back onto the events scan on the
+    same user_id the agg shuffled on — co-partitioned, NO broadcast
+    hint (the per-user frame scales with the user population; AQE
+    broadcasts it at runtime only when it is actually small) — then
+    distinct (user, cohort, offset) and the cohort rollup; the
+    distinct reuses the join's user partitioning. Week arithmetic
     is integer (date_trunc + week diff), so cell counts are exact."""
     ensure_utc(spark)
     events = load_table(spark, sf_dir, "events").select("user_id", "ts")
@@ -609,7 +617,7 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        events.join(F.broadcast(firsts), "user_id")
+        events.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",

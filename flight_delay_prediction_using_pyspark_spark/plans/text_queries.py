@@ -1770,9 +1770,14 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial aggs), then the vocab ranks via
     operators.windows.global_rank (one bounded sort task below the 4M
     threshold, a range-partitioned offset rank above it — 10⁸+-term
-    web-scale vocabularies never hit a single task), frequency-keyed
-    join back (vocab broadcast when it fits), per-doc agg, tiny
-    histogram."""
+    web-scale vocabularies never hit a single task), token-keyed
+    join back onto the occurrences — UNHINTED: the ranked vocabulary
+    scales with the corpus (the same 10⁸-term web vocabulary the
+    global_rank switch exists for would be gigabytes per executor if
+    force-broadcast), the occurrence side already shuffles on token
+    for the vocab groupBy so the exchange is co-partitioned, and AQE
+    still broadcasts the vocab at runtime when it actually fits —
+    then per-doc agg and a tiny histogram."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -1789,7 +1794,7 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf, [F.desc("c"), F.asc("token")], out_col="rnk"
     )
     per_doc = (
-        occ.join(F.broadcast(ranked), "token")
+        occ.join(ranked, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),

@@ -440,14 +440,69 @@ def test_salted_agg_two_phase(spark):
     assert "partial_" in plan
 
 
-def test_funnel_stages_broadcast(spark):
-    """Each funnel stage joins events against the previous stage's
-    small per-user frame — all joins must be broadcast hash joins, no
-    sort-merge of the fact table and no full-table window sort."""
-    plan = plan_of(QUERIES["events_funnel"](spark, SF_CORRECTNESS_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "Window" not in plan
+def test_funnel_stages_unhinted_no_window(spark):
+    """Each funnel stage equi-joins events against the previous
+    stage's per-user frame on the groupBy key — the join must carry
+    NO forced broadcast hint (the per-user side scales with the user
+    population; the physical strategy is the optimizer's call from
+    runtime sizes) and no full-table window sort may appear."""
+    df = QUERIES["events_funnel"](spark, SF_CORRECTNESS_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    assert "Window" not in plan_of(df)
+
+
+#: Queries whose joins touch only fact-derived frames (per-user
+#: aggregates, the ranked vocabulary, doc-id projections) — sides
+#: that scale WITH the data, so a forced F.broadcast() hint is an
+#: executor OOM at exactly the scale the engine is designed for.
+#: AQE may still broadcast them at runtime when they are small; the
+#: *logical* plan must never force it. (Round-5 verdict, "What's
+#: wrong #1" — this assertion keeps the pattern from returning.)
+_NO_FORCED_BROADCAST = [
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_user_value_outliers",
+    "doc_rare_token_score",
+    "media_byte_stats",
+    "media_arrow_byte_stats",
+]
+
+
+@pytest.mark.parametrize("name", _NO_FORCED_BROADCAST)
+def test_no_forced_broadcast_of_fact_derived_frames(spark, name):
+    df = QUERIES[name](spark, SF_CORRECTNESS_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, (
+        f"{name}: forced broadcast hint on a fact-derived frame"
+    )
+
+
+def test_dim_join_hint_is_size_aware(spark):
+    """dim_join must hint the broadcast only when the dim side's
+    plan-time size estimate is under the ceiling — above it the join
+    is left to AQE (no hint in the logical plan)."""
+    from flight_delay_prediction_using_pyspark_spark.operators.relational import (
+        dim_join,
+        plan_size_bytes,
+    )
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+    cust = load_table(spark, SF_CORRECTNESS_DIR, "customer")
+    orders = load_table(spark, SF_CORRECTNESS_DIR, "orders")
+    est = plan_size_bytes(cust)
+    assert est is not None and est > 0
+    hinted = dim_join(orders, cust, orders.o_custkey == cust.c_custkey)
+    assert "strategy=broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString()
+    unhinted = dim_join(
+        orders, cust, orders.o_custkey == cust.c_custkey, max_bytes=est - 1
+    )
+    assert (
+        "strategy=broadcast"
+        not in unhinted._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # value parity between the two paths
+    assert hinted.count() == unhinted.count()
 
 
 def test_bloom_prune_mapside_and_effective(spark):
