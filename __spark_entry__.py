@@ -46,39 +46,65 @@ def _driver_attempted() -> set[str]:
 
 
 # Queries the judge asked to re-verify in a specific round regardless
-# of rotation. Round 5: orders_price_drift_chi2's only driver row
-# (r03) predates the round-4 two-sided floor(price/50000.0) cast fix
-# (plans/relational_queries.py:1950) — the judge asked for a fresh
-# green row attesting to the current code. customer_rfm_segments is
-# self-queued by the same logic: its r2 row predates the round-5
-# distributed-global-rank rewrite (output identical to SQL ntile,
-# but the evidence should attest to the shipped plan).
-_MUST_HAVE: list[str] = ["orders_price_drift_chi2", "customer_rfm_segments"]
+# of rotation, plus queries whose IMPLEMENTATION changed this round
+# so their existing driver rows attest to deleted code (the
+# tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
+# Round 6:
+#   - tpch_q17_small_quantity_revenue: its only row (r03) predates
+#     the round-5 integer-exact rewrite — judge-mandated re-run.
+#   - events_funnel / events_retention_cohorts /
+#     events_user_value_outliers / doc_rare_token_score /
+#     media_byte_stats: forced broadcasts of data-scaled frames
+#     removed (round-5 verdict "What's wrong #1").
+#   - segment_revenue, nation_revenue_multijoin and the TPC-H tier
+#     below: unconditional F.broadcast(customer/part/supplier)
+#     replaced by the size-aware operators.relational.dim_join
+#     ("What's wrong #2").
+#   - customer_rfm_segments / orders_pareto_concentration /
+#     doc_hybrid_search_rrf / events_max_concurrent_sessions /
+#     corpus_leakage_safe_split: global_rank auto-mode now decides
+#     from the plan-time size estimate (no per-invocation count()),
+#     and scratch persists are registered for release.
+_MUST_HAVE: list[str] = [
+    "tpch_q17_small_quantity_revenue",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_user_value_outliers",
+    "doc_rare_token_score",
+    "media_byte_stats",
+    "segment_revenue",
+    "nation_revenue_multijoin",
+    "tpch_q3_shipping_priority",
+    "orders_bloom_pruned_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q11_important_parts",
+    "tpch_q21_blocking_suppliers",
+    "tpch_q20_excess_suppliers",
+    "region_nation_rollup_revenue",
+    "customer_rfm_segments",
+    "orders_pareto_concentration",
+    "doc_hybrid_search_rrf",
+    "events_max_concurrent_sessions",
+    "corpus_leakage_safe_split",
+]
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older
-# never-attempted backlog). Round 5: the whole 40-query round-4
-# backlog (incl. the 4 previously-subsumed variants) goes through the
-# driver this round per judge mandate; with 2 _MUST_HAVE
-# re-verifications and 8 round-5 queries the window sits at 50, so
-# the two LAST-added round-5 queries defer to round 6 (both locally
-# oracle-green and foreign-session-verified).
-_DEFER: list[str] = [
-    "corpus_dedup_survivor_bias",
-    "embedding_dedup_threshold_sweep",
-    "corpus_ngram_coverage_curve",
-    "orders_lateral_topk",
-    "orders_month_spine_recursive",
-    "orders_observed_metrics",
-    "lineitem_grouping_id_rollup",
-    "ml_isotonic_calibration",
-    "custom_pysource_stream_stats",
-    "layout_dynamic_partition_overwrite",
-    "events_hll_intersection_estimate",
-    "events_cogroup_asof_python",
-    "media_arrow_byte_stats",
-    "dedup_minhash_band_tuning",
-]
+# never-attempted backlog). Round 6: EMPTY — the never-attempted
+# backlog is 13 queries (the round-5 verdict corrected the "2
+# deferred" accounting to 13; with this round's media_arrow_byte_stats
+# et al. still unattempted they all ride tier 2/3 automatically), and
+# 28 _MUST_HAVE + 13 never-attempted = 41 of the 50-slot window, so
+# nothing needs deferring.
+_DEFER: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,9 +38,49 @@ from flight_delay_prediction_using_pyspark_spark.sources.readers import load_tab
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Per-query scratch caches (see scratch_persist). Deliberately NOT
+#: the module-level memo caches (_ENCODED_CACHE, _GRAPH_CACHE) whose
+#: whole point is surviving across sibling queries.
+_SCRATCH: list[DataFrame] = []
+
+
+def scratch_persist(df: DataFrame) -> DataFrame:
+    """persist() a frame that exists only to serve multiple consumers
+    WITHIN one query's plan (a shared aggregate feeding both a total
+    and a filter, a signature frame probed twice), registering it for
+    release when the NEXT catalog query starts.
+
+    Why deferred release: the persisted segment materializes during
+    the caller's single collect/toPandas action and is shared by every
+    consumer in that action, but the query function returns a LAZY
+    frame — unpersisting before the harness collects would throw the
+    cache away before it is ever used. Releasing at next-query entry
+    bounds a full-catalog session (bench.py runs ~110 queries in one
+    SparkSession; the driver runs 50) to ONE query's scratch instead
+    of accumulating every query's, with zero coordination required
+    from the harness. (Round-5 ADVICE: persisted rev/tf/sides frames
+    were never unpersisted; LRU eviction kept it correct but added
+    memory pressure and re-computation churn.)"""
+    df = df.persist()
+    _SCRATCH.append(df)
+    return df
+
+
+def release_scratch() -> None:
+    while _SCRATCH:
+        _SCRATCH.pop().unpersist()
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scratch()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__module__ = fn.__module__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
         if name in QUERIES:
             # A silently-shadowed catalog entry is a correctness trap:
             # round 5 caught a duplicate tpch_q17 registration where
@@ -52,10 +92,10 @@ def query(name: str, oracle: str | None = None):
                 f"(existing: {QUERIES[name].__module__}.{QUERIES[name].__name__}, "
                 f"new: {fn.__module__}.{fn.__name__})"
             )
-        QUERIES[name] = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -164,15 +204,17 @@ def q_case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact x dim broadcast equi-join (J1) + grouped agg. The dim
-    (customer) is broadcast-hinted: no shuffle of the fact side —
-    the enrichment-join shape of
-    /root/reference/src/main/dataset_utils.py:47-50 at scale."""
+    """Fact x dim equi-join (J1) + grouped agg — the enrichment-join
+    shape of /root/reference/src/main/dataset_utils.py:47-50 at
+    scale. customer is SF-scaled (unlike the reference's fixed 5k-row
+    plane registry, which keeps the unconditional broadcast_enrich in
+    plans/prepare.py), so it attaches through the size-aware
+    R.dim_join: broadcast-hinted while the plan-time estimate is
+    under the ceiling — no shuffle of the fact side — and left to
+    AQE at SFs where a forced broadcast would OOM the executors."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    joined = R.broadcast_enrich(
-        orders, customer, on=orders.o_custkey == customer.c_custkey
-    )
+    joined = R.dim_join(orders, customer, on=orders.o_custkey == customer.c_custkey)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         A.exact_decimal_sum("o_totalprice").alias("revenue"),
@@ -196,10 +238,13 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_nation_revenue_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-join: big-big shuffle join (lineitem x
-    orders) + broadcast dims (customer/nation/region). The region filter
-    prunes before the joins (Catalyst pushes it through), so the
-    broadcast side is pre-filtered — the join-order a CBO would pick,
-    declared explicitly."""
+    orders) + dims. nation/region force-broadcast (25/5 rows at any
+    SF); the region-pruned customer slice SCALES with SF (~1/5 of all
+    customers — billions of rows at 100 TB), so it attaches through
+    the size-aware R.dim_join: hinted while the plan-time estimate
+    fits, left to AQE above the ceiling. The region filter prunes
+    before the joins (Catalyst pushes it through) — the join-order a
+    CBO would pick, declared explicitly."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -215,8 +260,11 @@ def q_nation_revenue_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(asia_customers), orders.o_custkey == asia_customers.c_custkey)
+        R.dim_join(
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey),
+            asia_customers,
+            orders.o_custkey == asia_customers.c_custkey,
+        )
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -1693,7 +1741,7 @@ def q_ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso = IsotonicRegression(
         featuresCol="rawvec", labelCol="label", predictionCol="cal", isotonic=True
     ).fit(assembled)
-    scored = iso.transform(assembled).select("label", "raw", "cal").persist()
+    scored = scratch_persist(iso.transform(assembled).select("label", "raw", "cal"))
     w = W.orderBy("raw", "cal")  # validation-sized frame; audit window
     mono = scored.select(
         (F.col("cal") >= F.coalesce(F.lag("cal").over(w), F.lit(float("-inf"))))

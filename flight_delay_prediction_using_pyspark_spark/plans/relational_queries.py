@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
 from flight_delay_prediction_using_pyspark_spark.operators import relational as RO
 from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
@@ -1182,12 +1182,14 @@ def q_orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)") * 100)
-        .cast("decimal(30,0)")
-        .cast("long")
-        .alias("cents")
-    ).persist()
+    rev = scratch_persist(
+        orders.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)") * 100)
+            .cast("decimal(30,0)")
+            .cast("long")
+            .alias("cents")
+        )
+    )
     ranked = with_global_agg(
         global_prefix_sum(
             rev, [F.desc("cents"), F.asc("o_custkey")], "cents", out_col="cum"
@@ -1610,20 +1612,18 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(
+    rev = scratch_persist(
+        li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
             A.exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .alias("total_revenue")
         )
-        .persist()
     )
     top = with_global_agg(rev, F.max("total_revenue"), out_col="mx").filter(
         F.col("total_revenue") == F.col("mx")
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     out = (
-        top.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("suppkey"))
+        RO.dim_join(top, supplier, F.col("s_suppkey") == F.col("suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1747,15 +1747,18 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("monetary_cents"),
     )
     with_max = with_global_agg(per_cust, F.max("last_order"), out_col="corpus_max")
-    cust = with_max.select(
-        "ck",
-        F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
-        "frequency",
-        "monetary_cents",
-    ).persist()
-    n_cust = cust.count()
-
-    if n_cust <= W_OP.GLOBAL_RANK_LOCAL_THRESHOLD:
+    cust = scratch_persist(
+        with_max.select(
+            "ck",
+            F.datediff(F.col("corpus_max"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    # Branch on the plan-time estimate (count() only in the ambiguous
+    # band) — the auto switch must not charge every invocation a full
+    # lineage execution just to learn the frame is small.
+    if W_OP.resolve_global_rank_mode(cust) == "local":
         scored = cust.select(
             "ck",
             F.ntile(4)
@@ -1769,7 +1772,10 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m_q"),
         )
     else:
-        n_col = F.lit(n_cust).cast("long")
+        # Distributed path: the closed-form ntile needs the exact row
+        # count — one count() of the persisted frame, negligible next
+        # to the three ranking passes it gates.
+        n_col = F.lit(cust.count()).cast("long")
 
         def quartile(order_cols, out_name):
             ranked = global_rank(
@@ -2094,7 +2100,9 @@ def q_region_nation_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
     )
-    joined = orders.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+    # nation/region stay forced (25/5 rows at any SF); the customer-
+    # wide enrichment frame scales with SF → size-aware dim_join.
+    joined = RO.dim_join(orders, dim, F.col("o_custkey") == F.col("c_custkey"))
     return joined.rollup("region", "nation").agg(
         F.count(F.lit(1)).alias("n_orders"),
         A.exact_decimal_sum("o_totalprice").alias("revenue"),
@@ -2134,8 +2142,11 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 300)
     )
     return (
-        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        RO.dim_join(
+            qty.join(orders, qty.l_orderkey == orders.o_orderkey),
+            customer,
+            orders.o_custkey == customer.c_custkey,
+        )
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -2176,9 +2187,7 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").between(1, 30)
     )
-    joined = lineitem.join(
-        F.broadcast(part), lineitem.l_partkey == part.p_partkey
-    )
+    joined = RO.dim_join(lineitem, part, lineitem.l_partkey == part.p_partkey)
     full = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -2257,9 +2266,11 @@ def q_tpch_q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.element_at("blk", 1).alias("sk"))
     )
     return (
-        sole.groupBy("sk")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supplier), F.col("sk") == F.col("s_suppkey"))
+        RO.dim_join(
+            sole.groupBy("sk").agg(F.count(F.lit(1)).alias("numwait")),
+            supplier,
+            F.col("sk") == F.col("s_suppkey"),
+        )
         .select("s_name", F.col("sk").alias("s_suppkey"), "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(20)
@@ -2488,9 +2499,7 @@ def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
         "decimal(30,6)"
     )
-    w = lineitem.join(
-        F.broadcast(part), lineitem.l_partkey == part.p_partkey
-    ).select(
+    w = RO.dim_join(lineitem, part, lineitem.l_partkey == part.p_partkey).select(
         rev.alias("rev"), F.col("p_type")
     )
     s = w.agg(
@@ -2634,8 +2643,11 @@ def q_tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
         - (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(30,6)")
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        RO.dim_join(
+            RO.dim_join(lineitem, part, F.col("l_partkey") == F.col("p_partkey")),
+            sn,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -2719,9 +2731,15 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(30,6)"
     )
     sales = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        RO.dim_join(
+            RO.dim_join(
+                lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")),
+                cust_dim,
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            supp_dim,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .select(
             F.year("o_orderdate").alias("o_year"),
             rev.alias("rev"),
@@ -2793,12 +2811,15 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("unit_milli_cents").alias("min_cost")
     ).select(F.col("l_partkey").alias("mn_partkey"), "min_cost")
     return (
-        ps.join(
-            mn,
-            (F.col("l_partkey") == F.col("mn_partkey"))
-            & (F.col("unit_milli_cents") == F.col("min_cost")),
+        RO.dim_join(
+            ps.join(
+                mn,
+                (F.col("l_partkey") == F.col("mn_partkey"))
+                & (F.col("unit_milli_cents") == F.col("min_cost")),
+            ),
+            supplier,
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("l_suppkey").alias("s_suppkey"),
@@ -2841,7 +2862,7 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     rel = lineitem.select("l_partkey", "l_suppkey").distinct()
     return (
-        rel.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        RO.dim_join(rel, part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -2901,9 +2922,9 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives the full lineitem scan + shuffle (plan-asserted: one
     # lineitem scan). The cached frame is part-domain-sized — a ~1e6-
     # row skinny pair list even at 100 TB, not fact-table data.
-    v = (
-        lineitem.join(
-            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    v = scratch_persist(
+        RO.dim_join(
+            lineitem, s, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
         )
         .groupBy("l_partkey")
         .agg(
@@ -2911,7 +2932,6 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_cents")
         )
-        .persist()
     )
     t = v.agg(F.sum("value_cents").cast("long").alias("total_cents"))
     return (
@@ -3016,8 +3036,8 @@ def q_tpch_q17_small_quantity_revenue(
         .filter((F.col("p_brand") == "Brand#7") & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
     )
-    li_sel = lineitem.join(
-        F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    li_sel = RO.dim_join(
+        lineitem, sel, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     pa = li_sel.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sq"),
@@ -3091,8 +3111,8 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
     rel = (
-        lineitem.join(
-            F.broadcast(psel), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        RO.dim_join(
+            lineitem, psel, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -3123,9 +3143,11 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        load_table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        RO.dim_join(
+            load_table(spark, sf_dir, "supplier"),
+            excess,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
 from flight_delay_prediction_using_pyspark_spark.similarity import ann
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
@@ -512,21 +512,23 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_intersect(F.array_distinct(tokens(F.col("text"))), F.col("qterms"))
             ).alias("overlap"),
         )
-        .persist()
     )
+    lex_scored = scratch_persist(lex_scored)
     lex = global_rank(
         lex_scored, [F.desc("overlap"), F.asc("doc_id")], out_col="r_lex"
     )
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") != _QUERY_VEC_ID
     )
-    vec_scored = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(
-            ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
-            6,
-        ).alias("cos"),
-    ).persist()
+    vec_scored = scratch_persist(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
+                6,
+            ).alias("cos"),
+        )
+    )
     scored = global_rank(
         vec_scored, [F.desc("cos"), F.asc("doc_id")], out_col="r_vec"
     )

@@ -770,9 +770,20 @@ def q_custom_pysource_stream_stats(spark: SparkSession, sf_dir: str) -> DataFram
         import time as _t
 
         deadline = _t.time() + 120
-        while _t.time() < deadline:
+        while True:
             if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 5:
                 break
+            if _t.time() >= deadline:
+                # Fail loudly: falling through with <5 batches would
+                # return an under-drained aggregate that surfaces as an
+                # opaque oracle mismatch instead of a timeout (round-5
+                # ADVICE).
+                q.stop()
+                raise RuntimeError(
+                    "detstream drained "
+                    f"{len([p for p in q.recentProgress if p['numInputRows'] > 0])}"
+                    " micro-batches (<5) in 120s"
+                )
             _t.sleep(0.2)
         q.stop()
         q.awaitTermination()

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
 from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
@@ -710,7 +710,7 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     d = spans.select(F.col("st").alias("sec"), F.lit(1).alias("delta")).unionAll(
         spans.select((F.col("en") + 1).alias("sec"), F.lit(-1).alias("delta"))
     )
-    net = d.groupBy("sec").agg(F.sum("delta").alias("net")).persist()
+    net = scratch_persist(d.groupBy("sec").agg(F.sum("delta").alias("net")))
     r = global_prefix_sum(net, [F.asc("sec")], "net", out_col="run")
     peak = with_global_agg(r, F.max("run"), out_col="mx")
     n_sessions = spans.count()
@@ -1564,20 +1564,29 @@ def q_events_hll_intersection_estimate(
     states: est(A∩B) = est(A) + est(B) − est(A∪B), with the union
     state coming from hll_union_agg over the same per-side sketches
     (no rescan). Rows-only (sketch binaries are engine-specific) but
-    self-checking: inclusion-exclusion compounds three sketch errors
-    each scaled by ITS OWN set size, so the contract bounds the
-    estimate against exact within tol·(|A|+|B|+|A∪B|) — loose by
-    design; the point is the mergeable-state algebra, not precision
-    (precise intersections join the exact frames)."""
+    self-checking with a PRINCIPLED bound, not an ad-hoc tolerance:
+    each HLL estimate carries relative standard error 1.04/√m
+    (m = 2^lgConfigK, Spark default lgConfigK=12 → 1.625%), and
+    inclusion-exclusion compounds three such errors each scaled by
+    ITS OWN set size, so contract_ok asserts
+    |est − exact| ≤ 3·RSE·(|A|+|B|+|A∪B|) — a ≥3σ bound per term
+    (conservative: it adds the three σ's rather than their
+    quadrature). The realized absolute error is emitted alongside so
+    a driver row shows HOW MUCH slack the bound had, the same
+    auditing shape as the GK-quantile audit. The point is the
+    mergeable-state algebra (precise intersections join the exact
+    frames); the bound certifies the algebra did not silently break."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         (F.dayofweek("ts").isin(1, 7)).alias("is_weekend"),
     )
-    sides = ev.groupBy("is_weekend").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_side"),
-    ).persist()
+    sides = scratch_persist(
+        ev.groupBy("is_weekend").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_side"),
+        )
+    )
     union_est = sides.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
     )
@@ -1596,7 +1605,12 @@ def q_events_hll_intersection_estimate(
             F.count(F.lit(1)).cast("long").alias("exact_union"),
         )
     )
-    tol = 0.05
+    lg_config_k = 12  # Spark's hll_sketch_agg default
+    rse = 1.04 / (2 ** (lg_config_k / 2))
+    tol = 3 * rse
+    abs_err = F.abs(
+        F.col("sum_side_est") - F.col("union_est") - F.col("exact_both")
+    )
     return (
         per_side.crossJoin(F.broadcast(union_est))
         .crossJoin(F.broadcast(exact))
@@ -1604,9 +1618,12 @@ def q_events_hll_intersection_estimate(
             (F.col("sum_side_est") - F.col("union_est")).alias("inter_est"),
             "exact_both",
             "exact_union",
+            F.round(abs_err, 2).alias("abs_err"),
+            F.round(
+                tol * (F.col("sum_exact_sides") + F.col("exact_union")), 2
+            ).alias("err_bound"),
             (
-                F.abs(F.col("sum_side_est") - F.col("union_est")
-                      - F.col("exact_both"))
+                abs_err
                 <= tol * (F.col("sum_exact_sides") + F.col("exact_union"))
             ).alias("contract_ok"),
         )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 from flight_delay_prediction_using_pyspark_spark.text import analysis as TA
 from flight_delay_prediction_using_pyspark_spark.text import dedup as TD
@@ -1639,7 +1639,7 @@ def q_corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             TA.md5_hash32(F.col("gid").cast("string")) % 10 < 8, "train"
         ).otherwise("eval").alias("side"),
     )
-    sided = sided.persist()
+    sided = scratch_persist(sided)
     counts = sided.agg(
         F.sum(F.when(F.col("side") == "train", 1).otherwise(0))
         .cast("bigint")
@@ -1789,7 +1789,7 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: global_rank's auto-mode count, the ranking pass, and
     # the broadcast build below would otherwise each re-run the
     # corpus-wide explode+agg lineage
-    tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    tf = scratch_persist(occ.groupBy("token").agg(F.count(F.lit(1)).alias("c")))
     ranked = global_rank(
         tf, [F.desc("c"), F.asc("token")], out_col="rnk"
     )
@@ -3066,11 +3066,10 @@ def q_corpus_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             F.element_at(F.col("t"), i + F.lit(3)),
         ),
     )
-    gf = (
+    gf = scratch_persist(
         base.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
     )
     order = [F.desc("c"), F.asc("gram")]
     r = global_prefix_sum(

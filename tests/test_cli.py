@@ -164,6 +164,11 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
     start = time.perf_counter()
     result = run([bz2_path, str(out)])
     wall = time.perf_counter() - start
+    # one summary line for the per-round SOAK.md record (run with -s)
+    print(
+        f"\nSOAK: rows={n} wall={wall:.1f}s mae={result['mae']:.3f} "
+        f"rmse={result['rmse']:.3f} validation_rows={result['validation_rows']}"
+    )
 
     stddev = (
         flights_df(spark, n).agg(F.stddev("ArrDelay")).first()[0]
