@@ -157,6 +157,12 @@ HEADLINE = [
     "events_cogroup_asof_python",
     "media_arrow_byte_stats",
     "dedup_minhash_band_tuning",
+    # round-6 additions
+    "doc_token_mg_heavy_hitters",
+    "doc_dsir_importance_weights",
+    "doc_gopher_rule_census",
+    "events_bitmap_distinct_rollup",
+    "layout_bucketed_join_topk",
 ]
 
 

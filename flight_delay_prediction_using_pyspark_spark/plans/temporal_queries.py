@@ -1766,3 +1766,168 @@ def q_events_cogroup_asof_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value_asof").alias("n_with_prior_purchase"),
         A.exact_decimal_sum("value_asof").alias("sum_prior_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: exact-distinct bitmap rollup, bucketed co-located
+# join under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bitmap_distinct_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    ),
+    daily AS (
+      SELECT week, day, COUNT(DISTINCT user_id) AS du
+      FROM e GROUP BY week, day
+    ),
+    dd AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(du) AS BIGINT) AS sum_daily_users
+      FROM daily GROUP BY week
+    ),
+    weekly AS (
+      SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_week_users
+      FROM e GROUP BY week
+    )
+    SELECT week, n_days, sum_daily_users, n_week_users
+    FROM dd JOIN weekly USING (week)
+    """,
+)
+def q_events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user rollup via mergeable roaring-style bitmaps
+    (Spark 4 bitmap_construct_agg/bitmap_or_agg — the ClickHouse/
+    Iceberg bitmap-index pattern): build per-(day, bucket) user
+    bitmaps ONCE, then roll daily states up to weeks with bitmap OR —
+    no rescan of the raw events and no re-shuffle of user ids, and
+    unlike HLL (events_daily_users_hll / events_hll_union_weekly) the
+    rollup is EXACT, which is why the whole query sits under the
+    full-value oracle gate rather than a tolerance contract.
+
+    Scale shape: users partition into 2^32-wide buckets
+    (bitmap_bucket_number), so state per (day, bucket) is a bounded
+    4 GiB-bit bitmap and the weekly merge shuffles only (weeks x
+    buckets) rows — the sum-over-buckets of bitmap_count is the exact
+    distinct count. sum_daily_users > n_week_users exposes the
+    cross-day revisit mass the merge deduplicates."""
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily_bm = scratch_persist(
+        ev.groupBy(
+            "week", "day", F.bitmap_bucket_number("user_id").alias("bucket")
+        ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    per_day = daily_bm.groupBy("week", "day").agg(
+        F.sum(F.bitmap_count("bm")).alias("du")
+    )
+    dd = per_day.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("du").cast("long").alias("sum_daily_users"),
+    )
+    weekly = (
+        daily_bm.groupBy("week", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("wbm"))
+        .groupBy("week")
+        .agg(F.sum(F.bitmap_count("wbm")).cast("long").alias("n_week_users"))
+    )
+    return dd.join(weekly, "week")
+
+
+@query(
+    "layout_bucketed_join_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT c_custkey, any_value(c_mktsegment) AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_custkey, segment, n_orders, revenue_cents,
+           CAST(0 AS BIGINT) AS n_exchanges
+    FROM agg
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_layout_bucketed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the pre-shuffle-once, join-many-
+    times layout for 100 TB fact tables: both sides written
+    bucketed+sorted on the join key (8 buckets), so the scan itself
+    reports hashpartitioning and the ENTIRE scan → join → per-key agg
+    → top-k pipeline plans with ZERO Exchange nodes (broadcast
+    disabled in scope to prove it's the bucketing, not a small-side
+    hint, doing the work). The executed plan's Exchange count is
+    emitted as a COLUMN (n_exchanges) and the oracle pins it to 0 —
+    the plan property is value-verified by the driver gate, not just
+    locally asserted. Customers' top-10 by revenue come out of a
+    TakeOrderedAndProject, and any_value(c_mktsegment) is
+    deterministic because segment is functionally dependent on the
+    grouping key."""
+    import hashlib
+    import re
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = f"r6buck_{suffix}"
+    loc = tempfile.mkdtemp(prefix=f"bucketed_{suffix}_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(
+        f"{db}.orders_b"
+    )
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(
+        f"{db}.customer_b"
+    )
+    thresh_conf = "spark.sql.autoBroadcastJoinThreshold"
+    aqe_conf = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    old_thresh = spark.conf.get(thresh_conf)
+    old_aqe = spark.conf.get(aqe_conf, None)
+    spark.conf.set(thresh_conf, "-1")
+    spark.conf.set(aqe_conf, "-1")
+    try:
+        o = spark.table(f"{db}.orders_b")
+        c = spark.table(f"{db}.customer_b")
+        top = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey")
+            .agg(
+                F.any_value("c_mktsegment").alias("segment"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(30,2)") * 100)
+                .cast("decimal(30,0)")
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+            .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+            .limit(10)
+        )
+        plan = top._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        rows = top.collect()
+    finally:
+        spark.conf.set(thresh_conf, old_thresh)
+        if old_aqe is None:
+            spark.conf.unset(aqe_conf)
+        else:
+            spark.conf.set(aqe_conf, old_aqe)
+    out = spark.createDataFrame(rows, schema=top.schema)
+    return out.withColumn("n_exchanges", F.lit(n_ex).cast("long"))

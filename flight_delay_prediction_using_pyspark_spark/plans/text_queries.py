@@ -3213,3 +3213,266 @@ def q_dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0))) DIV COUNT(*) AS BIGINT)"
         ).alias("precision_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: sketch-candidates + exact-verify heavy hitters,
+# DSIR importance weights, per-rule quality-filter census
+# ---------------------------------------------------------------------------
+
+#: Heavy-hitter threshold divisor: report tokens with freq > n/k.
+_MG_K = 64
+
+
+@query(
+    "doc_token_mg_heavy_hitters",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) * {_MG_K} > tot.n
+    ORDER BY freq DESC, tok
+    """,
+)
+def q_doc_token_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by sketch-candidates + exact-verify — the
+    distributed Misra-Gries/SpaceSaving two-pass (Misra & Gries '82):
+
+    Pass 1 (bounded state, no shuffle of the token stream): each Arrow
+    batch emits its top-k tokens by exact in-batch count (pandas
+    value_counts — vectorized, no per-row Python). Pigeonhole twice:
+    a token with global freq > n/k has freq_b > n_b/k in at least one
+    batch, and within that batch fewer than k tokens can exceed
+    n_b/k, so it is in that batch's top-k — the candidate union is a
+    SUPERSET of the true heavy hitters at any partitioning, with
+    k rows of state per batch regardless of data size.
+
+    Pass 2: exact recount restricted to candidates (size-aware
+    semi-join screen, then a hash agg over survivors only) and the
+    strict threshold freq·k > n — so the OUTPUT equals the exact
+    heavy-hitter set and sits under the full oracle gate, while the
+    full-vocabulary shuffle a naive groupBy would pay is replaced by
+    one over candidate tokens only. The candidate frame is
+    distinct-bounded by the vocabulary and attached via dim_join
+    (hinted only while its plan-time estimate fits)."""
+    from flight_delay_prediction_using_pyspark_spark.operators import relational as RO
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        with_global_agg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TA.tokens(F.col("text"))).alias("tok"))
+    k = _MG_K
+
+    def batch_topk(batches):
+        # self-contained closure (executor Python workers do not share
+        # the driver's sys.path in foreign-cwd sessions)
+        for pdf in batches:
+            if len(pdf):
+                yield pdf["tok"].value_counts().head(k).rename_axis(
+                    "tok"
+                ).reset_index()[["tok"]]
+
+    cands = scratch_persist(
+        toks.mapInPandas(batch_topk, schema="tok string").distinct()
+    )
+    survivors = RO.dim_join(toks, cands, on="tok", how="left_semi")
+    freqs = survivors.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        freqs.crossJoin(F.broadcast(n_total))
+        .filter(F.col("freq") * k > F.col("n"))
+        .select("tok", "freq")
+        .orderBy(F.desc("freq"), F.asc("tok"))
+    )
+
+
+#: DSIR hashed-feature bucket count (constant — not data-scaled).
+_DSIR_BUCKETS = 1024
+
+
+@query(
+    "doc_dsir_importance_weights",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_md5i('tok')} % {_DSIR_BUCKETS} AS f
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+    ),
+    cr AS (SELECT f, COUNT(*) AS c FROM toks GROUP BY f),
+    ct AS (SELECT f, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY f),
+    nt AS (SELECT COUNT(*) AS n FROM toks WHERE lang = 'en'),
+    nr AS (SELECT COUNT(*) AS n FROM toks),
+    s AS (
+      SELECT cr.f,
+             CAST(floor(1000000 * ln(
+               ((COALESCE(ct.c, 0) + 1.0) * (nr.n + {_DSIR_BUCKETS}))
+               / ((cr.c + 1.0) * (nt.n + {_DSIR_BUCKETS}))
+             )) AS BIGINT) AS sq
+      FROM cr LEFT JOIN ct USING (f) CROSS JOIN nt CROSS JOIN nr
+    ),
+    perdoc AS (
+      SELECT t.doc_id, t.lang, CAST(SUM(s.sq) AS BIGINT) AS w
+      FROM toks t JOIN s USING (f)
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE w > 0) AS BIGINT) AS n_kept,
+           CAST(SUM(w) AS BIGINT) AS sum_weight_q
+    FROM perdoc
+    GROUP BY lang
+    """,
+)
+def q_doc_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS'23): score every document by how much more likely its
+    hashed n-gram features are under a TARGET distribution (here the
+    'en' slice) than under the RAW corpus, w(doc) = Σ_f [ln p̂_t(f) −
+    ln p̂_r(f)] with add-one smoothing over B=1024 hashed unigram
+    buckets. Docs with w > 0 are more target-like than corpus-like —
+    the DSIR keep-set before resampling.
+
+    Scale shape: two hash aggs over the hashed-feature stream (B
+    buckets — CONSTANT, not data-scaled, so the per-feature score
+    table is force-broadcast legitimately), per-occurrence probe is a
+    map-side join, per-doc weights one doc-keyed agg that carries
+    lang in the grouping key (no rejoin against documents). The log
+    ratio is assembled in one fixed operand order and floor-quantized
+    at 1e-6 (the PMI/TF-IDF idiom), so per-doc integer weights match
+    the oracle bit-for-bit."""
+    B = _DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TA.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", "lang", (TA.md5_hash32("tok") % B).alias("f"))
+    cr = toks.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    nt = toks.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("n_t"))
+    nr = toks.agg(F.count(F.lit(1)).alias("n_r"))
+    sq = F.floor(
+        1000000
+        * F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) * (F.col("n_r") + B))
+            / ((F.col("cr") + 1.0) * (F.col("n_t") + B))
+        )
+    ).cast("long")
+    # B-row score table: constant-size at ANY data scale -> the forced
+    # broadcast is legitimate (unlike data-scaled frames, cf. SCALE.md
+    # round-6 notes).
+    scores = (
+        cr.join(ct, "f", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("f", sq.alias("sq"))
+    )
+    perdoc = (
+        toks.join(F.broadcast(scores), "f")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("sq").cast("long").alias("w"))
+    )
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("w") > 0, 1)).cast("long").alias("n_kept"),
+        F.sum("w").cast("long").alias("sum_weight_q"),
+    )
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TA.STOPWORDS) + "]"
+
+
+@query(
+    "doc_gopher_rule_census",
+    oracle=rf"""
+    WITH base AS (
+      SELECT {_TOKS} AS t,
+             string_split_regex(trim(lower(text)), '\s+') AS tl,
+             length(text) AS n_chars,
+             text
+      FROM documents
+    ),
+    sig AS (
+      SELECT len(t) AS n_tok,
+             CAST(list_reduce(
+               list_prepend(0, list_transform(t, x -> length(x))),
+               (acc, x) -> acc + x) AS BIGINT) AS sum_len,
+             n_chars,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+               AS BIGINT) AS n_ellipsis,
+             len(list_intersect(list_distinct(tl), {_GOPHER_STOP_SQL}))
+               AS n_stop
+      FROM base
+    ),
+    masked AS (
+      SELECT n_tok,
+             (CASE WHEN n_tok < 50 OR n_tok > 100000 THEN 1 ELSE 0 END)
+             + (CASE WHEN sum_len < 3 * n_tok OR sum_len > 10 * n_tok
+                     THEN 2 ELSE 0 END)
+             + (CASE WHEN 100 * n_hash > n_chars THEN 4 ELSE 0 END)
+             + (CASE WHEN 10 * n_ellipsis > n_tok THEN 8 ELSE 0 END)
+             + (CASE WHEN n_stop < 2 THEN 16 ELSE 0 END) AS rule_mask
+      FROM sig
+    )
+    SELECT rule_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM masked
+    GROUP BY rule_mask
+    """,
+)
+def q_doc_gopher_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-filter census (Rae et al. '21 §A1.1): which
+    quality rules fire, and in which COMBINATIONS — the audit a
+    pipeline runs before turning filters destructive, because rules
+    that co-fire on the same documents remove less than their solo
+    rates suggest. Five portable rules (word-count bounds, mean word
+    length outside [3,10], #-symbol ratio, ellipsis ratio, <2 distinct
+    stopwords) build a bitmask; the census groups by mask. All
+    comparisons are integer cross-multiplications (no float ratios),
+    so the mask matches the oracle exactly. Complementary to
+    doc_quality_buckets (one composite score) and doc_repetition_stats
+    (the Gopher repetition family): this is the per-rule attribution
+    view. Map-only + one small agg at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = TA.tokens(F.col("text"))
+    tl = TA.tokens(F.lower(F.col("text")))
+    n_tok = F.size(t)
+    sum_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("long")
+    n_chars = F.length("text")
+    n_hash = (n_chars - F.length(F.replace(F.col("text"), F.lit("#")))).cast("long")
+    n_ellipsis = (
+        (n_chars - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tl),
+            F.array(*[F.lit(w) for w in TA.STOPWORDS]),
+        )
+    )
+    mask = (
+        F.when((n_tok < 50) | (n_tok > 100000), 1).otherwise(0)
+        + F.when((sum_len < 3 * n_tok) | (sum_len > 10 * n_tok), 2).otherwise(0)
+        + F.when(100 * n_hash > n_chars, 4).otherwise(0)
+        + F.when(10 * n_ellipsis > n_tok, 8).otherwise(0)
+        + F.when(n_stop < 2, 16).otherwise(0)
+    )
+    return (
+        docs.select(mask.alias("rule_mask"), n_tok.alias("n_tok"))
+        .groupBy("rule_mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )

@@ -107,3 +107,52 @@ def test_asof_join_forward_semantics_and_ties(spark):
         102: None,  # nothing after t40
         200: None,  # key with no right rows
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-6: bitmap rollup + bucketed join
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_dedups_revisits(spark):
+    """Weekly exact distinct from OR-merged daily bitmaps must never
+    exceed the sum of daily distincts, and must equal a direct
+    countDistinct over the same week."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE_DIR
+
+    ensure_utc(spark)
+    out = {
+        r.week: r
+        for r in QUERIES["events_bitmap_distinct_rollup"](
+            spark, SF_SMOKE_DIR
+        ).collect()
+    }
+    direct = {
+        r.week: r.n
+        for r in load_table(spark, SF_SMOKE_DIR, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "week"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(direct) and out
+    for week, r in out.items():
+        assert r.n_week_users == direct[week]
+        assert r.n_week_users <= r.sum_daily_users
+
+
+def test_bucketed_join_plans_without_exchange(spark):
+    """The n_exchanges column the oracle pins to 0 must be 0 locally
+    too (scan -> join -> per-key agg -> top-k entirely exchange-free
+    on bucketed tables)."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = QUERIES["layout_bucketed_join_topk"](spark, SF_SMOKE_DIR).collect()
+    assert rows and all(r.n_exchanges == 0 for r in rows)

@@ -535,3 +535,58 @@ def test_quality_language_struct_equals_separate_gates(spark):
         (F.col("q0") != F.col("g.quality")) | (F.col("l0") != F.col("g.pred_lang"))
     )
     assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-6: sketch-candidates heavy hitters + DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_mg_candidates_superset_under_adversarial_partitioning(spark):
+    """The batch-top-k candidate phase must contain every true heavy
+    hitter REGARDLESS of partitioning (the pigeonhole guarantee the
+    query's exact output rests on): run the full query on a frame
+    repartitioned to many small partitions and compare to the exact
+    SQL-side answer computed in Spark itself."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE_DIR
+
+    got = {
+        (r.tok, r.freq)
+        for r in QUERIES["doc_token_mg_heavy_hitters"](
+            spark, SF_SMOKE_DIR
+        ).collect()
+    }
+    toks = load_table(spark, SF_SMOKE_DIR, "documents").select(
+        F.explode(TA.tokens(F.col("text"))).alias("tok")
+    )
+    n = toks.count()
+    exact = {
+        (r.tok, r.freq)
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * 64 > F.lit(n))
+        .collect()
+    }
+    assert got == exact and exact, f"expected exact heavy hitters, got {got}"
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR importance weights must be positive-mass for the target
+    slice ('en') and negative-mass for every non-target language —
+    the direction the log-ratio is defined to point."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    rows = {
+        r.lang: r
+        for r in QUERIES["doc_dsir_importance_weights"](
+            spark, SF_CORRECTNESS_DIR
+        ).collect()
+    }
+    assert rows["en"].sum_weight_q > 0
+    assert rows["en"].n_kept > rows["en"].n_docs * 0.5
+    for lang, r in rows.items():
+        if lang != "en":
+            assert r.sum_weight_q < 0, f"{lang} should be corpus-like"
