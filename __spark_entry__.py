@@ -49,61 +49,78 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 6:
-#   - tpch_q17_small_quantity_revenue: its only row (r03) predates
-#     the round-5 integer-exact rewrite — judge-mandated re-run.
-#   - events_funnel / events_retention_cohorts /
-#     events_user_value_outliers / doc_rare_token_score /
-#     media_byte_stats: forced broadcasts of data-scaled frames
-#     removed (round-5 verdict "What's wrong #1").
-#   - segment_revenue, nation_revenue_multijoin and the TPC-H tier
-#     below: unconditional F.broadcast(customer/part/supplier)
-#     replaced by the size-aware operators.relational.dim_join
-#     ("What's wrong #2").
+# Round 7:
+#   - doc_dsir_importance_weights: smoothing changed from constant
+#     B=1024 to the occupied-bucket count (round-6 verdict "What's
+#     wrong #3" — the constant-B Laplace bias drove every weight
+#     negative on the driver corpus); both engines share the new
+#     formula, so a fresh driver row must attest to it.
+#   - every dim_join consumer: plan_size_bytes is now join-lineage
+#     robust (min(own, Σ children) per node — round-6 "What's wrong
+#     #1", the 37.9 GB estimate on a 100 KB customer chain), which
+#     flips q7/q8/multijoin's customer chains back to broadcast.
+#     Outputs are plan-invariant but the q17 standard says driver
+#     evidence must attest to shipped code.
 #   - customer_rfm_segments / orders_pareto_concentration /
 #     doc_hybrid_search_rrf / events_max_concurrent_sessions /
-#     corpus_leakage_safe_split: global_rank auto-mode now decides
-#     from the plan-time size estimate (no per-invocation count()),
-#     and scratch persists are registered for release.
+#     corpus_leakage_safe_split / doc_rare_token_score: global_rank
+#     auto-mode consumers — resolve_global_rank_mode routes through
+#     the fixed estimate ("What's wrong #2").
+#   - layout_bucketed_join_topk: scratch metastore db now dropped
+#     CASCADE after the run (round-6 ADVICE disk leak).
+#   - the minhash family: the affine hash was NOT min-wise
+#     independent (monotone in h — see dedup.py MINHASH_P notes);
+#     the Carter-Wegman fix changes every signature-derived output
+#     (pairs/clusters/band-tuning/agreement/containment/levenshtein
+#     verify sets, pipeline keep-sets), so the whole family re-runs
+#     for fresh driver rows attesting to the fixed code.
 _MUST_HAVE: list[str] = [
-    "tpch_q17_small_quantity_revenue",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_user_value_outliers",
-    "doc_rare_token_score",
-    "media_byte_stats",
-    "segment_revenue",
-    "nation_revenue_multijoin",
-    "tpch_q3_shipping_priority",
-    "orders_bloom_pruned_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q14_promo_revenue",
-    "tpch_q9_profit_by_nation_year",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "dedup_minhash_est_accuracy",
+    "dedup_minhash_band_tuning",
+    "dedup_family_agreement",
+    "dedup_containment_pairs",
+    "dedup_lsh_levenshtein",
+    "training_corpus_prep",
+    "corpus_full_pipeline",
+    "corpus_incremental_ingest_dedup",
+    "corpus_pack_sequences",
+    "doc_dsir_importance_weights",
     "tpch_q8_market_share",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q11_important_parts",
-    "tpch_q21_blocking_suppliers",
-    "tpch_q20_excess_suppliers",
+    "tpch_q7_nation_volume",
+    "nation_revenue_multijoin",
+    "segment_revenue",
     "region_nation_rollup_revenue",
     "customer_rfm_segments",
     "orders_pareto_concentration",
     "doc_hybrid_search_rrf",
     "events_max_concurrent_sessions",
     "corpus_leakage_safe_split",
+    "doc_rare_token_score",
+    "layout_bucketed_join_topk",
+    "doc_token_mg_heavy_hitters",
+    "tpch_q3_shipping_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q14_promo_revenue",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q11_important_parts",
+    "tpch_q21_blocking_suppliers",
+    "tpch_q20_excess_suppliers",
+    "tpch_q17_small_quantity_revenue",
+    "orders_bloom_pruned_revenue",
 ]
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older
-# never-attempted backlog). Round 6: EMPTY — the never-attempted
-# backlog is 13 queries (the round-5 verdict corrected the "2
-# deferred" accounting to 13; with this round's media_arrow_byte_stats
-# et al. still unattempted they all ride tier 2/3 automatically), and
-# 28 _MUST_HAVE + 13 never-attempted = 41 of the 50-slot window, so
-# nothing needs deferring.
+# never-attempted backlog). Round 7: EMPTY — zero never-attempted
+# queries remain (the r6 rotation converged: 241/241 attempted), so
+# the window is _MUST_HAVE re-verifications plus any round-7
+# additions, then the already-attempted tail cheapest-first.
 _DEFER: list[str] = []
 
 

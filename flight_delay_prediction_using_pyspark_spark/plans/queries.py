@@ -60,7 +60,20 @@ def scratch_persist(df: DataFrame) -> DataFrame:
     of accumulating every query's, with zero coordination required
     from the harness. (Round-5 ADVICE: persisted rev/tf/sides frames
     were never unpersisted; LRU eviction kept it correct but added
-    memory pressure and re-computation churn.)"""
+    memory pressure and re-computation churn.)
+
+    CONTRACT — sequential build-then-collect: the release point is
+    "next wrapped-query entry", which assumes the harness finishes
+    one query's action before building the next (true of bench.py,
+    the driver, and pytest). A harness that builds several query
+    frames first and collects later, or runs catalog queries on
+    concurrent threads, would unpersist another query's scratch
+    before its action runs — correctness is unaffected (Spark
+    recomputes the lineage), but the shared-consumer reuse the
+    persist exists for is silently re-paid. Such a harness should
+    call the query functions on separate Python threads only with
+    its own release discipline (skip release_scratch and unpersist
+    after each collect)."""
     df = df.persist()
     _SCRATCH.append(df)
     return df

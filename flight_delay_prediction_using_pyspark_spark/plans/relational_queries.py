@@ -3383,3 +3383,107 @@ def q_orders_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows_scanned long, n_nonpositive long, n_null_dates long, "
         "n_groups long, total_cents long",
     )
+
+
+@query(
+    "plan_estimate_contract",
+    oracle="""
+    SELECT TRUE AS chain_est_leaf_bounded,
+           TRUE AS chain_hint_kept,
+           TRUE AS raw_stat_inflated,
+           TRUE AS persisted_crossjoin_local,
+           CAST(1 AS BIGINT) AS n_rows
+    """,
+)
+def q_plan_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated contract over the plan-time size-estimate surface
+    (round-6 verdict item 8): the oracle pins the INVARIANTS as
+    literal TRUEs while the Spark side computes them for real, so an
+    estimate regression flips a boolean and fails the driver's
+    value-hash gate instead of surfacing only as bench archaeology.
+
+    The four invariants are exactly the round-6 failure modes:
+    - chain_est_leaf_bounded: the q8-style customer⋈nation⋈region
+      chain's robust estimate is bounded by the sum of its leaf
+      estimates (raw top-level stats MULTIPLY across joins — 37.9 GB
+      for a ~100 KB chain at sf0.1).
+    - chain_hint_kept: dim_join on that chain keeps its broadcast
+      hint in the optimized logical plan (the hint silently vanishing
+      is what SortMergeJoined q7/q8/multijoin's fact side).
+    - raw_stat_inflated: the RAW top-level stat of the chain is ≥32×
+      the robust estimate — proving the traversal is actually
+      neutralizing a multiplicative stat, not vacuously equal to it
+      (measured ≥5·10⁴× at sf0.001-0.1; 32× leaves slack for stats-
+      visitor changes while still distinguishing product from sum).
+    - persisted_crossjoin_local: resolve_global_rank_mode on a
+      scratch-persisted crossJoin-derived frame (the RRF lexical-
+      score shape — an un-materialized InMemoryRelation leaf carrying
+      the cached plan's product stat) resolves 'local' at oracle SF
+      from the ANALYZED-plan traversal, without the count() job or
+      the misrouted 15-stage distributed path.
+
+    All probe frames are plan-only (zero jobs run; the single
+    createDataFrame row is the query's output)."""
+    from flight_delay_prediction_using_pyspark_spark.operators.relational import (
+        dim_join,
+        plan_size_bytes,
+    )
+    from flight_delay_prediction_using_pyspark_spark.operators.windows import (
+        resolve_global_rank_mode,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    chain = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    est_chain = plan_size_bytes(chain)
+    est_leaves = sum(
+        plan_size_bytes(t) for t in (customer, nation, region)
+    )
+    raw_stat = int(
+        str(
+            chain._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hinted = dim_join(orders, chain, orders.o_custkey == chain.c_custkey)
+    hint_kept = (
+        "strategy=broadcast"
+        in hinted._jdf.queryExecution().optimizedPlan().toString()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    qt = docs.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("qtext")
+    )
+    crossed = scratch_persist(
+        docs.crossJoin(F.broadcast(qt)).select(
+            "doc_id", F.length("text").alias("score")
+        )
+    )
+    mode = resolve_global_rank_mode(crossed)
+    return spark.createDataFrame(
+        [
+            (
+                bool(est_chain is not None and est_chain <= est_leaves),
+                bool(hint_kept),
+                bool(raw_stat >= 32 * max(est_chain or 1, 1)),
+                mode == "local",
+                1,
+            )
+        ],
+        "chain_est_leaf_bounded boolean, chain_hint_kept boolean, "
+        "raw_stat_inflated boolean, persisted_crossjoin_local boolean, "
+        "n_rows long",
+    )

@@ -673,3 +673,91 @@ def q_semdedup_prune_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plane literals with IEEE-identical operand order."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.semdedup_census(emb, threshold=_SEMDEDUP_TAU)
+
+
+_HARDNEG_N_ANCHORS = 4
+_HARDNEG_K = 3
+
+
+@query(
+    "ann_hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v, {_bucket_sql('v')} AS bucket FROM e
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, v AS av,
+             bucket AS abucket
+      FROM n WHERE vec_id < {_HARDNEG_N_ANCHORS}
+    ),
+    scored AS (
+      SELECT anchor_id, anchor_label, n.vec_id, n.label AS neg_label,
+             ROUND({_cosine_sql('n.v', 'a.av')}, 6) AS cosine
+      FROM anchors a JOIN n ON n.bucket = a.abucket
+      WHERE n.label <> a.anchor_label
+    )
+    SELECT anchor_id, anchor_label, vec_id, neg_label, cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, vec_id
+      ) AS rk FROM scored
+    )
+    WHERE rk <= {_HARDNEG_K}
+    ORDER BY anchor_id, rk
+    """,
+)
+def q_ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    in-batch-negatives upgrade every retrieval/embedding trainer
+    runs): for each anchor vector, the top-k most-similar vectors
+    with a DIFFERENT label — semantically close yet wrongly-labeled
+    examples, the gradient-richest negatives (Xiong et al., ANCE,
+    ICLR'21).
+
+    Scale shape: candidates come from the anchor's OWN random-
+    hyperplane LSH bucket (the same quantizer as ann_lsh_bucket_topk
+    / semdedup), so per-anchor work is bucket occupancy — bounded by
+    adding planes as the corpus grows — never the full corpus; the
+    anchor set is a bounded training batch (constant by construction,
+    so its forced broadcast is legitimate), and the per-anchor top-k
+    is a rank-window over bucket-confined candidates whose partition
+    count is the anchor count (a production batch is thousands of
+    anchors — ample parallelism; the cap is bucket size, not corpus
+    size). Cosines are ROUND(·,6) with (cosine, vec_id) tie-breaks,
+    so ranks are engine-portable."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        ann.hyperplane_signature(F.col("embedding")).alias("bucket"),
+    )
+    anchors = n.filter(F.col("vec_id") < _HARDNEG_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("bucket").alias("abucket"),
+    )
+    scored = (
+        n.join(F.broadcast(anchors), F.col("bucket") == F.col("abucket"))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(ann.cosine(F.col("v"), F.col("av")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _HARDNEG_K)
+        .orderBy("anchor_id", "rk")
+    )

@@ -1810,12 +1810,15 @@ def q_events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     rollup is EXACT, which is why the whole query sits under the
     full-value oracle gate rather than a tolerance contract.
 
-    Scale shape: users partition into 2^32-wide buckets
-    (bitmap_bucket_number), so state per (day, bucket) is a bounded
-    4 GiB-bit bitmap and the weekly merge shuffles only (weeks x
-    buckets) rows — the sum-over-buckets of bitmap_count is the exact
-    distinct count. sum_daily_users > n_week_users exposes the
-    cross-day revisit mass the merge deduplicates."""
+    Scale shape: users partition into 2^25-bit buckets
+    (bitmap_bucket_number/bitmap_bit_position use 32,768×8-byte =
+    4 MiB bucket bitmaps), so state per (day, bucket) is bounded at
+    4 MiB and the weekly merge shuffles only (weeks × occupied
+    buckets) rows — ~n_users/2^25 buckets per day, each a fixed-size
+    binary — instead of (weeks × users) raw ids; the sum-over-buckets
+    of bitmap_count is the exact distinct count. sum_daily_users >
+    n_week_users exposes the cross-day revisit mass the merge
+    deduplicates."""
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
@@ -1877,6 +1880,7 @@ def q_layout_bucketed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping key."""
     import hashlib
     import re
+    import shutil
     import tempfile
 
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -1922,6 +1926,7 @@ def q_layout_bucketed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        schema = top.schema
         rows = top.collect()
     finally:
         spark.conf.set(thresh_conf, old_thresh)
@@ -1929,5 +1934,12 @@ def q_layout_bucketed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(aqe_conf)
         else:
             spark.conf.set(aqe_conf, old_aqe)
-    out = spark.createDataFrame(rows, schema=top.schema)
+        # The result is already collected, so the scratch db + its
+        # mkdtemp location can go: CREATE ... IF NOT EXISTS with a
+        # fresh mkdtemp each call would otherwise strand every later
+        # run's tables in the FIRST run's /tmp dir and leak disk per
+        # invocation (round-6 ADVICE).
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+    out = spark.createDataFrame(rows, schema=schema)
     return out.withColumn("n_exchanges", F.lit(n_ex).cast("long"))

@@ -48,15 +48,34 @@ LSH_BANDS = 4
 LSH_ROWS = 4
 
 #: Affine minhash family over ONE portable base hash per shingle:
-#: h_i(x) = (A[i] * md5_32(x) + B[i]) mod P. One md5 digest per
-#: shingle instead of k — the k variants are integer transforms.
-#: A odd < 2^30 and md5_32 < 2^32 keep A*h < 2^62: no int64 overflow
-#: in either engine. Fixed seed ⇒ the same literals embed in the
-#: generated oracle SQL.
-MINHASH_P = (1 << 61) - 1
+#: h_i(x) = (A[i] * (md5_32(x) mod P) + B[i]) mod P, the standard
+#: Carter-Wegman universal family with A uniform in [1, P). One md5
+#: digest per shingle instead of k — the k variants are integer
+#: transforms. P = 2^31−1 (Mersenne) keeps the product ≤ (P−1)² <
+#: 2^62: no int64 overflow in either engine. Fixed seed ⇒ the same
+#: literals embed in the generated oracle SQL.
+#:
+#: ROUND-7 FIX — the previous family ((A·h + B) mod 2^61−1 with
+#: A < 2^30, h < 2^32) was NOT min-wise independent: the product
+#: stayed below 2·P, so the map was monotone in h except one wrap
+#: point and all k "permutations" mostly selected the SAME min-md5
+#: shingle. Measured on sf0.01 LSH candidates: estimator said 0.89
+#: when exact Jaccard was 0.18, banding leaked 135 candidates where
+#: a proper family yields 25 (5.4× false-candidate load on the
+#: verify join — the dominant dedup cost at 100 TB), and one of 25
+#: true J≥0.5 pairs was MISSED outright. A ∈ [1, P) makes A·h wrap
+#: ~A times per h-step, restoring (approximate) min-wise
+#: independence: candidate estimates now track exact Jaccard
+#: (measured mean_est 0.9625 vs mean_true 0.9732) and recall at the
+#: 0.5 threshold is 25/25. The DuckDB oracles embed the identical
+#: formula, so engine parity held through the bug — this is why
+#: estimator-quality queries (dedup_minhash_est_accuracy,
+#: dedup_bbit_minhash_est) carry tested ACCURACY contracts, not just
+#: oracle rows.
+MINHASH_P = (1 << 31) - 1
 _mh_rng = random.Random(20240613)
-MINHASH_A: list[int] = [2 * _mh_rng.randrange(1 << 29) + 1 for _ in range(MINHASH_K)]
-MINHASH_B: list[int] = [_mh_rng.randrange(1 << 30) for _ in range(MINHASH_K)]
+MINHASH_A: list[int] = [_mh_rng.randrange(1, MINHASH_P) for _ in range(MINHASH_K)]
+MINHASH_B: list[int] = [_mh_rng.randrange(MINHASH_P) for _ in range(MINHASH_K)]
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -87,7 +106,7 @@ def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
     projection into all k consumers (k× the digest cost)."""
 
     def affine(i):  # closure factory: PySpark lambda arity must stay 1
-        return lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+        return lambda h: ((h % MINHASH_P) * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
 
     def sig_from(base):  # base: lambda-bound array<long>, evaluated once
         return F.array(
@@ -104,7 +123,7 @@ def minhash_sig_from_hashes(hashes_col: Column, k: int = MINHASH_K) -> Column:
     reads), so no let-binding wrapper is needed."""
 
     def affine(i):
-        return lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+        return lambda h: ((h % MINHASH_P) * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
 
     return F.array(
         *[F.array_min(F.transform(hashes_col, affine(i))) for i in range(k)]

@@ -505,6 +505,69 @@ def test_dim_join_hint_is_size_aware(spark):
     assert hinted.count() == unhinted.count()
 
 
+def test_dim_join_hint_survives_joined_chain_dim(spark):
+    """The round-6 regression: a dim that is itself a join (customer ⋈
+    nation ⋈ region-filter — the TPC-H q7/q8 customer chain) must KEEP
+    its broadcast hint. Spark's non-CBO stats multiply child sizes
+    across joins, so the raw top-level estimate of a ~100 KB chain was
+    37.9 GB at sf0.1 and dim_join silently dropped the hint,
+    SortMergeJoining the fact side. plan_size_bytes now neutralizes
+    join-product stats (min(own, Σ children) per node), so the chain
+    estimates near the sum of its leaf dims."""
+    from flight_delay_prediction_using_pyspark_spark.operators.relational import (
+        dim_join,
+        plan_size_bytes,
+    )
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+    cust = load_table(spark, SF_CORRECTNESS_DIR, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, SF_CORRECTNESS_DIR, "nation")
+    region = load_table(spark, SF_CORRECTNESS_DIR, "region")
+    chain = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    est_chain = plan_size_bytes(chain)
+    est_leaves = (
+        plan_size_bytes(cust) + plan_size_bytes(nation) + plan_size_bytes(region)
+    )
+    # the chain estimate must be leaf-scale, not a multiplicative blowup
+    assert est_chain is not None and est_chain <= est_leaves
+    orders = load_table(spark, SF_CORRECTNESS_DIR, "orders")
+    hinted = dim_join(orders, chain, orders.o_custkey == chain.c_custkey)
+    assert (
+        "strategy=broadcast"
+        in hinted._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+_CHAIN_DIM_BROADCAST_QUERIES = [
+    "tpch_q8_market_share",
+    "tpch_q7_nation_volume",
+    "nation_revenue_multijoin",
+]
+
+
+@pytest.mark.parametrize("name", _CHAIN_DIM_BROADCAST_QUERIES)
+def test_chain_dim_queries_plan_no_sortmergejoin(spark, name):
+    """The q7/q8/multijoin customer chains must physically plan as
+    BroadcastHashJoin at test SF — zero SortMergeJoins means the fact
+    side never shuffles on a dim key (the round-6 bench regression)."""
+    df = QUERIES[name](spark, SF_CORRECTNESS_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in phys, f"{name}: fact-side shuffle join returned"
+    assert "BroadcastHashJoin" in phys
+
+
 def test_bloom_prune_mapside_and_effective(spark):
     """The Bloom probe must (a) never drop a true match (checked by
     the oracle too, re-checked here against the exact semi-join),

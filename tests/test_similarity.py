@@ -109,3 +109,33 @@ def test_multiprobe_supersets_single_bucket(corpus):
         ).collect()
     }
     assert single <= multi
+
+
+def test_hard_negatives_are_bucket_confined_and_cross_label(spark):
+    """Every mined hard negative must (a) share the anchor's LSH
+    bucket (the scale guarantee: per-anchor work is bucket occupancy,
+    not corpus size), (b) carry a DIFFERENT label than its anchor,
+    and (c) be ranked within top-k by rounded cosine."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from flight_delay_prediction_using_pyspark_spark.plans.similarity_queries import (
+        _HARDNEG_K,
+    )
+    from flight_delay_prediction_using_pyspark_spark.similarity import ann
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = QUERIES["ann_hard_negative_mining"](spark, SF_SMOKE_DIR).collect()
+    assert rows
+    buckets = {
+        r.vec_id: r.bucket
+        for r in load_table(spark, SF_SMOKE_DIR, "embeddings")
+        .select(
+            "vec_id",
+            ann.hyperplane_signature(F.col("embedding")).alias("bucket"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.neg_label != r.anchor_label
+        assert 1 <= r.rk <= _HARDNEG_K
+        assert buckets[r.vec_id] == buckets[r.anchor_id]

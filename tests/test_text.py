@@ -542,23 +542,30 @@ def test_quality_language_struct_equals_separate_gates(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_mg_candidates_superset_under_adversarial_partitioning(spark):
+def test_mg_candidates_superset_under_adversarial_partitioning(spark, tmp_path):
     """The batch-top-k candidate phase must contain every true heavy
     hitter REGARDLESS of partitioning (the pigeonhole guarantee the
-    query's exact output rests on): run the full query on a frame
-    repartitioned to many small partitions and compare to the exact
-    SQL-side answer computed in Spark itself."""
+    query's exact output rests on): rewrite the documents table as 16
+    tiny files (16 scan partitions — each holding only a sliver of
+    any token's mass), run the full query on that layout, and compare
+    to the exact SQL-side answer computed in Spark itself."""
     from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
     from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
     from tests.conftest import SF_SMOKE_DIR
 
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    shard_dir = str(tmp_path / "documents.parquet")
+    docs.repartition(16).write.parquet(shard_dir)
+    sharded = spark.read.parquet(shard_dir)
+    assert sharded.rdd.getNumPartitions() >= 8  # the adversarial layout holds
+
     got = {
         (r.tok, r.freq)
         for r in QUERIES["doc_token_mg_heavy_hitters"](
-            spark, SF_SMOKE_DIR
+            spark, str(tmp_path)
         ).collect()
     }
-    toks = load_table(spark, SF_SMOKE_DIR, "documents").select(
+    toks = docs.select(
         F.explode(TA.tokens(F.col("text"))).alias("tok")
     )
     n = toks.count()
@@ -572,10 +579,51 @@ def test_mg_candidates_superset_under_adversarial_partitioning(spark):
     assert got == exact and exact, f"expected exact heavy hitters, got {got}"
 
 
+def test_dsir_planted_signal_separates_target(spark, tmp_path):
+    """Semantic guarantee on a fixture with PLANTED signal: 'en' docs
+    share a marker vocabulary the other languages never use, so DSIR
+    must score every en doc positive and every non-en doc negative —
+    regardless of the corpus's incidental frequency noise (the
+    round-6 failure mode was smoothing bias, not signal direction;
+    this fixture pins the direction itself)."""
+    import pandas as pd
+
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        base = "alpha beta gamma delta epsilon"
+        marker = " zeta eta theta iota kappa" if lang == "en" else " rho sigma tau"
+        text = (base + marker * 3) * 2
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": lang,
+                "source": "fixture",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet", index=False)
+    got = {
+        r.lang: r
+        for r in QUERIES["doc_dsir_importance_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["en"].sum_weight_q > 0 and got["en"].n_kept == got["en"].n_docs
+    assert got["de"].sum_weight_q < 0 and got["de"].n_kept == 0
+
+
 def test_dsir_weights_favor_target_language(spark):
     """DSIR importance weights must be positive-mass for the target
     slice ('en') and negative-mass for every non-target language —
-    the direction the log-ratio is defined to point."""
+    the direction the log-ratio is defined to point. Holds on the
+    driver corpus (weak sampling signal only) because the smoothing
+    is occupied-bucket add-one, which keeps the Laplace bias at
+    O(b/n) instead of the constant-B form's −B·(1/n_t − 1/n_r) that
+    drowned the slice in round 6."""
     from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
     from tests.conftest import SF_CORRECTNESS_DIR
 
@@ -590,3 +638,46 @@ def test_dsir_weights_favor_target_language(spark):
     for lang, r in rows.items():
         if lang != "en":
             assert r.sum_weight_q < 0, f"{lang} should be corpus-like"
+
+
+def test_bbit_minhash_estimator_contract(spark):
+    """b-bit minwise: the 2-bit estimator must stay a usable Jaccard
+    estimate (bounded MAE on real candidates) while the full-width
+    estimator is at least as accurate in aggregate — the Li&König
+    variance ordering (Var_bbit ≈ Var_full/(1-C)²) that justifies the
+    32x storage trade only when the noted accuracy loss is priced."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    row = QUERIES["dedup_bbit_minhash_est"](spark, SF_CORRECTNESS_DIR).collect()[0]
+    assert row.n_pairs > 0
+    assert 0.0 <= row.mae_full <= row.mae_bbit <= 0.5
+    assert row.bits_saved_ratio == 32
+
+
+def test_plan_estimate_contract_all_true(spark):
+    """The estimate-surface contract query must emit all-TRUE
+    invariants locally too (the oracle pins the same literals)."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    r = QUERIES["plan_estimate_contract"](spark, SF_CORRECTNESS_DIR).collect()[0]
+    assert r.chain_est_leaf_bounded and r.chain_hint_kept
+    assert r.raw_stat_inflated and r.persisted_crossjoin_local
+
+
+def test_minhash_estimator_accuracy_contract(spark):
+    """Guard for the round-7 family fix: the signature estimator's
+    MAE over LSH candidates must stay within the k=16 theory envelope
+    (σ = sqrt(J(1−J)/k) ≤ 0.125). The broken pre-fix family — affine
+    mod 2^61−1 with A < 2^30, monotone in h, all permutations
+    correlated — scored MAE 0.71 here while every oracle row stayed
+    green (both engines shared the bug), so this invariant exists
+    precisely because oracle parity cannot see estimator quality."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    r = QUERIES["dedup_minhash_est_accuracy"](spark, SF_CORRECTNESS_DIR).collect()[0]
+    assert r.n_pairs > 0
+    assert r.mean_abs_err < 0.15
+    assert abs(r.mean_est - r.mean_true) < 0.1
