@@ -74,7 +74,12 @@ def _driver_attempted() -> set[str]:
 #     (pairs/clusters/band-tuning/agreement/containment/levenshtein
 #     verify sets, pipeline keep-sets), so the whole family re-runs
 #     for fresh driver rows attesting to the fixed code.
+#   - doc_token_cms_estimate / events_streaming_cms: the CMS row
+#     hashes got the same Carter-Wegman fix (operators/sketches.py),
+#     changing sketch cell placement and therefore the estimates.
 _MUST_HAVE: list[str] = [
+    "doc_token_cms_estimate",
+    "events_streaming_cms",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     "dedup_minhash_est_accuracy",

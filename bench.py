@@ -174,10 +174,83 @@ HEADLINE = [
     "plan_estimate_contract",
     "ann_hard_negative_mining",
     "dedup_bbit_minhash_est",
+    "orders_join_size_cms",
+    "doc_rake_keywords",
+    "events_daily_ewma",
 ]
 
 
+#: Representative queries for the SF-scaling sweep
+#: (SPARK_GRAFT_BENCH_SCALING=1): one per cost class — pure scan agg,
+#: wide fact join, window, LSH dedup, explode-heavy text, per-key
+#: window + agg, graph self-join, order statistics. The sweep runs
+#: each at sf0.001/0.01/0.1 and prints per-query log-log slopes: a
+#: slope ≤ ~1 is linear-or-better in the data; anything superlinear
+#: is an accidental O(n²) this sweep exists to catch (see SCALE.md).
+SCALING_SET = [
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
+    "pricing_summary",
+    "rank_lineitems_in_order",
+    "dedup_minhash_lsh_pairs",
+    "doc_token_mg_heavy_hitters",
+    "events_session_windows",
+    "copurchase_part_pairs",
+    "orders_pareto_concentration",
+    "orders_join_size_cms",
+]
+
+
+def _scaling_main() -> None:
+    """Measured time-vs-SF curve: the empirical companion to
+    SCALE.md's extrapolation arguments. Each query runs twice per SF
+    (min taken — JIT/footer warmup lands on the first rep) across the
+    three generated scale factors; the log10 slope between sf0.01 and
+    sf0.1 (the two SFs big enough to rise above fixed session
+    overhead) is the headline number."""
+    import math
+
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from flight_delay_prediction_using_pyspark_spark.session import get_spark
+
+    sfs = [0.001, 0.01, 0.1]
+    spark = get_spark(app_name="spark-graft-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["pricing_summary"](spark, "/root/testdata/sf0.01").toPandas()
+    out: dict[str, dict] = {}
+    for name in SCALING_SET:
+        if name not in QUERIES:
+            continue
+        first, warm = {}, {}
+        for sf in sfs:
+            sf_dir = f"/root/testdata/sf{sf}"
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).toPandas()
+                reps.append(time.perf_counter() - t0)
+            # rep 1 pays any shared build (memoized signature frames,
+            # scratch persists); rep 2 measures the amortized/probe
+            # path. The slope uses rep 1 — at scale the BUILD is what
+            # must stay linear; the warm column shows what repeat
+            # consumers pay.
+            first[str(sf)] = round(reps[0], 3)
+            warm[str(sf)] = round(reps[1], 3)
+        slope = round(
+            math.log10(max(first["0.1"], 1e-3) / max(first["0.01"], 1e-3)), 2
+        )
+        out[name] = {"first_sec": first, "warm_sec": warm, "slope_01_to_1": slope}
+    with open(os.path.join(REPO_ROOT, "bench_scaling.json"), "w") as f:
+        json.dump({"queries": out, "sfs": sfs}, f, indent=1, sort_keys=True)
+    spark.stop()
+    print(json.dumps({"metric": "scaling_sweep", "queries": len(out),
+                      "out": "bench_scaling.json"}, separators=(",", ":")))
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        _scaling_main()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"

@@ -25,16 +25,27 @@ from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
 
-_CMS_P = (1 << 61) - 1
+#: Carter-Wegman row hashes: (A·(h mod P) + B) mod P mod width with
+#: A uniform in [1, P), P = 2^31−1 — products stay under 2^62, exact
+#: int64 in both engines. ROUND-7 FIX (same class as the minhash
+#: family, text/dedup.py): the previous A < 2^29 against P = 2^61−1
+#: never wrapped the modulus, so the d rows were correlated — any key
+#: pair with md5 difference ≡ 0 (mod width) collided in EVERY row at
+#: once, degrading the CMS failure probability from (1/w)^d to ~1/w.
+#: CMS point estimates remain over-counts under any hash (correctness
+#: was never at risk); this restores the advertised (ε, δ) guarantee
+#: and the pairwise independence the inner-product join-size
+#: estimator (orders_join_size_cms) relies on.
+_CMS_P = (1 << 31) - 1
 _cms_rng = random.Random(20240815)
 CMS_D = 3
-CMS_A: list[int] = [2 * _cms_rng.randrange(1 << 28) + 1 for _ in range(CMS_D)]
-CMS_B: list[int] = [_cms_rng.randrange(1 << 30) for _ in range(CMS_D)]
+CMS_A: list[int] = [_cms_rng.randrange(1, _CMS_P) for _ in range(CMS_D)]
+CMS_B: list[int] = [_cms_rng.randrange(_CMS_P) for _ in range(CMS_D)]
 
 
 def cms_bucket(item: Column, row: int, width: int) -> Column:
     """Bucket of `item` in hash row `row` for a width-`width` sketch."""
-    base = md5_hash32(item.cast("string"))
+    base = md5_hash32(item.cast("string")) % F.lit(_CMS_P)
     return (
         (base * F.lit(CMS_A[row]) + F.lit(CMS_B[row])) % F.lit(_CMS_P)
     ) % F.lit(width)
@@ -113,7 +124,7 @@ def cms_oracle_sql(
     def cell(row: int, src: str) -> str:
         keep = "token, " if src == "probes" else ""
         return (
-            f"SELECT {keep}{row} AS row, ((({md5i}) * {CMS_A[row]} "
+            f"SELECT {keep}{row} AS row, (((({md5i}) % {_CMS_P}) * {CMS_A[row]} "
             f"+ {CMS_B[row]}) % {_CMS_P}) % {width} AS bucket FROM {src}"
         )
 

@@ -3487,3 +3487,110 @@ def q_plan_estimate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_stat_inflated boolean, persisted_crossjoin_local boolean, "
         "n_rows long",
     )
+
+
+#: Width sized so the inner-product noise term |A|·|B|/w sits well
+#: under the true join size at test SF (measured: w=256 gave a 60×
+#: over-count — "correct" but useless; w=65536 lands within ~30%).
+#: The d×w = 196,608-counter state is still trivially broadcastable;
+#: at production row counts widen w with the |A|·|B|/|A⋈B| ratio.
+_JOINSIZE_W = 65536
+_JOINSIZE_D = 3
+
+
+def _join_size_cms_oracle() -> str:
+    from flight_delay_prediction_using_pyspark_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        _CMS_P,
+    )
+
+    md5i = "CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+    def cells(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {r} AS row, (((({md5i}) % {_CMS_P}) * {CMS_A[r]} "
+            f"+ {CMS_B[r]}) % {_CMS_P}) % {_JOINSIZE_W} AS bucket FROM {src}"
+            for r in range(_JOINSIZE_D)
+        )
+
+    return f"""
+    WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+    b AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    sa AS (SELECT row, bucket, COUNT(*) AS c FROM ({cells('a')}) GROUP BY 1, 2),
+    sb AS (SELECT row, bucket, COUNT(*) AS c FROM ({cells('b')}) GROUP BY 1, 2),
+    per_row AS (
+      SELECT sa.row, SUM(CAST(sa.c AS HUGEINT) * sb.c) AS ip
+      FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
+      GROUP BY sa.row
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM per_row),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM a JOIN b USING (k)
+    )
+    SELECT est_join_size, exact_join_size,
+           CAST((1000000 * (CAST(est_join_size AS HUGEINT) - exact_join_size))
+                // exact_join_size AS BIGINT) AS over_ppm
+    FROM est, ex
+    """
+
+
+@query("orders_join_size_cms", oracle=_join_size_cms_oracle())
+def q_orders_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches — the
+    AMS/CMS inner-product estimator (Alon-Matias-Szegedy '96; Cormode
+    & Muthukrishnan '05 §4.2): |A ⋈ B| ≈ min over hash rows of
+    Σ_bucket cmsA[r][b]·cmsB[r][b]. This is the optimizer statistic a
+    100 TB engine keeps per join column: two (d×w)-counter sketches —
+    built in one map-side pass each, OR-mergeable across partitions
+    and days — answer "how big is this join" WITHOUT running it,
+    which is exactly the signal the round-7 plan-estimate work showed
+    Catalyst's non-CBO stats cannot provide (they multiply child
+    sizes). The estimate never under-counts (every cross term is
+    non-negative), so min-over-rows is a safe upper bound for plan
+    choice; expected over-count is |A|·|B|/w per row. Emitted next to
+    the EXACT join count (the query is its own accuracy audit) and
+    the over-estimate in ppm; the d row hashes are Carter-Wegman
+    pairwise-independent (the round-7 sketch-family fix — correlated
+    rows would defeat the min). Inner products accumulate in
+    DECIMAL(38,0)/HUGEINT: at 10¹³-row tables per-bucket products
+    exceed int64 by design, not by accident."""
+    from flight_delay_prediction_using_pyspark_spark.operators import sketches as SK
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    sa = SK.cms_build(li, "k", width=_JOINSIZE_W, d=_JOINSIZE_D)
+    sb = SK.cms_build(od, "k", width=_JOINSIZE_W, d=_JOINSIZE_D)
+    per_row = (
+        sa.alias("a")
+        .join(
+            sb.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.row"))
+        .agg(
+            F.sum(
+                (F.col("a.count").cast("decimal(38,0)") * F.col("b.count"))
+            ).alias("ip")
+        )
+    )
+    est = per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    exact = li.join(od, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    joined = est.crossJoin(F.broadcast(exact))
+    return joined.select(
+        "est_join_size",
+        "exact_join_size",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(est_join_size AS DECIMAL(38,0)) - exact_join_size)) DIV exact_join_size AS BIGINT)"
+        ).alias("over_ppm"),
+    )

@@ -1943,3 +1943,95 @@ def q_layout_bucketed_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
     out = spark.createDataFrame(rows, schema=schema)
     return out.withColumn("n_exchanges", F.lit(n_ex).cast("long"))
+
+
+#: EWMA truncation window: dyadic weights 2^-1..2^-32 — terms beyond
+#: 32 days contribute < 2^-32 of the range, below any emitted ppm.
+_EWMA_TERMS = 32
+
+
+@query(
+    "events_daily_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    windowed AS (
+      SELECT day, n,
+             list(n) OVER (ORDER BY day
+               ROWS BETWEEN {_EWMA_TERMS - 1} PRECEDING AND CURRENT ROW)
+               AS lst
+      FROM daily
+    ),
+    folded AS (
+      SELECT day, n,
+             CAST(len(lst) AS BIGINT) AS n_terms,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(list_reverse(lst), x -> CAST(x AS HUGEINT))),
+               (acc, x) -> acc * 2 + x) AS s
+      FROM windowed
+    )
+    SELECT day, n, n_terms,
+           CAST((1000000 * s)
+                // CAST((CAST(1 AS BIGINT) << n_terms) - 1 AS HUGEINT)
+                AS BIGINT) AS ewma_ppm
+    FROM folded
+    ORDER BY day
+    """,
+)
+def q_events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume —
+    the classic operational-anomaly baseline (s_t = ½·x_t + ½·s_t-1)
+    — computed EXACTLY: α = ½ makes every weight a dyadic rational,
+    so the weighted sum folds as integer Horner over the trailing
+    window (acc·2 + x, newest term heaviest at 2^(L-1)) and the
+    normalized mean is one integer division by (2^L − 1) — no float
+    accumulates anywhere, so the series is bit-portable and the
+    oracle hashes exactly. Truncation at 32 terms bounds both the
+    state and the error (< 2^-32 of the range, below ppm
+    resolution); recursive smoothing becomes a plain windowed scan —
+    no iteration, no driver loop.
+
+    Scale shape: one day-grain pre-aggregation (partial counts — the
+    only pass over raw events), then an unpartitioned ROWS window
+    over the per-day frame, which is CALENDAR-bounded (≤ ~36,500 rows
+    for a century), not data-bounded — the same justification as the
+    changepoint/seasonality tier. Accumulators are DECIMAL(38,0)/
+    HUGEINT: 32 doublings of a 10¹⁰-events day needs 42 ints of
+    headroom int64 lacks."""
+    from pyspark.sql import Window
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(_EWMA_TERMS - 1), Window.currentRow)
+    )
+    windowed = daily.select(
+        "day", "n", F.collect_list("n").over(w).alias("lst")
+    )
+    folded = windowed.select(
+        "day",
+        "n",
+        F.size("lst").cast("long").alias("n_terms"),
+        F.aggregate(
+            F.reverse(F.col("lst")),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc * 2 + x.cast("decimal(38,0)"),
+        ).alias("s"),
+    )
+    return folded.select(
+        "day",
+        "n",
+        "n_terms",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s) DIV "
+            "(CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_terms AS INT)) AS DECIMAL(38,0)) - 1) AS BIGINT)"
+        ).alias("ewma_ppm"),
+    ).orderBy("day")

@@ -3601,3 +3601,113 @@ def q_dedup_bbit_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("errb_u").cast("double") / 1000000 / n, 6).alias("mae_bbit"),
         F.lit(32).cast("long").alias("bits_saved_ratio"),
     )
+
+
+_RAKE_STOP_IN = ", ".join(f"'{w}'" for w in TA.STOPWORDS)
+
+
+@query(
+    "doc_rake_keywords",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents
+    ),
+    toku AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l)),
+                                   i -> {{'tok': l[i], 'ord': i}})) AS u
+      FROM base
+    ),
+    tok AS (SELECT doc_id, u.tok AS tok, u.ord AS ord FROM toku),
+    seg AS (
+      SELECT doc_id, tok,
+             SUM(CASE WHEN tok IN ({_RAKE_STOP_IN}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY ord) AS seg_id,
+             (tok IN ({_RAKE_STOP_IN})) AS is_stop
+      FROM tok
+    ),
+    members AS (SELECT doc_id, seg_id, tok FROM seg WHERE NOT is_stop),
+    phrases AS (
+      SELECT doc_id, seg_id, COUNT(*) AS plen
+      FROM members GROUP BY doc_id, seg_id
+    ),
+    wordstats AS (
+      SELECT m.tok AS word,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM members m JOIN phrases p USING (doc_id, seg_id)
+      GROUP BY m.tok
+    )
+    SELECT word, freq, degree,
+           CAST((1000000 * degree) // freq AS BIGINT) AS score_ppm
+    FROM wordstats
+    ORDER BY score_ppm DESC, freq DESC, word
+    LIMIT 15
+    """,
+)
+def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split each
+    document into candidate phrases at stopword boundaries, then
+    score every word by degree/frequency — degree sums the lengths of
+    the phrases the word appears in (its co-occurrence mass, self
+    included), so words living in LONG multiword phrases outrank
+    equally-frequent words that appear alone. The classic unsupervised
+    keyword/keyphrase baseline a corpus pipeline runs for topic
+    tagging and index-term harvesting.
+
+    Fully relational — NO per-row UDF: phrase segmentation is a
+    running stopword count (posexplode + one per-doc cumulative-sum
+    window; partitions are documents, so the window is bounded by doc
+    length at any corpus size), phrases are (doc, segment) groups,
+    and both stats fold in one word-keyed agg. score = degree/freq is
+    emitted as an exact integer DIV in ppm, so ranking is
+    engine-portable. Shuffles: one per-doc window + two hash aggs —
+    all keys bounded by vocabulary or document count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(TA.tokens(F.lower(F.col("text")))).alias("ord", "tok"),
+    )
+    is_stop = F.col("tok").isin(*TA.STOPWORDS)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = tok.select(
+        "doc_id",
+        "tok",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w).alias("seg_id"),
+        is_stop.alias("is_stop"),
+    )
+    # members feeds BOTH the phrase-length agg and the stats join —
+    # scratch-persist so tokenize+explode+window runs once, not twice.
+    members = scratch_persist(
+        seg.filter(~F.col("is_stop")).select("doc_id", "seg_id", "tok")
+    )
+    phrases = members.groupBy("doc_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    wordstats = (
+        members.join(phrases, ["doc_id", "seg_id"])
+        .groupBy(F.col("tok").alias("word"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    return (
+        wordstats.select(
+            "word",
+            "freq",
+            "degree",
+            F.expr("CAST((1000000 * degree) DIV freq AS BIGINT)").alias(
+                "score_ppm"
+            ),
+        )
+        .orderBy(F.desc("score_ppm"), F.desc("freq"), F.asc("word"))
+        .limit(15)
+    )

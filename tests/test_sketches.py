@@ -47,3 +47,16 @@ def test_freq_items_contains_true_heavy_hitter(spark):
     )
     [items] = df.stat.freqItems(["k"], support=0.2).first()
     assert 7 in items
+
+
+def test_join_size_cms_upper_bound_and_usable(spark):
+    """The CMS inner-product join-size estimate must never
+    under-count (every cross term is non-negative) and must stay a
+    usable statistic at the configured width (under 2x the truth at
+    test SF) — the property a plan-choice consumer relies on."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    r = QUERIES["orders_join_size_cms"](spark, SF_CORRECTNESS_DIR).collect()[0]
+    assert r.est_join_size >= r.exact_join_size > 0
+    assert r.over_ppm < 1_000_000  # estimate < 2x exact

@@ -156,3 +156,23 @@ def test_bucketed_join_plans_without_exchange(spark):
 
     rows = QUERIES["layout_bucketed_join_topk"](spark, SF_SMOKE_DIR).collect()
     assert rows and all(r.n_exchanges == 0 for r in rows)
+
+
+def test_daily_ewma_matches_reference_recurrence(spark):
+    """The windowed Horner fold must equal the truncated EWMA
+    recurrence computed independently in Python over the same daily
+    counts — exact integer equality, every day."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = QUERIES["events_daily_ewma"](spark, SF_SMOKE_DIR).collect()
+    assert rows
+    ns = [r.n for r in rows]
+    for i, r in enumerate(rows):
+        window = ns[max(0, i - 31) : i + 1]
+        L = len(window)
+        s = 0
+        for x in reversed(window):  # newest folded first -> weight 2^(L-1)
+            s = s * 2 + x
+        assert r.n_terms == L
+        assert r.ewma_ppm == (1_000_000 * s) // ((1 << L) - 1)

@@ -681,3 +681,19 @@ def test_minhash_estimator_accuracy_contract(spark):
     assert r.n_pairs > 0
     assert r.mean_abs_err < 0.15
     assert abs(r.mean_est - r.mean_true) < 0.1
+
+
+def test_rake_degree_dominates_freq(spark):
+    """RAKE: degree sums phrase lengths over a word's occurrences
+    (self included), so degree >= freq always, and the emitted
+    ranking must be the (score, freq, word) order it claims."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = QUERIES["doc_rake_keywords"](spark, SF_SMOKE_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.degree >= r.freq > 0
+        assert r.score_ppm == (1_000_000 * r.degree) // r.freq
+    keys = [(-r.score_ppm, -r.freq, r.word) for r in rows]
+    assert keys == sorted(keys)
