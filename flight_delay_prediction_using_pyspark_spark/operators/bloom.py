@@ -38,18 +38,27 @@ from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
 
-#: Affine family over one md5 base hash per key (same construction as
-#: text.dedup's minhash family): A odd < 2^29 keeps A*h < 2^61 — no
-#: int64 overflow in Spark or DuckDB.
-_BLOOM_P = (1 << 61) - 1
+#: Carter-Wegman affine family over one md5 base hash per key:
+#: position_i = (A_i·(h mod P) + B_i) mod P mod m, A uniform in
+#: [1, P), P = 2^31−1 — products stay under 2^62, exact int64 in both
+#: engines. ROUND-7 FIX (third member of the weak-hash class, after
+#: minhash and CMS): the previous A < 2^29 against P = 2^61−1 never
+#: wrapped the modulus, so any key pair with md5 difference ≡ 0
+#: (mod m) collided in ALL k probe positions at once — a 1/m-class
+#: false-positive floor instead of the advertised (1−e^{−kn/m})^k.
+#: Bloom is false-positive-only by construction, so no consumer ever
+#: returned a wrong row (the pruned join's output is
+#: oracle-identical); the fix restores the FPR the 2 KB runtime
+#: filter is sized for.
+_BLOOM_P = (1 << 31) - 1
 _bloom_rng = random.Random(20240814)
 BLOOM_K = 3
-BLOOM_A: list[int] = [2 * _bloom_rng.randrange(1 << 28) + 1 for _ in range(BLOOM_K)]
-BLOOM_B: list[int] = [_bloom_rng.randrange(1 << 30) for _ in range(BLOOM_K)]
+BLOOM_A: list[int] = [_bloom_rng.randrange(1, _BLOOM_P) for _ in range(BLOOM_K)]
+BLOOM_B: list[int] = [_bloom_rng.randrange(_BLOOM_P) for _ in range(BLOOM_K)]
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    base = md5_hash32(key.cast("string"))
+    base = md5_hash32(key.cast("string")) % F.lit(_BLOOM_P)
     return [
         ((base * F.lit(BLOOM_A[i]) + F.lit(BLOOM_B[i])) % F.lit(_BLOOM_P))
         % F.lit(m_bits)
