@@ -177,6 +177,10 @@ HEADLINE = [
     "orders_join_size_cms",
     "doc_rake_keywords",
     "events_daily_ewma",
+    "events_debounce_dedup",
+    "events_trending_topk",
+    "orders_price_band_join",
+    "corpus_heaps_law_fit",
 ]
 
 

@@ -3594,3 +3594,71 @@ def q_orders_join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(est_join_size AS DECIMAL(38,0)) - exact_join_size)) DIV exact_join_size AS BIGINT)"
         ).alias("over_ppm"),
     )
+
+
+#: Irregular price bands (name, lo inclusive, hi exclusive) — a
+#: hand-maintained reporting dimension, deliberately NOT equi-width
+#: so the join must be a range (theta) join, not an equi-join.
+_PRICE_BANDS = [
+    ("micro", 0, 5_000),
+    ("small", 5_000, 25_000),
+    ("mid", 25_000, 100_000),
+    ("large", 100_000, 250_000),
+    ("jumbo", 250_000, 10_000_000),
+]
+
+
+@query(
+    "orders_price_band_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)}
+    ),
+    o AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN bands
+      ON cents >= CAST(lo AS BIGINT) * 100 AND cents < CAST(hi AS BIGINT) * 100
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against an irregular banding dimension —
+    the reporting shape equi-joins can't express (band edges are
+    hand-picked, not quantiles: cf. orders_equi_depth_histogram for
+    the data-derived variant). The bands frame is constant-size by
+    construction (a human-maintained dimension), so its forced
+    broadcast is legitimate and the BETWEEN predicate evaluates
+    map-side inside the fact scan's codegen stage as a
+    BroadcastNestedLoopJoin — the fact side never shuffles for the
+    banding; the only exchange is the final per-band partial agg
+    (5 groups). Prices band in exact integer cents so membership is
+    boundary-exact in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo long, hi long"
+    )
+    cents = (
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("decimal(30,0)")
+        .cast("long")
+    )
+    o = orders.select(cents.alias("cents"))
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("cents") >= F.col("lo") * 100) & (F.col("cents") < F.col("hi") * 100),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("band")
+    )

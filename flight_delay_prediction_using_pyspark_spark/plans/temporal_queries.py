@@ -2035,3 +2035,148 @@ def q_events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_terms AS INT)) AS DECIMAL(38,0)) - 1) AS BIGINT)"
         ).alias("ewma_ppm"),
     ).orderBy("day")
+
+
+#: Debounce gap: suppress an event arriving within this many seconds
+#: of the PREVIOUS event in its (user, type) stream.
+_DEBOUNCE_SEC = 300
+
+
+@query(
+    "events_debounce_dedup",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE gap_us IS NULL
+                                    OR gap_us > {_DEBOUNCE_SEC} * 1000000)
+                AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE gap_us <= {_DEBOUNCE_SEC} * 1000000)
+                AS BIGINT) AS n_suppressed
+    FROM g
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based debounce — the telemetry dedup every event pipeline
+    runs before counting anything (double-clicks, retry storms,
+    at-least-once delivery): an event is suppressed when it lands
+    within 300 s of the PREVIOUS event in its (user, event_type)
+    stream. Lag-window semantics (gap from the previous event, not
+    from the last survivor) keep the rule a single window expression
+    — deterministic under (ts, event_id) total order — instead of a
+    sequential per-key scan; the census reports kept/suppressed mass
+    per event type, the before-picture for choosing the gap.
+
+    One hash-partition shuffle on (user, event_type) for the lag
+    window — the partition key is the dedup key, so state per task is
+    one user-type stream at a time at any scale — then a small
+    per-type agg. Streaming twin: the same rule is
+    events_streaming_dedup's watermarked state; this is the batch
+    audit of what that state would drop."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # microsecond gaps: Spark's timestamp->long cast TRUNCATES to
+    # seconds while DuckDB's epoch() keeps the fraction — unix_micros
+    # vs epoch_us is the exact-integer pair. unix_micros rejects
+    # TIMESTAMP_NTZ, so cast through TIMESTAMP first; ensure_utc()
+    # pins the session zone, making the NTZ reinterpretation the
+    # identity (same wall-clock the oracle's epoch_us reads).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    g = ev.select("event_type", gap.alias("gap_us"))
+    kept = F.col("gap_us").isNull() | (
+        F.col("gap_us") > _DEBOUNCE_SEC * 1_000_000
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+            F.count(F.when(~kept, 1)).cast("long").alias("n_suppressed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_trending_topk",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, event_type, n,
+             CAST(row_number() OVER (
+               PARTITION BY day ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM daily
+    ),
+    lagged AS (
+      SELECT day, event_type, n, rk,
+             lag(rk) OVER (PARTITION BY event_type ORDER BY day) AS prev_rk
+      FROM ranked
+    )
+    SELECT day, event_type, n, rk,
+           CAST(COALESCE(prev_rk, 0) AS BIGINT) AS prev_rk,
+           CAST(COALESCE(prev_rk, 0) - rk AS BIGINT) AS rank_delta
+    FROM lagged
+    WHERE rk <= 3
+    ORDER BY day, rk
+    """,
+)
+def q_events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending leaderboard: each day's top-3 event types by
+    volume, annotated with yesterday's rank and the rank delta — the
+    movers-and-shakers view every operational dashboard renders.
+    prev_rk = 0 encodes "not ranked yesterday" (new entrant), so the
+    column stays integer and hash-portable.
+
+    Scale shape: raw events collapse to the (day × type) grain in one
+    partial-agg shuffle; BOTH windows (per-day rank, per-type lag)
+    then run on that aggregated frame, whose row count is bounded by
+    calendar × type-cardinality, never by event volume — the same
+    two-grain discipline as the seasonality/changepoint tier."""
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    ranked = daily.select("day", "event_type", "n", rk.cast("long").alias("rk"))
+    prev = F.lag("rk").over(Window.partitionBy("event_type").orderBy("day"))
+    lagged = ranked.select(
+        "day",
+        "event_type",
+        "n",
+        "rk",
+        F.coalesce(prev, F.lit(0)).cast("long").alias("prev_rk"),
+    )
+    return (
+        lagged.filter(F.col("rk") <= 3)
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "rk",
+            "prev_rk",
+            (F.col("prev_rk") - F.col("rk")).cast("long").alias("rank_delta"),
+        )
+        .orderBy("day", "rk")
+    )

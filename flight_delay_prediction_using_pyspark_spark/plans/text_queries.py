@@ -3711,3 +3711,135 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_ppm"), F.desc("freq"), F.asc("word"))
         .limit(15)
     )
+
+
+@query(
+    "corpus_heaps_law_fit",
+    oracle=rf"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM occ GROUP BY tok
+    ),
+    mx AS (SELECT MAX(doc_id) AS md FROM documents),
+    thresholds AS (
+      SELECT i AS decile, CAST((mx.md + 1) * i / 10 AS BIGINT) - 1 AS cut
+      FROM generate_series(1, 10) AS g(i), mx
+    ),
+    pts AS (
+      SELECT decile,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM occ
+              WHERE doc_id <= cut) AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+              WHERE first_doc <= cut) AS vocab
+      FROM thresholds
+    ),
+    q AS (
+      SELECT decile, n_tokens, vocab,
+             CAST(floor(100000 * ln(n_tokens)) AS BIGINT) AS x,
+             CAST(floor(100000 * ln(vocab)) AS BIGINT) AS y
+      FROM pts WHERE n_tokens > 0 AND vocab > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM q
+    ),
+    beta AS (
+      SELECT CAST((1000000 * (CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy))
+                  // (CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS beta_ppm
+      FROM s
+    )
+    SELECT decile, n_tokens, vocab, beta_ppm
+    FROM q, beta
+    ORDER BY decile
+    """,
+)
+def q_corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-token
+    count V(N) at ten corpus prefixes (by doc_id order) with the OLS
+    exponent β of V = K·N^β — the curve that sizes vocabularies,
+    n-gram tables, and dedup signature stores BEFORE scaling a corpus
+    10×, and the companion corpus-health check to doc_zipf_fit
+    (natural text: β ≈ 0.4-0.6; a flat curve means templated/
+    duplicated text, a β near 1 means noise). New-vocabulary mass is
+    also exactly what incremental-ingest dedup state grows by.
+
+    Scale shape: prefixes need NO per-prefix scans — one pass
+    computes each token's FIRST document (an associative MIN agg, the
+    doc_ngram_novelty trick), so cumulative vocab at a cutoff is a
+    count over first-occurrence ranks; cumulative token mass is one
+    conditional agg over the ten broadcast thresholds. The OLS runs
+    over ten points with the shared floor-quantized-ln discipline, so
+    β is bit-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(TA.tokens(F.col("text"))).alias("tok"))
+    firsts = occ.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    md = docs.agg(F.max("doc_id").alias("md"))
+    thresholds = (
+        spark.range(1, 11)
+        .withColumnRenamed("id", "decile")
+        .crossJoin(F.broadcast(md))
+        .select(
+            "decile",
+            (((F.col("md") + 1) * F.col("decile")) / 10).cast("long").alias("cut_raw"),
+        )
+        .select("decile", (F.col("cut_raw") - 1).alias("cut"))
+    )
+    # collapse token occurrences to the doc grain BEFORE the 10-way
+    # threshold expansion: the cross join multiplies doc-count rows,
+    # not token rows.
+    per_doc = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    pts = (
+        per_doc.crossJoin(F.broadcast(thresholds))
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("cut"), F.col("n_tok")))
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .join(
+            firsts.crossJoin(F.broadcast(thresholds))
+            .groupBy("decile")
+            .agg(
+                F.count(F.when(F.col("first_doc") <= F.col("cut"), 1))
+                .cast("long")
+                .alias("vocab")
+            ),
+            "decile",
+        )
+    )
+    q = pts.filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        "decile",
+        "n_tokens",
+        "vocab",
+        F.floor(100000 * F.log("n_tokens")).cast("long").alias("x"),
+        F.floor(100000 * F.log("vocab")).cast("long").alias("y"),
+    )
+    q = scratch_persist(q)
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    beta = s.select(
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+        ).alias("beta_ppm")
+    )
+    return (
+        q.select("decile", "n_tokens", "vocab")
+        .crossJoin(F.broadcast(beta))
+        .orderBy("decile")
+    )

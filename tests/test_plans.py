@@ -727,3 +727,17 @@ def test_arrow_and_cogroup_paths_use_their_physical_operators(spark):
         QUERIES["events_cogroup_asof_python"](spark, SF_CORRECTNESS_DIR)
     )
     assert "FlatMapCoGroupsInPandas" in plan2
+
+
+def test_price_band_join_partitions_all_orders(spark):
+    """The bands cover the full price domain, so the per-band counts
+    must partition the orders table exactly — and the join must plan
+    as a broadcast (no shuffle of the fact side for the banding)."""
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
+
+    df = QUERIES["orders_price_band_join"](spark, SF_CORRECTNESS_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "SortMergeJoin" not in phys
+    total = sum(r.n_orders for r in df.collect())
+    assert total == load_table(spark, SF_CORRECTNESS_DIR, "orders").count()

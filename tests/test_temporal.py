@@ -176,3 +176,48 @@ def test_daily_ewma_matches_reference_recurrence(spark):
             s = s * 2 + x
         assert r.n_terms == L
         assert r.ewma_ppm == (1_000_000 * s) // ((1 << L) - 1)
+
+
+def test_debounce_planted_rapid_fire(spark, tmp_path):
+    """Planted fixture: three events at t, t+1s, t+400s for one
+    (user, type) stream — exactly the middle one is suppressed at the
+    300 s gap."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": i, "ts": t, "user_id": 1, "event_type": "click",
+         "value": 1.0, "props": "{}"}
+        for i, t in enumerate(
+            [t0, t0 + dt.timedelta(seconds=1), t0 + dt.timedelta(seconds=400)]
+        )
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet", index=False)
+    out = {
+        r.event_type: r
+        for r in QUERIES["events_debounce_dedup"](spark, str(tmp_path)).collect()
+    }
+    r = out["click"]
+    assert (r.n_events, r.n_kept, r.n_suppressed) == (3, 2, 1)
+
+
+def test_trending_topk_invariants(spark):
+    """Each day emits at most 3 rows, ranks are 1..k, and the delta
+    column is exactly prev_rk - rk."""
+    from collections import Counter
+
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = QUERIES["events_trending_topk"](spark, SF_SMOKE_DIR).collect()
+    assert rows
+    per_day = Counter(r.day for r in rows)
+    for day, n in per_day.items():
+        ranks = sorted(r.rk for r in rows if r.day == day)
+        assert ranks == list(range(1, n + 1)) and n <= 3
+    for r in rows:
+        assert r.rank_delta == r.prev_rk - r.rk

@@ -697,3 +697,20 @@ def test_rake_degree_dominates_freq(spark):
         assert r.score_ppm == (1_000_000 * r.degree) // r.freq
     keys = [(-r.score_ppm, -r.freq, r.word) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_heaps_curve_monotone_and_bounded(spark):
+    """Cumulative token mass and vocabulary must be nondecreasing in
+    the prefix, and the fitted exponent must land in [0, 1] (ppm) —
+    V = K·N^beta cannot shrink and cannot outgrow the corpus."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    rows = sorted(
+        QUERIES["corpus_heaps_law_fit"](spark, SF_CORRECTNESS_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens >= a.n_tokens and b.vocab >= a.vocab
+    assert 0 <= rows[0].beta_ppm <= 1_000_000
