@@ -181,6 +181,8 @@ HEADLINE = [
     "events_trending_topk",
     "orders_price_band_join",
     "corpus_heaps_law_fit",
+    "layout_manifest_time_travel",
+    "layout_schema_evolution_read",
 ]
 
 

@@ -2180,3 +2180,136 @@ def q_events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "rk")
     )
+
+
+@query(
+    "layout_manifest_time_travel",
+    oracle="""
+    WITH b AS (
+      SELECT event_id % 3 AS batch,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    v AS (SELECT unnest([0, 1, 2]) AS version)
+    SELECT version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM v JOIN b ON b.batch <= v.version
+    GROUP BY version
+    ORDER BY version
+    """,
+)
+def q_layout_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF time travel on the manifest-committed table —
+    the Delta/Iceberg contract completed for the exactly-once sink
+    (events_exactly_once_sink writes it; this reads it BACK at every
+    historical version): commits are append-only atomic files over
+    immutable batch directories, so version v is just the manifest
+    prefix id ≤ v — no snapshot copies, and the read plan scans
+    exactly the prefix's directories (the reader lists the tiny
+    manifest, never the data tree). The query commits three
+    deterministic batches (event_id mod 3) and reads versions 0, 1,
+    and latest; the oracle recomputes each version's rowcount and
+    integer-cent checksum from the raw events, so time travel is
+    value-verified, not just row-counted. Scratch table removed after
+    the collect."""
+    import shutil
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.streaming.ops import (
+        commit_batch_to_manifest,
+        read_manifest_parquet,
+    )
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    target = tempfile.mkdtemp(prefix="timetravel_")
+    try:
+        for b in (0, 1, 2):
+            commit_batch_to_manifest(
+                events.filter(F.col("event_id") % 3 == b).select("cents"),
+                b,
+                target,
+            )
+        rows = []
+        for version in (0, 1, 2):
+            snap = read_manifest_parquet(
+                spark, target, as_of=None if version == 2 else version
+            )
+            agg = snap.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            ).first()
+            rows.append((version, agg["n_rows"], agg["sum_cents"]))
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, sum_cents long"
+    ).orderBy("version")
+
+
+@query(
+    "layout_schema_evolution_read",
+    oracle="""
+    WITH v AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE NULL END AS nc
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(nc) AS BIGINT) AS n_with_chars,
+           CAST(SUM(COALESCE(nc, 0)) AS BIGINT) AS sum_chars
+    FROM v
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_layout_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet table — the lakehouse ADD COLUMN
+    path: generation 1 of the table was written WITHOUT `n_chars`
+    (even doc_ids), generation 2 (odd doc_ids) carries it; a
+    `mergeSchema` read unions the file schemas and back-fills the
+    missing column with nulls, which is exactly the contract a
+    pipeline that widened its schema mid-corpus depends on. The
+    census proves both halves: n_with_chars counts only generation-2
+    rows, sum_chars is exact over them, and generation-1 rows are
+    present (n_docs) with clean nulls rather than read errors.
+
+    Scale note: mergeSchema reconciles FILE FOOTERS (schema metadata,
+    not data) — cost scales with file count, not bytes; production
+    tables pin the merged schema in the catalog instead of re-merging
+    per read, and this query documents why (the footer union is the
+    slow generic path). Scratch dirs removed after the collect."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/gen=1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(f"{base}/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/gen=1", f"{base}/gen=2"
+        )
+        out = (
+            merged.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count("n_chars").cast("long").alias("n_with_chars"),
+                F.sum(F.coalesce("n_chars", F.lit(0))).cast("long").alias("sum_chars"),
+            )
+            .orderBy("lang")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("lang")

@@ -558,11 +558,21 @@ def commit_batch_to_manifest(
     os.rename(tmp, commit_file)  # the atomic commit point
 
 
-def read_manifest_parquet(spark: SparkSession, target_dir: str) -> DataFrame:
+def read_manifest_parquet(
+    spark: SparkSession, target_dir: str, as_of: int | None = None
+) -> DataFrame:
     """Read ONLY committed batches of a manifest_parquet_sink table:
     list the manifest (tiny), scan exactly those batch directories.
     Uncommitted/partial data directories are invisible by
-    construction."""
+    construction.
+
+    `as_of`: TIME TRAVEL — read the table as it stood after batch id
+    `as_of` committed (batches with id ≤ as_of), exactly the
+    Delta/Iceberg `VERSION AS OF` contract: because commits are
+    append-only atomic files and data directories are immutable once
+    committed, any historical version is just a shorter prefix of the
+    manifest — no snapshotting, no copy. None (default) reads the
+    latest version."""
     import os
 
     manifest = os.path.join(target_dir, "manifest")
@@ -577,8 +587,13 @@ def read_manifest_parquet(spark: SparkSession, target_dir: str) -> DataFrame:
         ),
         key=int,
     ) if os.path.isdir(manifest) else []
+    if as_of is not None:
+        committed = [b for b in committed if int(b) <= as_of]
     if not committed:
-        raise ValueError(f"no committed batches under {target_dir}")
+        raise ValueError(
+            f"no committed batches under {target_dir}"
+            + (f" at version {as_of}" if as_of is not None else "")
+        )
     paths = [
         os.path.join(target_dir, "data", f"batch={b}") for b in committed
     ]

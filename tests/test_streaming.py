@@ -373,3 +373,29 @@ def test_cdc_merge_tombstones_delete_keys_and_empty_buckets(spark, tmp_path):
     S.cdc_merge_sink(s3, target, key_cols=["user_id"], order_col="event_id", op_col="op")
     rows = {r.user_id: r.event_type for r in spark.read.parquet(target).collect()}
     assert rows[2] == "back" and set(rows) == {1, 2, 3, 4}
+
+
+def test_manifest_time_travel_prefix_reads(spark, tmp_path):
+    """VERSION AS OF must read exactly the committed prefix: version
+    0 sees batch 0 only, version 1 adds batch 1, latest == as_of of
+    the last id, and a version before any commit raises."""
+    import pytest as _pytest
+
+    from flight_delay_prediction_using_pyspark_spark.streaming.ops import (
+        commit_batch_to_manifest,
+        read_manifest_parquet,
+    )
+
+    target = str(tmp_path / "tt")
+    for b, vals in enumerate([[1, 2], [3], [4, 5, 6]]):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        commit_batch_to_manifest(df, b, target)
+    seen = {
+        v: sorted(r.x for r in read_manifest_parquet(spark, target, as_of=v).collect())
+        for v in (0, 1, 2)
+    }
+    assert seen == {0: [1, 2], 1: [1, 2, 3], 2: [1, 2, 3, 4, 5, 6]}
+    latest = sorted(r.x for r in read_manifest_parquet(spark, target).collect())
+    assert latest == seen[2]
+    with _pytest.raises(ValueError):
+        read_manifest_parquet(spark, target, as_of=-1)
