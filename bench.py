@@ -183,6 +183,7 @@ HEADLINE = [
     "corpus_heaps_law_fit",
     "layout_manifest_time_travel",
     "layout_schema_evolution_read",
+    "layout_manifest_stats_pruning",
 ]
 
 

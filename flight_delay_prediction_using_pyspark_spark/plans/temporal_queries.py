@@ -2313,3 +2313,89 @@ def q_layout_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema).orderBy("lang")
+
+
+@query(
+    "layout_manifest_stats_pruning",
+    oracle="""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    lo AS (SELECT 2 * ((m + 4) // 4) AS lo FROM mx)
+    SELECT CAST(4 AS BIGINT) AS n_batches_total,
+           CAST(2 AS BIGINT) AS n_batches_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events, lo
+    WHERE event_id >= lo.lo
+    """,
+)
+def q_layout_manifest_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping — the Iceberg pruning read path on
+    the exactly-once table: each commit records its batch's [min, max]
+    of the sort key in the manifest, so a range read drops whole
+    batches at PLANNING time from the tiny manifest alone — zero
+    parquet footers touched for skipped batches, the file-skipping
+    analogue of layout.write_range_sorted but decided before any
+    filesystem listing of the data tree. Four event_id-quartile
+    batches (disjoint envelopes by construction) are committed with
+    stats; a read of the top half must scan exactly 2 of 4 batches —
+    n_batches_scanned comes from the actual inputFiles() of the
+    returned plan, and the oracle pins it to the literal 2 while
+    value-verifying the surviving rows against a raw recomputation.
+    Skipping is an optimization, never a filter: the row predicate is
+    still applied, and batches without stats are conservatively
+    scanned. Scratch table removed after the collect."""
+    import re
+    import shutil
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.streaming.ops import (
+        commit_batch_to_manifest,
+        read_manifest_parquet,
+    )
+
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias("cents"),
+    )
+    max_id = events.agg(F.max("event_id")).first()[0]
+    quart = (max_id + 1 + 3) // 4  # ceil width so 4 ranges cover all ids
+    lo = 2 * quart  # the exact batch-2 boundary: 2 of 4 batches survive
+    # the envelope test for ANY row count, so n_batches_scanned is a
+    # deterministic literal the oracle can pin
+    target = tempfile.mkdtemp(prefix="statsprune_")
+    try:
+        for b in range(4):
+            commit_batch_to_manifest(
+                events.filter(
+                    (F.col("event_id") >= b * quart)
+                    & (F.col("event_id") < (b + 1) * quart)
+                ),
+                b,
+                target,
+                stats_col="event_id",
+            )
+        snap = read_manifest_parquet(spark, target, between=(lo, max_id))
+        scanned = {
+            m.group(1)
+            for f in snap.inputFiles()
+            for m in [re.search(r"batch=(\d+)", f)]
+            if m
+        }
+        agg = (
+            snap.filter(F.col("event_id") >= lo)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .first()
+        )
+        row = (4, len(scanned), agg["n_rows"], agg["sum_cents"])
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_batches_total long, n_batches_scanned long, "
+        "n_rows long, sum_cents long",
+    )

@@ -538,11 +538,20 @@ def manifest_parquet_sink(
 
 
 def commit_batch_to_manifest(
-    batch_df: DataFrame, batch_id: int, target_dir: str
+    batch_df: DataFrame, batch_id: int, target_dir: str,
+    stats_col: str | None = None,
 ) -> None:
     """The sink's per-batch commit, exposed for replay/crash testing:
     skip if committed, write `data/batch=<id>/`, then atomically
-    create `manifest/<id>.commit` (temp + rename)."""
+    create `manifest/<id>.commit` (temp + rename).
+
+    `stats_col`: optionally record the batch's min/max of one column
+    in the commit file (a JSON line) — the Iceberg-manifest pattern
+    that lets readers DATA-SKIP whole batches from the tiny manifest
+    alone (`read_manifest_parquet(between=...)`) without touching a
+    parquet footer. The min/max agg rides the same job as the write's
+    input (one extra scan of the batch, driver-side two numbers)."""
+    import json as _json
     import os
 
     manifest = os.path.join(target_dir, "manifest")
@@ -552,14 +561,23 @@ def commit_batch_to_manifest(
         return
     data_dir = os.path.join(target_dir, "data", f"batch={batch_id}")
     batch_df.write.mode("overwrite").parquet(data_dir)
+    meta: dict = {"batch": batch_id}
+    if stats_col is not None:
+        row = batch_df.agg(
+            F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
+        ).first()
+        meta["stats"] = {"col": stats_col, "min": row["mn"], "max": row["mx"]}
     tmp = commit_file + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(f"batch={batch_id}\n")
+        fh.write(_json.dumps(meta) + "\n")
     os.rename(tmp, commit_file)  # the atomic commit point
 
 
 def read_manifest_parquet(
-    spark: SparkSession, target_dir: str, as_of: int | None = None
+    spark: SparkSession,
+    target_dir: str,
+    as_of: int | None = None,
+    between: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Read ONLY committed batches of a manifest_parquet_sink table:
     list the manifest (tiny), scan exactly those batch directories.
@@ -572,7 +590,18 @@ def read_manifest_parquet(
     append-only atomic files and data directories are immutable once
     committed, any historical version is just a shorter prefix of the
     manifest — no snapshotting, no copy. None (default) reads the
-    latest version."""
+    latest version.
+
+    `between=(lo, hi)`: DATA SKIPPING from manifest stats — batches
+    whose recorded [min, max] envelope (commit files written with
+    `stats_col`) is disjoint from [lo, hi] are dropped from the scan
+    list entirely; batches committed WITHOUT stats are conservatively
+    kept (skipping is an optimization, never a filter — callers still
+    apply their row-level predicate). This is the Iceberg
+    manifest-pruning read path: the planning decision touches only
+    the tiny manifest, not one parquet footer of the skipped
+    batches."""
+    import json as _json
     import os
 
     manifest = os.path.join(target_dir, "manifest")
@@ -594,6 +623,29 @@ def read_manifest_parquet(
             f"no committed batches under {target_dir}"
             + (f" at version {as_of}" if as_of is not None else "")
         )
+    if between is not None:
+        lo, hi = between
+        kept = []
+        for b in committed:
+            with open(os.path.join(manifest, f"{b}.commit")) as fh:
+                first = fh.readline().strip()
+            try:
+                stats = _json.loads(first).get("stats")
+            except ValueError:  # pre-stats commit format
+                stats = None
+            if stats is None or (stats["min"] <= hi and stats["max"] >= lo):
+                kept.append(b)
+        committed = kept
+        if not committed:
+            # every batch's envelope is disjoint from [lo, hi]: the
+            # result is EMPTY, and an empty frame needs a schema —
+            # read one batch's footer (metadata-only) and filter-all.
+            any_path = os.path.join(target_dir, "data")
+            first_batch = sorted(os.listdir(any_path))[0]
+            return (
+                spark.read.parquet(os.path.join(any_path, first_batch))
+                .limit(0)
+            )
     paths = [
         os.path.join(target_dir, "data", f"batch={b}") for b in committed
     ]

@@ -399,3 +399,37 @@ def test_manifest_time_travel_prefix_reads(spark, tmp_path):
     assert latest == seen[2]
     with _pytest.raises(ValueError):
         read_manifest_parquet(spark, target, as_of=-1)
+
+
+def test_manifest_stats_pruning_reader(spark, tmp_path):
+    """`between` pruning: disjoint-envelope batches are dropped from
+    the scan list, stats-less batches are conservatively kept, and a
+    fully-disjoint range returns an empty frame with the right
+    schema."""
+    from flight_delay_prediction_using_pyspark_spark.streaming.ops import (
+        commit_batch_to_manifest,
+        read_manifest_parquet,
+    )
+
+    target = str(tmp_path / "sp")
+    for b, vals in enumerate([[1, 2, 3], [10, 11], [20, 25]]):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        commit_batch_to_manifest(df, b, target, stats_col="x")
+    # stats-less batch: must never be pruned
+    commit_batch_to_manifest(
+        spark.createDataFrame([(99,)], "x long"), 3, target
+    )
+    got = sorted(
+        r.x for r in read_manifest_parquet(spark, target, between=(10, 12)).collect()
+    )
+    assert got == [10, 11, 99]  # batch 1 matched, stats-less kept
+    empty = read_manifest_parquet(spark, target, between=(4, 9))
+    # batches 0/1/2 disjoint; the stats-less batch is kept
+    assert sorted(r.x for r in empty.collect()) == [99]
+    # fully-disjoint WITH no stats-less batches -> empty frame, schema kept
+    target2 = str(tmp_path / "sp3")
+    commit_batch_to_manifest(
+        spark.createDataFrame([(1,), (2,)], "x long"), 0, target2, stats_col="x"
+    )
+    out = read_manifest_parquet(spark, target2, between=(100, 200))
+    assert out.columns == ["x"] and out.count() == 0
