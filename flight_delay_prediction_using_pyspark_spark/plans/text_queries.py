@@ -2122,9 +2122,14 @@ def q_doc_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons cross-engine, the TF-IDF precedent); averages are
     exact integer division. Counts build in two hash aggs; the probe
     joins are key-partitioned shuffle equi-joins — no driver vocab,
-    no broadcast of the big side, the same plan at 100 TB."""
+    no broadcast of the big side, the same plan at 100 TB. The shared
+    train intermediates (token arrays, unigram counts) scratch-persist
+    so the 'en' slice is scanned+tokenized once, not per consumer
+    (round-7: 5 parquet scans → 3)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = TA.bigram_lm_doc_scores(docs, docs.filter(F.col("lang") == "en"))
+    scores = TA.bigram_lm_doc_scores(
+        docs, docs.filter(F.col("lang") == "en"), persist_fn=scratch_persist
+    )
     j = docs.select("doc_id", "lang").join(scores, "doc_id", "left")
     bucket = (
         F.when(F.col("avg_logp_q").isNull(), "short")

@@ -535,12 +535,10 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ).select(id_col, "__p.*")
 
 
-def token_bigram_pairs(col: Column | str) -> Column:
-    """Adjacent token pairs as `array<struct<w1,w2>>` — the join-ready
-    form of token_2grams (w1 is needed alone for the context-count
-    join in the bigram LM). Slice-based, so <2-token docs yield an
-    empty array without the descending-`sequence` trap. Map-only."""
-    toks = tokens(col)
+def bigram_pairs_from_tokens(toks: Column) -> Column:
+    """Adjacent pairs from an ALREADY-TOKENIZED array — lets a cached
+    token-array frame feed both unigram and bigram counts without a
+    second tokenize pass (the bigram-LM train side)."""
     head = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     return F.transform(
         head,
@@ -550,12 +548,21 @@ def token_bigram_pairs(col: Column | str) -> Column:
     )
 
 
+def token_bigram_pairs(col: Column | str) -> Column:
+    """Adjacent token pairs as `array<struct<w1,w2>>` — the join-ready
+    form of token_2grams (w1 is needed alone for the context-count
+    join in the bigram LM). Slice-based, so <2-token docs yield an
+    empty array without the descending-`sequence` trap. Map-only."""
+    return bigram_pairs_from_tokens(tokens(col))
+
+
 def bigram_lm_doc_scores(
     docs: DataFrame,
     train: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     quant: int = 100_000,
+    persist_fn=None,
 ) -> DataFrame:
     """CCNet-style LM quality scoring (Wenzek et al., LREC'20), the
     Spark-expressible core: fit an add-one-smoothed token-bigram LM on
@@ -576,16 +583,26 @@ def bigram_lm_doc_scores(
     corpus size (no driver-side vocab, no broadcast of the big side);
     V rides a broadcast single-row cross join. The per-doc agg is the
     only other shuffle.
+
+    `persist_fn`: optional cache hook (e.g. the catalog's
+    scratch_persist) applied to the SHARED intermediates — the train
+    token-array frame (feeds both unigram and bigram counts: without
+    the cache the train text is scanned+tokenized twice) and the
+    unigram-count frame (feeds both the vocab scalar and the probe's
+    context join). Measured at sf0.1 this collapses the query from 5
+    parquet scans to 3 and ~6.3 s to ~4 s.
     """
     lowered = F.lower(F.col(text_col))
+    keep = persist_fn if persist_fn is not None else (lambda df: df)
     probe = docs.select(
         F.col(id_col), F.explode(token_bigram_pairs(lowered)).alias("bg")
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    tr_toks = train.select(F.explode(tokens(lowered)).alias("w"))
-    uni = tr_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tr_arr = keep(train.select(tokens(lowered).alias("ta")))
+    tr_toks = tr_arr.select(F.explode("ta").alias("w"))
+    uni = keep(tr_toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = (
-        train.select(F.explode(token_bigram_pairs(lowered)).alias("bg"))
+        tr_arr.select(F.explode(bigram_pairs_from_tokens(F.col("ta"))).alias("bg"))
         .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("cb"))
     )
