@@ -2290,18 +2290,22 @@ def q_doc_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     units). The probability ratio is assembled in one fixed operand
     order on both engines and ln() floor-quantized to 1e-5 (the
     TF-IDF precedent), so ranking integers match bit-for-bit. Counts
-    are three hash aggs; scalars N_tokens/N_bigrams ride broadcast
-    one-row cross joins; the unigram joins key-partition on the word
-    — no driver vocab at any scale."""
+    are two hash aggs (one token pass, one bigram pass — round 7
+    dropped the two extra corpus scans: the N_tokens/N_bigrams
+    scalars are Σcounts over the PERSISTED vocab-scale aggregates,
+    not fresh passes over the occurrence streams); scalars ride
+    broadcast one-row cross joins; the unigram joins key-partition
+    on the word — no driver vocab and no corpus-scale cache at any
+    scale (the persisted frames are vocabulary-sized)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TA.tokens(F.lower(F.col("text")))).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    nt = toks.agg(F.count(F.lit(1)).alias("n_t"))
+    uni = scratch_persist(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    nt = uni.agg(F.sum("c").alias("n_t"))
     bigr = docs.select(
         F.explode(TA.token_bigram_pairs(F.lower(F.col("text")))).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    big = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    nb = bigr.agg(F.count(F.lit(1)).alias("n_b"))
+    big = scratch_persist(bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    nb = big.agg(F.sum("c12").alias("n_b"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     pmi_q = F.floor(
