@@ -501,8 +501,12 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qt = docs.filter(F.col("doc_id") == _QUERY_VEC_ID).select(
         F.array_distinct(tokens(F.col("text"))).alias("qterms")
     )
-    # both scored frames persist: global_rank's auto-mode count would
-    # otherwise re-run the tokenize/cosine scan a second time
+    # No persists here (round 7): each scored frame has exactly ONE
+    # consumer — its global_rank, which resolves 'local' from the
+    # job-free plan estimate. The persists existed to shield the old
+    # count()-based auto-mode from re-running the tokenize/cosine
+    # lineage; with the estimate-based resolver they were pure
+    # materialization overhead on the single-action path.
     lex_scored = (
         docs.filter(F.col("doc_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(qt))
@@ -513,21 +517,18 @@ def q_doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap"),
         )
     )
-    lex_scored = scratch_persist(lex_scored)
     lex = global_rank(
         lex_scored, [F.desc("overlap"), F.asc("doc_id")], out_col="r_lex"
     )
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") != _QUERY_VEC_ID
     )
-    vec_scored = scratch_persist(
-        emb.select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
-                6,
-            ).alias("cos"),
-        )
+    vec_scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            ann.cosine(F.col("embedding"), ann.lit_vector(_query_vec(spark, sf_dir))),
+            6,
+        ).alias("cos"),
     )
     scored = global_rank(
         vec_scored, [F.desc("cos"), F.asc("doc_id")], out_col="r_vec"
