@@ -704,8 +704,14 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
         "user_id", "event_id", TP.epoch_seconds("ts").alias("sec")
     )
     sess = TP.sessionize(ev, "user_id", "sec", "event_id")
-    spans = sess.groupBy("user_id", "session_id").agg(
-        F.min("sec").alias("st"), F.max("sec").alias("en")
+    # spans feeds THREE consumers — both sweep-boundary branches of
+    # the union and the n_sessions count — each of which would re-run
+    # the events scan + sessionize window; persist caps that lineage
+    # at the (session-grain, ≪ events) frame.
+    spans = scratch_persist(
+        sess.groupBy("user_id", "session_id").agg(
+            F.min("sec").alias("st"), F.max("sec").alias("en")
+        )
     )
     d = spans.select(F.col("st").alias("sec"), F.lit(1).alias("delta")).unionAll(
         spans.select((F.col("en") + 1).alias("sec"), F.lit(-1).alias("delta"))
