@@ -60,3 +60,33 @@ def test_join_size_cms_upper_bound_and_usable(spark):
     r = QUERIES["orders_join_size_cms"](spark, SF_CORRECTNESS_DIR).collect()[0]
     assert r.est_join_size >= r.exact_join_size > 0
     assert r.over_ppm < 1_000_000  # estimate < 2x exact
+
+
+def test_cms_rows_not_jointly_correlated_pure_python():
+    """Statistical pin for the round-7 CMS fix, engine-free: for key
+    pairs whose md5 bases differ by an exact multiple of the sketch
+    width (the class that collided in EVERY row under the old
+    never-wrapping family), the fixed Carter-Wegman rows must collide
+    near-independently — joint all-rows collision rate ~(1/w)^d, not
+    ~1."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        _CMS_P,
+    )
+
+    width = 64
+
+    def bucket(h, r):
+        return (((h % _CMS_P) * CMS_A[r] + CMS_B[r]) % _CMS_P) % width
+
+    n, all_rows_collide = 0, 0
+    for h in range(1, 4001):
+        h2 = h + width * 997  # same residue class mod width
+        n += 1
+        if all(bucket(h, r) == bucket(h2, r) for r in range(CMS_D)):
+            all_rows_collide += 1
+    # independent rows: expected rate (1/64)^3 ~ 4e-6; the broken
+    # family scored ~1.0 on this exact class. Allow generous slack.
+    assert all_rows_collide / n < 0.01

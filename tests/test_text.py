@@ -714,3 +714,56 @@ def test_heaps_curve_monotone_and_bounded(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.n_tokens >= a.n_tokens and b.vocab >= a.vocab
     assert 0 <= rows[0].beta_ppm <= 1_000_000
+
+
+def test_minhash_family_minwise_property_pure_python():
+    """Statistical pin for the round-7 family fix, engine-free: over
+    deterministic pseudo-random shingle-hash sets, P(argmin collides)
+    must track exact Jaccard within binomial noise — the property the
+    old family (monotone in h, all permutations picking the same
+    min-md5 shingle) violated by construction. Also replays the bug
+    signature directly: permutations must NOT all agree on rank order
+    (the old family's min index was the same for ~every i)."""
+    import random
+
+    from flight_delay_prediction_using_pyspark_spark.text.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+        MINHASH_P,
+    )
+
+    def sig(hs):
+        return [
+            min(((h % MINHASH_P) * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+                for h in hs)
+            for i in range(MINHASH_K)
+        ]
+
+    rng = random.Random(7)
+    total_m, total_k, total_j = 0, 0, 0.0
+    n_pairs = 200
+    for _ in range(n_pairs):
+        common = {rng.randrange(1 << 32) for _ in range(rng.randrange(1, 30))}
+        a = common | {rng.randrange(1 << 32) for _ in range(rng.randrange(1, 30))}
+        b = common | {rng.randrange(1 << 32) for _ in range(rng.randrange(1, 30))}
+        j = len(a & b) / len(a | b)
+        m = sum(x == y for x, y in zip(sig(a), sig(b)))
+        total_m += m
+        total_k += MINHASH_K
+        total_j += j
+    # E[m/k] == mean Jaccard; with 200*16 = 3200 Bernoulli draws the
+    # 5-sigma band is ~±0.045
+    assert abs(total_m / total_k - total_j / n_pairs) < 0.05
+
+    # bug-signature replay: across k permutations of ONE set, the
+    # argmin element must vary (the broken family picked the same
+    # element for nearly every i)
+    hs = sorted({rng.randrange(1 << 32) for _ in range(50)})
+    argmins = {
+        min(range(len(hs)),
+            key=lambda ix: ((hs[ix] % MINHASH_P) * MINHASH_A[i] + MINHASH_B[i])
+            % MINHASH_P)
+        for i in range(MINHASH_K)
+    }
+    assert len(argmins) > MINHASH_K // 3
