@@ -741,3 +741,35 @@ def test_price_band_join_partitions_all_orders(spark):
     assert "SortMergeJoin" not in phys
     total = sum(r.n_orders for r in df.collect())
     assert total == load_table(spark, SF_CORRECTNESS_DIR, "orders").count()
+
+
+#: Plan-shape budget for the round-7 queries: (max exchanges, max
+#: parquet scans) per query — regressions in shuffle count or scan
+#: sharing fail here, not in bench archaeology. Budgets are the
+#: audited round-7 plan shapes with zero slack (each includes the
+#: final orderBy's result-sized range exchange where the query sorts
+#: its output; heaps' 8/4 covers the two threshold-expansion branches
+#: + OLS scalar + output sort — the exchanges after the first two run
+#: on decile-grain frames).
+_R7_PLAN_BUDGET = {
+    "events_daily_ewma": (2, 1),
+    "events_debounce_dedup": (3, 1),
+    "events_trending_topk": (4, 1),
+    "orders_price_band_join": (2, 1),
+    "doc_rake_keywords": (3, 2),
+    "dedup_bbit_minhash_est": (3, 1),
+    "ann_hard_negative_mining": (2, 2),
+    "corpus_heaps_law_fit": (8, 4),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_R7_PLAN_BUDGET))
+def test_round7_query_plan_budgets(spark, name):
+    max_ex, max_scan = _R7_PLAN_BUDGET[name]
+    import re
+
+    plan = plan_of(QUERIES[name](spark, SF_CORRECTNESS_DIR))
+    n_ex = n_exchanges(plan)
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > budget {max_ex}"
+    assert n_scan <= max_scan, f"{name}: {n_scan} scans > budget {max_scan}"
