@@ -756,7 +756,7 @@ _R7_PLAN_BUDGET = {
     "events_debounce_dedup": (3, 1),
     "events_trending_topk": (4, 1),
     "orders_price_band_join": (2, 1),
-    "doc_rake_keywords": (3, 2),
+    "doc_rake_keywords": (3, 1),
     "dedup_bbit_minhash_est": (3, 1),
     "ann_hard_negative_mining": (2, 2),
     "corpus_heaps_law_fit": (8, 4),
