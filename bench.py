@@ -184,6 +184,7 @@ HEADLINE = [
     "layout_manifest_time_travel",
     "layout_schema_evolution_read",
     "layout_manifest_stats_pruning",
+    "doc_langid_method_agreement",
 ]
 
 

@@ -3852,3 +3852,79 @@ def q_corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(beta))
         .orderBy("decile")
     )
+
+
+@query(
+    "doc_langid_method_agreement",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_TOKS} AS t, lower(text) AS lt FROM documents
+    ),
+    p AS (
+      SELECT lang,
+             {_argmax_sql(list(TA.LANG_PROFILES))} AS p_stop,
+             {_argmax_sql(list(TA.NGRAM_PROFILES), prefix="c_")} AS p_char
+      FROM (
+        SELECT lang,
+               {", ".join(f"{_lang_score(w)} AS s_{lang}" for lang, w in TA.LANG_PROFILES.items())},
+               {", ".join(f"{_chargram_score_sql(grams).replace('(t,', '(lt,').replace('length(t)', 'length(lt)')} AS c_{lang}" for lang, grams in TA.NGRAM_PROFILES.items())}
+        FROM base
+      )
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE p_stop = p_char) AS BIGINT) AS n_agree,
+           CAST(COUNT(*) FILTER (WHERE p_stop = lang) AS BIGINT)
+             AS n_stop_correct,
+           CAST(COUNT(*) FILTER (WHERE p_char = lang) AS BIGINT)
+             AS n_char_correct,
+           CAST(COUNT(*) FILTER (WHERE p_stop = lang AND p_char = lang)
+                AS BIGINT) AS n_both_correct
+    FROM p
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_doc_langid_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-agreement audit of the two language-ID methods
+    (stopword-profile argmax vs Cavnar-Trenkle char-n-gram argmax):
+    per labeled language, how often the methods AGREE and how often
+    each (and both) matches the label. Model agreement is the
+    standard cheap proxy for label quality when no gold labels exist
+    — docs where independent weak classifiers disagree are the review
+    queue, and a per-language agreement drop flags profile drift
+    before either confusion matrix (doc_language_confusion /
+    doc_language_chargram_confusion) moves visibly. Both scorers are
+    integer-exact string built-ins sharing ONE scan — map-only into a
+    single per-language agg, the same plan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "lang",
+        TA.predict_language(F.col("text")).alias("p_stop"),
+        TA.predict_language_chargram(F.col("text")).alias("p_char"),
+    )
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("p_stop") == F.col("p_char"), 1))
+            .cast("long")
+            .alias("n_agree"),
+            F.count(F.when(F.col("p_stop") == F.col("lang"), 1))
+            .cast("long")
+            .alias("n_stop_correct"),
+            F.count(F.when(F.col("p_char") == F.col("lang"), 1))
+            .cast("long")
+            .alias("n_char_correct"),
+            F.count(
+                F.when(
+                    (F.col("p_stop") == F.col("lang"))
+                    & (F.col("p_char") == F.col("lang")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_both_correct"),
+        )
+        .orderBy("lang")
+    )

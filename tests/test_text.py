@@ -767,3 +767,17 @@ def test_minhash_family_minwise_property_pure_python():
         for i in range(MINHASH_K)
     }
     assert len(argmins) > MINHASH_K // 3
+
+
+def test_langid_agreement_invariants(spark):
+    """Both-correct is a subset of each method's correct set AND of
+    the agreement set; every counter is bounded by n_docs."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = QUERIES["doc_langid_method_agreement"](spark, SF_SMOKE_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_both_correct <= min(r.n_stop_correct, r.n_char_correct, r.n_agree)
+        for c in (r.n_agree, r.n_stop_correct, r.n_char_correct, r.n_both_correct):
+            assert 0 <= c <= r.n_docs
