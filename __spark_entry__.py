@@ -49,71 +49,52 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 7:
-#   - doc_dsir_importance_weights: smoothing changed from constant
-#     B=1024 to the occupied-bucket count (round-6 verdict "What's
-#     wrong #3" — the constant-B Laplace bias drove every weight
-#     negative on the driver corpus); both engines share the new
-#     formula, so a fresh driver row must attest to it.
-#   - every dim_join consumer: plan_size_bytes is now join-lineage
-#     robust (min(own, Σ children) per node — round-6 "What's wrong
-#     #1", the 37.9 GB estimate on a 100 KB customer chain), which
-#     flips q7/q8/multijoin's customer chains back to broadcast.
-#     Outputs are plan-invariant but the q17 standard says driver
-#     evidence must attest to shipped code.
-#   - customer_rfm_segments / orders_pareto_concentration /
-#     doc_hybrid_search_rrf / events_max_concurrent_sessions /
-#     corpus_leakage_safe_split / doc_rare_token_score: global_rank
-#     auto-mode consumers — resolve_global_rank_mode routes through
-#     the fixed estimate ("What's wrong #2").
-#   - layout_bucketed_join_topk: scratch metastore db now dropped
-#     CASCADE after the run (round-6 ADVICE disk leak).
-#   - the minhash family: the affine hash was NOT min-wise
-#     independent (monotone in h — see dedup.py MINHASH_P notes);
-#     the Carter-Wegman fix changes every signature-derived output
-#     (pairs/clusters/band-tuning/agreement/containment/levenshtein
-#     verify sets, pipeline keep-sets), so the whole family re-runs
-#     for fresh driver rows attesting to the fixed code.
-#   - doc_token_cms_estimate / events_streaming_cms: the CMS row
-#     hashes got the same Carter-Wegman fix (operators/sketches.py),
-#     changing sketch cell placement and therefore the estimates.
+# Round 8:
+#   - doc_lm_perplexity_buckets / doc_token_pmi_pairs /
+#     copurchase_association_rules: round-7 shipped plan-only scan
+#     reductions for these WITHOUT fresh driver rows (round-7 verdict
+#     "What's missing #1" — queued by name for round 8).
+#   - plan_estimate_contract: grew a fifth oracle-pinned boolean
+#     (exploding_hint_refused — dim_join must refuse the broadcast
+#     hint on a many-to-many self-join lineage, the one shape the
+#     robust size bound under-estimates; verdict "What's wrong #2").
+#     Schema changed, so the r7 row attests to a narrower contract.
+#   - events_max_concurrent_sessions: the round-7 spans persist is
+#     now SIZE-GATED (scratch_persist_if_large) — at bench SF the
+#     persist pinned an AQE-frozen 128-task cached plan and cost
+#     1.66× baseline (the round's only recorded regression); output
+#     is invariant but the lineage changed.
+#   - corpus_heaps_law_fit: the decile cut moved to exact integer
+#     division on BOTH engines (ADVICE: DuckDB's DOUBLE-divide +
+#     round-half-to-even vs Spark's truncating cast diverge by one
+#     doc whenever doc_count isn't a multiple of 10 — masked at the
+#     shipped SFs, latent everywhere else).
+#   - layout_manifest_time_travel / layout_schema_evolution_read /
+#     layout_manifest_stats_pruning: the manifest protocol changed
+#     (ADVICE ×3 — stats now derived from the files actually written,
+#     null min/max recorded as stats-absent and kept conservatively
+#     on read, all-pruned schema read comes from a known-committed
+#     batch instead of a lexicographic data-tree listing).
 _MUST_HAVE: list[str] = [
-    "doc_token_cms_estimate",
-    "events_streaming_cms",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_clusters",
-    "dedup_minhash_est_accuracy",
-    "dedup_minhash_band_tuning",
-    "dedup_family_agreement",
-    "dedup_containment_pairs",
-    "dedup_lsh_levenshtein",
-    "training_corpus_prep",
-    "corpus_full_pipeline",
-    "corpus_incremental_ingest_dedup",
-    "corpus_pack_sequences",
-    "doc_dsir_importance_weights",
-    "tpch_q8_market_share",
-    "tpch_q7_nation_volume",
-    "nation_revenue_multijoin",
-    "segment_revenue",
-    "region_nation_rollup_revenue",
-    "customer_rfm_segments",
-    "orders_pareto_concentration",
-    "doc_hybrid_search_rrf",
+    "doc_lm_perplexity_buckets",
+    "doc_token_pmi_pairs",
+    "copurchase_association_rules",
+    "plan_estimate_contract",
     "events_max_concurrent_sessions",
-    "corpus_leakage_safe_split",
-    "doc_rare_token_score",
-    "layout_bucketed_join_topk",
-    "doc_token_mg_heavy_hitters",
-    "orders_bloom_pruned_revenue",
+    "corpus_heaps_law_fit",
+    "layout_manifest_time_travel",
+    "layout_schema_evolution_read",
+    "layout_manifest_stats_pruning",
 ]
-# NOT re-queued: the wider TPC-H dim_join tier (q2/q3/q9/q11/q14/q15/
-# q16/q17/q18/q19/q20/q21). Their only round-7 change is the shared
-# plan_size_bytes estimate, which is plan-only and value-invariant
-# (`test_chain_dim_queries_plan_no_sortmergejoin` +
-# `plan_estimate_contract` carry the plan-level evidence); the freed
-# slots go to the 11 round-7 queries, which would otherwise fall out
-# of the 50-row window as never-attempted.
+# NOT re-queued: dim_join consumers for the round-8 exploding-join
+# guard — the guard only REFUSES hints on Generate/cross/self-join
+# lineage, which no existing consumer has (FK chains join different
+# tables); their plans are pinned value-invariant by
+# test_chain_dim_queries_plan_no_sortmergejoin and the re-queued
+# plan_estimate_contract carries the new boolean. Likewise the
+# thread-keyed scratch registry (pure lifecycle, output-invariant,
+# tests/test_scratch.py) touches every scratch_persist query; the
+# sequential driver path is behavior-identical.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

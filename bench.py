@@ -14,9 +14,15 @@ bench_last.json.  Set SPARK_GRAFT_BENCH_FULL=1 to time the full
 catalog (mirrored to bench_last.json under all_queries).
 
 Each query is timed end-to-end (plan build + execution to a driver-side
-collect).  Regression diagnostics vs bench_baseline.json go to
-bench_regressions.txt, NOT to stdout/stderr, so no diagnostic line can
-displace the contract line in a merged-stream capture.
+collect); the recorded number is the MIN over independent reps (2, or
+3 when sub-second; cross-call-memoized ml_* queries record their one
+cold rep — see MEMOIZED_ONE_REP), with all rep readings mirrored to
+bench_last.json under "reps" and the contention canary
+(ml_decision_tree_metrics vs its quiet-window reference) carried in
+the contract line itself.  Regression diagnostics vs
+bench_baseline.json go to bench_regressions.txt, NOT to stdout/stderr,
+so no diagnostic line can displace the contract line in a
+merged-stream capture.
 """
 
 from __future__ import annotations
@@ -255,6 +261,31 @@ def _scaling_main() -> None:
                       "out": "bench_scaling.json"}, separators=(",", ":")))
 
 
+#: Queries whose cost is memoized ACROSS calls in one session (the
+#: ml_* family shares _ENCODED_CACHE/_TREE_CACHE fits keyed by
+#: SparkContext): a second rep would measure a cache hit, not the
+#: query, so these record their single cold rep. This also keeps
+#: ml_decision_tree_metrics meaningful as the host-contention canary
+#: (quiet-window ≈ 9.0 s at sf0.1 — SCALE.md): a cache-hit "minimum"
+#: would hide exactly the load signal the canary exists to carry.
+MEMOIZED_ONE_REP = {
+    "ml_feature_pipeline_stats",
+    "ml_decision_tree_metrics",
+    "ml_feature_importance",
+    "ml_linear_regression_metrics",
+    "ml_random_forest_metrics",
+    "ml_gbt_metrics",
+    "ml_cross_validation",
+    "ml_isotonic_calibration",
+}
+
+#: Canary query + its quiet-window reference (SCALE.md): a cold rep
+#: far above quiet_ref means the run is contaminated by host load and
+#: per-query readings should not be adjudicated as regressions.
+CANARY = "ml_decision_tree_metrics"
+CANARY_QUIET_REF_SEC = 9.0
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
         _scaling_main()
@@ -280,16 +311,34 @@ def main() -> None:
     # which sibling paid the one-time fit.
     head = [n for n in HEADLINE if n in QUERIES]
     names = head + [n for n in QUERIES if n not in set(head)] if full else head
+    # Recorded number = per-query MIN over reps (round-7 verdict item
+    # 3: single-run readings on a shared box inflate 1.3-1.8× under
+    # load and cost a round of adjudication per fluke; the minimum is
+    # the structural reading). Reps are fully independent executions —
+    # each wrapped-query entry releases the previous rep's scratch —
+    # except the MEMOIZED_ONE_REP family (cross-call fit caches), which
+    # records its one cold rep. Sub-second queries (where scheduler
+    # jitter is proportionally worst) get a third rep; it costs ~0.4 s
+    # each.
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in names:
-        start = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # Force full execution incl. result materialization to driver.
-        # Arrow toPandas, matching how the driver's correctness gate
-        # consumes results (collect()'s per-row Python objects would
-        # bill large-output queries ~2x for pure driver-side overhead).
-        df.toPandas()
-        timings[name] = round(time.perf_counter() - start, 2)
+        reps: list[float] = []
+        n_reps = 1 if name in MEMOIZED_ONE_REP else 2
+        while len(reps) < n_reps:
+            start = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # Force full execution incl. result materialization to
+            # driver. Arrow toPandas, matching how the driver's
+            # correctness gate consumes results (collect()'s per-row
+            # Python objects would bill large-output queries ~2x for
+            # pure driver-side overhead).
+            df.toPandas()
+            reps.append(round(time.perf_counter() - start, 3))
+            if n_reps == 2 and len(reps) == 2 and min(reps) < 1.0:
+                n_reps = 3
+        timings[name] = round(min(reps), 2)
+        all_reps[name] = reps
 
     _report_regressions(timings, sf)
 
@@ -303,11 +352,18 @@ def main() -> None:
     # bench_last.json, referenced from the line itself.
     budget = 1900
     shown: dict[str, float] = {}
+    canary = {
+        "name": CANARY,
+        "sec": timings.get(CANARY),
+        "quiet_ref_sec": CANARY_QUIET_REF_SEC if sf == 0.1 else None,
+    }
     base = {
         "metric": "headline_total",
         "value": round(sum(headline.values()), 2),
         "unit": "sec",
         "n_queries": len(headline),
+        "agg": "min_of_reps",
+        "canary": canary,
         "queries": shown,
         "full_timings": "bench_last.json",
         "sf": sf,
@@ -322,7 +378,10 @@ def main() -> None:
         "metric": "headline_total",
         "value": round(sum(headline.values()), 2),
         "unit": "sec",
+        "agg": "min_of_reps",
+        "canary": canary,
         "queries": headline,
+        "reps": all_reps,
         "sf": sf,
     }
     if full:

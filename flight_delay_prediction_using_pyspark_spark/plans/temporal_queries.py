@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
 from flight_delay_prediction_using_pyspark_spark.operators import temporal as TP
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
+from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+    query,
+    scratch_persist,
+    scratch_persist_if_large,
+)
 from flight_delay_prediction_using_pyspark_spark.session import ensure_utc
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
@@ -706,9 +710,15 @@ def q_events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     sess = TP.sessionize(ev, "user_id", "sec", "event_id")
     # spans feeds THREE consumers — both sweep-boundary branches of
     # the union and the n_sessions count — each of which would re-run
-    # the events scan + sessionize window; persist caps that lineage
-    # at the (session-grain, ≪ events) frame.
-    spans = scratch_persist(
+    # the events scan + sessionize window. The persist that caps that
+    # lineage is SIZE-GATED (round-7's one recorded bench regression,
+    # 1.66× baseline): at bench SF materializing the ~800 KB frame
+    # pins a 128-task cached plan that AQE can no longer coalesce and
+    # costs ~3× the rescan it saves (isolated min-of-3: 3.05 s
+    # persisted vs 1.07 s not); past the estimate threshold the
+    # rescan dominates and the persist flips on — the right call when
+    # the events scan is 100 TB.
+    spans = scratch_persist_if_large(
         sess.groupBy("user_id", "session_id").agg(
             F.min("sec").alias("st"), F.max("sec").alias("en")
         )

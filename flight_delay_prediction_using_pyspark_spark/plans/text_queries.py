@@ -3733,7 +3733,7 @@ def q_doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT MAX(doc_id) AS md FROM documents),
     thresholds AS (
-      SELECT i AS decile, CAST((mx.md + 1) * i / 10 AS BIGINT) - 1 AS cut
+      SELECT i AS decile, ((mx.md + 1) * i) // 10 - 1 AS cut
       FROM generate_series(1, 10) AS g(i), mx
     ),
     pts AS (
@@ -3797,9 +3797,15 @@ def q_corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(md))
         .select(
             "decile",
-            (((F.col("md") + 1) * F.col("decile")) / 10).cast("long").alias("cut_raw"),
+            # Exact integer division on BOTH engines: DuckDB's
+            # `(md+1)*i / 10` yields DOUBLE and the BIGINT cast rounds
+            # half-to-even (2.5→2, 7.5→8), while a double→long cast
+            # here truncates — for any doc count not a multiple of 10
+            # the decile cut would differ by one doc cross-engine.
+            # `//` (oracle) and `DIV` (Spark) both truncate toward
+            # zero on positive integers, so the cuts are bit-equal.
+            F.expr("((md + 1) * decile) DIV 10 - 1").alias("cut"),
         )
-        .select("decile", (F.col("cut_raw") - 1).alias("cut"))
     )
     # collapse token occurrences to the doc grain BEFORE the 10-way
     # threshold expansion: the cross join multiplies doc-count rows,

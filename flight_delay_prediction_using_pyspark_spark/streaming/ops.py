@@ -563,10 +563,28 @@ def commit_batch_to_manifest(
     batch_df.write.mode("overwrite").parquet(data_dir)
     meta: dict = {"batch": batch_id}
     if stats_col is not None:
-        row = batch_df.agg(
-            F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
-        ).first()
-        meta["stats"] = {"col": stats_col, "min": row["mn"], "max": row["mx"]}
+        # Stats come from the files actually WRITTEN, not from
+        # re-evaluating batch_df: if the batch lineage is
+        # non-deterministic (non-replayable source, sample,
+        # shuffle-order-dependent expr) a re-evaluation could record
+        # an envelope that does not describe the data on disk, and
+        # `between` pruning would then silently DROP batches holding
+        # qualifying rows — wrong results, not a missed optimization.
+        # Reading the just-written footers is metadata-cheap and the
+        # one source of truth.
+        row = (
+            batch_df.sparkSession.read.parquet(data_dir)
+            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+            .first()
+        )
+        # An empty batch (or all-null stats column) yields null
+        # min/max; record stats-absent rather than a null envelope so
+        # the reader keeps its "no stats → conservatively keep"
+        # contract instead of comparing None to a bound.
+        if row["mn"] is not None and row["mx"] is not None:
+            meta["stats"] = {
+                "col": stats_col, "min": row["mn"], "max": row["mx"],
+            }
     tmp = commit_file + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(_json.dumps(meta) + "\n")
@@ -625,6 +643,12 @@ def read_manifest_parquet(
         )
     if between is not None:
         lo, hi = between
+        # Remember one committed batch BEFORE pruning: the empty-result
+        # schema read below must come from a known-committed directory,
+        # never from listing the data tree (which can contain a crashed
+        # write's partial/uncommitted directory, and whose lexicographic
+        # order put batch=10 before batch=2).
+        schema_batch = committed[0]
         kept = []
         for b in committed:
             with open(os.path.join(manifest, f"{b}.commit")) as fh:
@@ -633,17 +657,27 @@ def read_manifest_parquet(
                 stats = _json.loads(first).get("stats")
             except ValueError:  # pre-stats commit format
                 stats = None
-            if stats is None or (stats["min"] <= hi and stats["max"] >= lo):
+            # Null min/max (legacy commit of an empty/all-null batch)
+            # means the envelope is unknown: keep conservatively, same
+            # as stats-absent — skipping is an optimization, never a
+            # filter.
+            if (
+                stats is None
+                or stats["min"] is None
+                or stats["max"] is None
+                or (stats["min"] <= hi and stats["max"] >= lo)
+            ):
                 kept.append(b)
         committed = kept
         if not committed:
             # every batch's envelope is disjoint from [lo, hi]: the
             # result is EMPTY, and an empty frame needs a schema —
-            # read one batch's footer (metadata-only) and filter-all.
-            any_path = os.path.join(target_dir, "data")
-            first_batch = sorted(os.listdir(any_path))[0]
+            # read one committed batch's footer (metadata-only) and
+            # filter-all.
             return (
-                spark.read.parquet(os.path.join(any_path, first_batch))
+                spark.read.parquet(
+                    os.path.join(target_dir, "data", f"batch={schema_batch}")
+                )
                 .limit(0)
             )
     paths = [

@@ -320,6 +320,92 @@ def test_manifest_sink_uncommitted_invisible(spark, tmp_path):
     assert S.read_manifest_parquet(spark, target).count() == 12
 
 
+def test_manifest_null_stats_batch_kept_not_crashed(spark, tmp_path):
+    """Round-7 ADVICE: a batch whose stats column is entirely null (or
+    an empty batch) must commit WITHOUT a stats envelope, and a
+    `between` read must conservatively KEEP it rather than evaluate
+    `None <= hi`. Also covers the legacy on-disk format: a commit file
+    carrying explicit null min/max is treated as stats-absent."""
+    import json
+    import os
+
+    from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+
+    target = str(tmp_path / "nullstats")
+    all_null = spark.range(3).select(
+        F.col("id"), F.lit(None).cast("long").alias("v")
+    )
+    S.commit_batch_to_manifest(all_null, 0, target, stats_col="v")
+    with open(str(tmp_path / "nullstats/manifest/0.commit")) as fh:
+        assert "stats" not in json.loads(fh.readline())
+    # empty batch: also commits stats-free, no crash
+    S.commit_batch_to_manifest(all_null.limit(0), 1, target, stats_col="v")
+    # legacy commit with explicit null envelope (pre-fix writer)
+    data2 = str(tmp_path / "nullstats/data/batch=2")
+    spark.range(4).select(F.col("id"), F.col("id").alias("v")).write.parquet(data2)
+    with open(str(tmp_path / "nullstats/manifest/2.commit"), "w") as fh:
+        fh.write(
+            json.dumps({"batch": 2, "stats": {"col": "v", "min": None, "max": None}})
+            + "\n"
+        )
+    out = S.read_manifest_parquet(spark, target, between=(100, 200))
+    # batches 0 and 2 have no usable envelope -> kept (7 rows); the
+    # empty batch contributes nothing either way.
+    assert out.count() == 7
+    assert os.path.isdir(str(tmp_path / "nullstats/data/batch=1"))
+
+
+def test_manifest_all_pruned_schema_from_committed_batch(spark, tmp_path):
+    """When every batch's envelope is disjoint from [lo, hi], the
+    empty result's schema must come from a COMMITTED batch directory —
+    never from listing the data tree, which may hold a crashed write's
+    uncommitted (even empty/partial) directory."""
+    import os
+
+    from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+
+    target = str(tmp_path / "pruned")
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v"))
+    S.commit_batch_to_manifest(df, 10, target, stats_col="v")
+    # crashed uncommitted batch whose dir sorts lexicographically FIRST
+    # ('batch=0' < 'batch=10') and is empty — the old listdir fallback
+    # would try to read parquet from it and fail.
+    os.makedirs(str(tmp_path / "pruned/data/batch=0"))
+    out = S.read_manifest_parquet(spark, target, between=(1000, 2000))
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_manifest_stats_describe_written_files(spark, tmp_path):
+    """Round-7 ADVICE: the recorded envelope must describe the data
+    actually WRITTEN, not a re-evaluation of a possibly
+    non-deterministic batch lineage. A nondeterministic expression
+    (rand-derived column) must yield an envelope that prunes
+    consistently with the rows on disk."""
+    import json
+
+    from flight_delay_prediction_using_pyspark_spark.streaming import ops as S
+
+    target = str(tmp_path / "nondet")
+    nondet = spark.range(50).select(
+        F.col("id"), (F.rand(seed=None) * 1000).cast("long").alias("v")
+    )
+    S.commit_batch_to_manifest(nondet, 0, target, stats_col="v")
+    with open(str(tmp_path / "nondet/manifest/0.commit")) as fh:
+        stats = json.loads(fh.readline())["stats"]
+    on_disk = (
+        spark.read.parquet(str(tmp_path / "nondet/data/batch=0"))
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .first()
+    )
+    assert stats["min"] == on_disk["mn"] and stats["max"] == on_disk["mx"]
+    # a between window inside the written envelope keeps the batch
+    kept = S.read_manifest_parquet(
+        spark, target, between=(on_disk["mn"], on_disk["mn"])
+    )
+    assert kept.count() == 50
+
+
 def test_cdc_merge_tombstones_delete_keys_and_empty_buckets(spark, tmp_path):
     """Tombstone semantics across batches: a later delete removes the
     key; a later upsert resurrects it; an out-of-order (stale) delete

@@ -664,6 +664,7 @@ def test_plan_estimate_contract_all_true(spark):
     r = QUERIES["plan_estimate_contract"](spark, SF_CORRECTNESS_DIR).collect()[0]
     assert r.chain_est_leaf_bounded and r.chain_hint_kept
     assert r.raw_stat_inflated and r.persisted_crossjoin_local
+    assert r.exploding_hint_refused
 
 
 def test_minhash_estimator_accuracy_contract(spark):
