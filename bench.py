@@ -191,6 +191,10 @@ HEADLINE = [
     "layout_schema_evolution_read",
     "layout_manifest_stats_pruning",
     "doc_langid_method_agreement",
+    # round-8 additions (induction FIRST: it pays the shared memoized
+    # BPE training, so the apply twin's number measures the apply path)
+    "corpus_bpe_vocab_induction",
+    "corpus_bpe_segment_apply",
 ]
 
 
@@ -212,6 +216,9 @@ SCALING_SET = [
     "copurchase_part_pairs",
     "orders_pareto_concentration",
     "orders_join_size_cms",
+    # vocab-bound iterative training: cost rides the distinct-word
+    # frame, so the SF slope should be ≈0 beyond the word-freq agg
+    "corpus_bpe_vocab_induction",
 ]
 
 
@@ -277,6 +284,9 @@ MEMOIZED_ONE_REP = {
     "ml_gbt_metrics",
     "ml_cross_validation",
     "ml_isotonic_calibration",
+    # BPE training is memoized per session+SF (_BPE_CACHE): a second
+    # induction rep would measure the cached merge list, not training.
+    "corpus_bpe_vocab_induction",
 }
 
 #: Canary query + its quiet-window reference (SCALE.md): a cold rep

@@ -142,7 +142,12 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
     the planted-signal MAE envelope: the generator plants
     ArrDelay ≈ DepDelay + U[-5,10] noise, so a working tree must beat
     stddev/4 (≈11) by construction — and a generous wall-time ceiling
-    that still catches an accidental O(n²) or per-row-UDF regression."""
+    that still catches an accidental O(n²) or per-row-UDF regression.
+
+    SPARK_GRAFT_SOAK_ROWS overrides the row count (round-7 verdict
+    item 8: a 1M-row run gives the scaling-slope claims a third
+    decade; the wall ceiling scales linearly with the override so the
+    O(n²) tripwire keeps its sensitivity)."""
     import bz2
     import time
 
@@ -150,7 +155,7 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
         FLIGHTS_SCHEMA,
     )
 
-    n = 500_000
+    n = int(os.environ.get("SPARK_GRAFT_SOAK_ROWS", "500000"))
     cols = [f.name for f in FLIGHTS_SCHEMA.fields]
     csv_path = str(tmp_path / "flights_500k.csv")
     write_single_csv(flights_df(spark, n).select(*cols), csv_path)
@@ -181,8 +186,9 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
     assert os.path.exists(out / "predictions.csv")
     # The reference's single-node run takes 8.07 min on the full-size
     # input; anything near that here (local[32], 500k rows) means a
-    # scale regression, not variance.
-    assert wall < 360, f"soak took {wall:.0f}s"
+    # scale regression, not variance. Ceiling scales with the row
+    # override (360 s at the 500k default).
+    assert wall < 360 * n / 500_000, f"soak took {wall:.0f}s at {n} rows"
 
 
 def test_cli_train_and_score(spark, flights_csv, tmp_path):

@@ -773,3 +773,58 @@ def test_round7_query_plan_budgets(spark, name):
     n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > budget {max_ex}"
     assert n_scan <= max_scan, f"{name}: {n_scan} scans > budget {max_scan}"
+
+
+# Round-8 budgets (verdict item 7): pin (exchanges, parquet scans)
+# for the EXPENSIVE bench tier — every ≥2 s headline entry whose
+# returned frame carries the query's real computation — plus the new
+# BPE apply query. Zero slack: budgets are the audited shapes at
+# sf0.01. Excluded, with reasons: ml_* (MLlib internal jobs; the
+# returned frame is a metrics row), streaming queries
+# (custom_pysource_stream_stats, events_stream_stream_join,
+# events_streaming_dedup — the stream executes at build, the returned
+# frame scans a memory sink), copurchase_triangle_stats and
+# layout_bucketed_join_topk (build-time work over persisted/bucketed
+# scratch; returned plan is (0,0) — vacuous), and
+# corpus_bpe_vocab_induction (returns the driver-side merge table;
+# its plan shape is pinned via the apply twin, which replays the same
+# window chain).
+_R8_PLAN_BUDGET = {
+    "copurchase_pagerank_top10": (13, 1),
+    "dedup_minhash_lsh_pairs": (2, 1),
+    "copurchase_association_rules": (5, 1),
+    "doc_lm_perplexity_buckets": (6, 3),
+    "doc_token_pmi_pairs": (4, 2),
+    "embedding_dedup_threshold_sweep": (2, 2),
+    "corpus_full_pipeline": (10, 4),
+    "training_corpus_prep": (7, 1),
+    "events_cogroup_asof_python": (3, 2),
+    "orders_join_size_cms": (5, 2),
+    "lineitem_winsorized_stats": (2, 2),
+    "dedup_simhash_pairs": (2, 1),
+    "events_max_concurrent_sessions": (5, 2),
+    "semdedup_prune_census": (3, 3),
+    "doc_language_chargram_confusion": (1, 1),
+    "orders_bloom_pruned_revenue": (1, 2),
+    "copurchase_part_pairs": (1, 2),
+    "doc_ngram_novelty": (2, 2),
+    "ann_ivf_topk": (0, 1),
+    "doc_langid_method_agreement": (2, 1),
+    "events_incremental_rollup": (0, 1),
+    "zorder_clustering_stats": (34, 32),
+    "media_byte_stats": (1, 1),
+    "flights_prepare_summary": (4, 0),
+    "corpus_bpe_segment_apply": (3, 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_R8_PLAN_BUDGET))
+def test_round8_expensive_tier_plan_budgets(spark, name):
+    max_ex, max_scan = _R8_PLAN_BUDGET[name]
+    import re
+
+    plan = plan_of(QUERIES[name](spark, SF_CORRECTNESS_DIR))
+    n_ex = n_exchanges(plan)
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > budget {max_ex}"
+    assert n_scan <= max_scan, f"{name}: {n_scan} scans > budget {max_scan}"

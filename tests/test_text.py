@@ -782,3 +782,76 @@ def test_langid_agreement_invariants(spark):
         assert r.n_both_correct <= min(r.n_stop_correct, r.n_char_correct, r.n_agree)
         for c in (r.n_agree, r.n_stop_correct, r.n_char_correct, r.n_both_correct):
             assert 0 <= c <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _seg(spark, word_freqs, merges):
+    """Segment a tiny vocab with a fixed merge list, back to python."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(word_freqs, "word string, freq long")
+    rows = B.bpe_apply(words, merges).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.word, []).append((r.pos, r.sym))
+    return {w: [s for _, s in sorted(v)] for w, v in out.items()}
+
+
+def test_bpe_merge_greedy_nonoverlapping_runs(spark):
+    """The one genuinely tricky rewrite case: a merge (a,a) inside a
+    run of the same symbol must apply greedily left-to-right without
+    overlap — 'aaa' → [aa, a], 'aaaa' → [aa, aa], 'aaaaa' →
+    [aa, aa, a] — exactly what sequential textbook BPE produces."""
+    got = _seg(
+        spark,
+        [("aaa", 1), ("aaaa", 1), ("aaaaa", 1), ("baab", 1)],
+        [("a", "a")],
+    )
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaaaa"] == ["aa", "aa", "a"]
+    assert got["baab"] == ["b", "aa", "b"]
+
+
+def test_bpe_merge_chaining_builds_compounds(spark):
+    """Later merges consume earlier merge outputs: (a,b)→ab twice in
+    'abab', then (ab,ab)→abab collapses the word to one symbol."""
+    got = _seg(spark, [("abab", 1), ("aab", 1)], [("a", "b"), ("ab", "ab")])
+    assert got["abab"] == ["abab"]
+    assert got["aab"] == ["a", "ab"]
+
+
+def test_bpe_train_counts_and_tiebreak(spark):
+    """Pair counts are freq-weighted over the vocab and ties break on
+    (count DESC, left, right): 'ab' appears 3× via freq, tying 'bc'
+    from the other word — 'ab' < 'bc' lexicographically wins rank 1;
+    after merging, rank 2 is decided on the rewritten state."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [("ab", 3), ("bc", 3)], "word string, freq long"
+    )
+    merges, final = B.bpe_train(words, 2)
+    assert merges[0] == (1, "a", "b", 3)
+    assert merges[1] == (2, "b", "c", 3)
+    segs = {}
+    for r in final.collect():
+        segs.setdefault(r.word, []).append((r.pos, r.sym))
+    assert [s for _, s in sorted(segs["ab"])] == ["ab"]
+    assert [s for _, s in sorted(segs["bc"])] == ["bc"]
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    """All-single-character vocabulary: no adjacent pairs exist, so
+    training returns an empty merge list rather than looping or
+    throwing."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame([("a", 5), ("b", 2)], "word string, freq long")
+    merges, final = B.bpe_train(words, 4)
+    assert merges == []
+    assert {r.sym for r in final.collect()} == {"a", "b"}
