@@ -195,6 +195,8 @@ HEADLINE = [
     # BPE training, so the apply twin's number measures the apply path)
     "corpus_bpe_vocab_induction",
     "corpus_bpe_segment_apply",
+    "corpus_bpe_fertility",
+    "corpus_wordpiece_agreement",
 ]
 
 

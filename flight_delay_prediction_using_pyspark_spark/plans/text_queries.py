@@ -3960,13 +3960,13 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
     the shared (word, pos) window). Exact integer counts and integer
     positions throughout — nothing float-portable to drift."""
     parts = [
-        r"""tf AS (
+        r"""tf AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
             FROM documents)
       GROUP BY word
     ),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT word, freq, CAST(i AS BIGINT) AS pos,
              substr(word, CAST(i AS INT), 1) AS sym
       FROM tf, unnest(generate_series(1, length(word))) AS g(i)
@@ -3975,7 +3975,7 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
     for k in range(1, n_merges + 1):
         p = k - 1
         parts.append(
-            f"""best{k} AS (
+            f"""best{k} AS MATERIALIZED (
       SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT sym AS a,
                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
@@ -4007,7 +4007,7 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
                          FALSE) AS gone
       FROM h{k}
     ),
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT word, freq,
              CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
                   AS BIGINT) AS pos,
@@ -4124,4 +4124,221 @@ def q_corpus_bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("token_count"), F.asc("sym"))
         .limit(15)
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    return rf"""{_bpe_oracle_ctes(n_merges)},
+    pieces AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+      FROM r{n_merges} GROUP BY word
+    ),
+    lw AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+            FROM documents)
+      GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS ws_tokens,
+           CAST(SUM(freq * n_pieces) AS BIGINT) AS bpe_pieces,
+           CAST((1000000 * CAST(SUM(freq * n_pieces) AS HUGEINT))
+                // SUM(freq) AS BIGINT) AS fertility_ppm
+    FROM lw JOIN pieces USING (word)
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("corpus_bpe_fertility", oracle=_bpe_fertility_oracle(_BPE_N_MERGES))
+def q_corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility of the INDUCED BPE vocabulary per language — pieces
+    per whitespace word under the learned merge table, the standard
+    tokenizer-quality metric that decides whether a vocabulary is
+    adequate for a language before committing a training run
+    (complements doc_tokenizer_fertility, which scores a FIXED regex
+    pre-tokenizer). Scaled integer division keeps the ratio exact
+    cross-engine.
+
+    Scale shape — this query IS the production apply pattern the BPE
+    module documents: the corpus is touched once (lang-word counts,
+    one explode + groupBy), the global vocabulary is segmented once
+    (the pure-plan window chain over the vocab-sized word frame,
+    collapsed to word → n_pieces), and the two meet in a size-aware
+    dimension join on word (`dim_join`: vocab under the ceiling
+    broadcasts; a web-scale vocabulary falls back to AQE's runtime
+    choice — here the lineage guard leaves the hint to AQE anyway,
+    because both sides descend from the same documents scan and
+    nothing at plan time proves the vocab side's key uniqueness).
+    The final per-language rollup is a 5-group agg."""
+    from flight_delay_prediction_using_pyspark_spark.operators.relational import (
+        dim_join,
+    )
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    merges = _bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = scratch_persist(B.word_freq(docs))
+    pieces = (
+        B.bpe_apply(words, [(a, b) for _, a, b, _ in merges])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pieces"))
+    )
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return (
+        dim_join(lw, pieces, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("ws_tokens"),
+            F.sum(F.col("freq") * F.col("n_pieces"))
+            .cast("long")
+            .alias("bpe_pieces"),
+            F.expr(
+                "CAST((1000000 * CAST(sum(freq * n_pieces) AS DECIMAL(38,0)))"
+                " DIV sum(freq) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _wordpiece_oracle(n_merges: int, max_pieces: int = 8) -> str:
+    """Unrolled greedy longest-match replay: inventory = base alphabet
+    ∪ merged units from the BPE CTEs; each step extracts one piece per
+    unfinished word (candidate prefixes → inventory equi-join →
+    per-word longest wins, ties impossible since equal-length matching
+    prefixes are equal strings); finished words ride the UNION-ALL
+    carry branch. The census joins the WordPiece segmentation to the
+    merge-replay segmentation (r{n}) and counts agreement exactly."""
+    union_merged = "\n      UNION\n      ".join(
+        f"SELECT a || b AS piece FROM best{k}" for k in range(1, n_merges + 1)
+    )
+    steps = []
+    for i in range(1, max_pieces + 1):
+        p = i - 1
+        steps.append(f"""cand{i} AS (
+      SELECT s.word, s.freq, s.remaining, s.n_pieces, s.sig, v.piece
+      FROM (SELECT s.*, substr(s.remaining, 1, CAST(g.l AS INT)) AS pref
+            FROM s{p} s, ml,
+                 unnest(generate_series(1, least(length(s.remaining), ml.m)))
+                   AS g(l)) s
+      JOIN inventory v ON v.piece = s.pref
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT word, freq, substr(remaining, length(piece) + 1) AS remaining,
+             n_pieces + 1 AS n_pieces,
+             CASE WHEN sig = '' THEN piece
+                  ELSE sig || '|' || piece END AS sig
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+                      ORDER BY length(piece) DESC, piece) AS rn
+            FROM cand{i}) WHERE rn = 1
+      UNION ALL
+      SELECT word, freq, remaining, n_pieces, sig
+      FROM s{p} WHERE remaining = ''
+    )""")
+    steps_sql = ",\n    ".join(steps)
+    return f"""{_bpe_oracle_ctes(n_merges)},
+    inventory AS (
+      SELECT DISTINCT sym AS piece FROM r0
+      UNION
+      {union_merged}
+    ),
+    ml AS (SELECT MAX(length(piece)) AS m FROM inventory),
+    s0 AS MATERIALIZED (
+      SELECT word, freq, word AS remaining,
+             CAST(0 AS BIGINT) AS n_pieces, '' AS sig
+      FROM tf WHERE length(word) >= 1
+    ),
+    {steps_sql},
+    bpe_seg AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS bpe_n,
+             string_agg(sym, '|' ORDER BY pos) AS bpe_sig
+      FROM r{n_merges} GROUP BY word
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.freq * w.n_pieces) AS BIGINT) AS wp_pieces_weighted,
+           CAST(SUM(w.freq * b.bpe_n) AS BIGINT) AS bpe_pieces_weighted,
+           CAST(COUNT(CASE WHEN w.sig = b.bpe_sig THEN 1 END) AS BIGINT)
+             AS n_identical,
+           CAST(COUNT(CASE WHEN w.n_pieces < b.bpe_n THEN 1 END) AS BIGINT)
+             AS n_wp_fewer,
+           CAST(COUNT(CASE WHEN w.n_pieces > b.bpe_n THEN 1 END) AS BIGINT)
+             AS n_bpe_fewer,
+           CAST(COUNT(CASE WHEN w.remaining <> '' THEN 1 END) AS BIGINT)
+             AS n_truncated
+    FROM s{max_pieces} w JOIN bpe_seg b USING (word)
+    """
+
+
+@query("corpus_wordpiece_agreement", oracle=_wordpiece_oracle(_BPE_N_MERGES))
+def q_corpus_wordpiece_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-replay vs WordPiece inference agreement census: segment the
+    corpus vocabulary BOTH ways over the same induced symbol inventory
+    — merge-order replay (what a BPE tokenizer does, `bpe_apply`) and
+    greedy longest-match-first (what BERT-family WordPiece tokenizers
+    do at serving time, `wordpiece_segment`) — and count exact
+    segmentation agreement, piece-count skew in each direction, and
+    long-word truncations. The two inference algorithms share a
+    vocabulary but are NOT equivalent; shipping a vocab trained for
+    one and served with the other changes the token stream, and this
+    census is the audit that quantifies by how much before a corpus
+    is tokenized at scale.
+
+    Scale shape: both segmentations are vocab-sized pure plans — the
+    merge replay is the 1-exchange window chain, the longest-match
+    loop is max_pieces rounds of (bounded prefix explode → broadcast
+    inventory equi-join → per-word window), state referenced once per
+    round so the plan grows linearly. The corpus is never touched
+    after the shared word-frequency aggregate; the census is one join
+    of two vocab-grain frames plus a single global agg."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    merges = _bpe_merges(spark, sf_dir)
+    pairs = [(a, b) for _, a, b, _ in merges]
+    docs = load_table(spark, sf_dir, "documents")
+    words = scratch_persist(B.word_freq(docs))
+    wp = B.wordpiece_segment(words, pairs, max_pieces=_BPE_N_MERGES)
+    bpe_seg = (
+        B.bpe_apply(words, pairs)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bpe_n"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, sym))), x -> x.sym), '|')"
+            ).alias("bpe_sig"),
+        )
+    )
+    return wp.join(bpe_seg, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_pieces"))
+        .cast("long")
+        .alias("wp_pieces_weighted"),
+        F.sum(F.col("freq") * F.col("bpe_n"))
+        .cast("long")
+        .alias("bpe_pieces_weighted"),
+        F.count(F.when(F.col("sig") == F.col("bpe_sig"), 1))
+        .cast("long")
+        .alias("n_identical"),
+        F.count(F.when(F.col("n_pieces") < F.col("bpe_n"), 1))
+        .cast("long")
+        .alias("n_wp_fewer"),
+        F.count(F.when(F.col("n_pieces") > F.col("bpe_n"), 1))
+        .cast("long")
+        .alias("n_bpe_fewer"),
+        F.count(F.when(F.col("remaining") != "", 1))
+        .cast("long")
+        .alias("n_truncated"),
     )

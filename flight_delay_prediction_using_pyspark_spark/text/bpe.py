@@ -25,9 +25,13 @@ Design for 100 TB:
   merge list becomes literals, so segmentation of new text is one
   shuffle on word + a chain of window rewrites — broadcastable
   against a corpus as a word→segmentation dimension join.
-- Per-iteration state is persisted and the superseded iteration
-  released, so training never re-runs more than one iteration's
-  lineage (without it, iteration k would replay all k-1 rewrites).
+- Per-iteration state caching is SIZE-GATED (see bpe_train): a
+  web-scale vocab persists each iteration so training never re-runs
+  more than one iteration's lineage; a small vocab recomputes in one
+  pipelined stage instead of pinning K AQE-frozen caches.
+- wordpiece_segment adds the OTHER standard inference algorithm over
+  the same induced inventory: greedy longest-match-first (WordPiece,
+  Wu et al. 2016), a pure plan with no driver feedback.
 
 Production note: at very large vocabularies, practical trainers batch
 several non-interacting merges per round to cut iteration count; this
@@ -217,3 +221,83 @@ def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     for a, b in merges:
         state = apply_merge(state, a, b)
     return state
+
+
+def wordpiece_segment(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    max_pieces: int = 8,
+) -> DataFrame:
+    """Greedy longest-match-first segmentation (the WordPiece
+    INFERENCE algorithm, Wu et al. 2016 — what BERT-family tokenizers
+    run at serving time) of a (word, freq) vocabulary against the
+    symbol inventory induced by BPE training: base alphabet ∪ merged
+    units. Returns (word, freq, remaining, n_pieces, sig) where `sig`
+    is the '|'-joined piece sequence; `remaining` is non-empty only
+    for words longer than `max_pieces` pieces (the standard long-word
+    truncation guard production tokenizers apply).
+
+    This is a MAP-ONLY projection — tokenizer-as-expression. The
+    inventory is a TOKENIZER ARTIFACT (alphabet ∪ merged units,
+    bounded by the unicode alphabet plus the merge count, never by
+    the corpus), so it is collected once (same bounded-driver-state
+    rule as the merge list) and becomes an array LITERAL inside a
+    single `aggregate()` fold over `max_pieces` steps: each step
+    takes the longest inventory entry prefixing the remaining suffix
+    (`array_max` over `struct(length, piece)` — equal-length matches
+    at one position are equal strings, so the max is unique) and
+    advances the (remaining, n_pieces, sig) accumulator. Everything
+    runs inside whole-stage codegen: zero joins, zero windows, zero
+    shuffles beyond whatever built the input vocabulary frame. An
+    earlier relational formulation (per-round prefix explode →
+    broadcast-inventory equi-join → per-word window) produced the
+    same rows through ~18 broadcast/sort stages of pure scheduling
+    latency; with the inventory already driver-resident there is
+    nothing distributed left to coordinate per round. At inventories
+    too large to inline (≫10⁵ entries), swap the literal for a
+    mapInPandas trie pass — the documented escape hatch.
+
+    Caller contract: every character of every word must be in the
+    inventory (always true when the inventory's alphabet comes from
+    the same word frame, as here) — an unmatched position would fold
+    to a NULL state.
+
+    Note: merge-replay (BPE inference, `bpe_apply`) and longest-match
+    (WordPiece inference) are DIFFERENT segmenters that happen to
+    share a vocabulary — quantifying their disagreement is exactly
+    what the agreement census query exists for."""
+    alphabet = {
+        r["sym"]
+        for r in char_state(words).select("sym").distinct().collect()
+    }
+    vocab_syms = sorted(alphabet | {a + b for a, b in merges})
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    inv = "array(" + ",".join(_q(v) for v in vocab_syms) + ")"
+    best = (
+        f"array_max(transform(filter({inv}, "
+        "v -> v = substring(acc.remaining, 1, length(v))), "
+        "v -> struct(length(v) AS l, v AS p))).p"
+    )
+    fold = f"""aggregate(
+      sequence(1, {max_pieces}),
+      struct(word AS remaining, CAST(0 AS BIGINT) AS n_pieces,
+             CAST('' AS STRING) AS sig),
+      (acc, i) -> CASE WHEN acc.remaining = '' THEN acc ELSE struct(
+        substring(acc.remaining, length({best}) + 1) AS remaining,
+        acc.n_pieces + CAST(1 AS BIGINT) AS n_pieces,
+        CASE WHEN acc.sig = '' THEN {best}
+             ELSE concat(acc.sig, '|', {best}) END AS sig) END)"""
+    return (
+        words.filter(F.length("word") >= 1)
+        .withColumn("__wp", F.expr(fold))
+        .select(
+            "word",
+            "freq",
+            F.col("__wp.remaining").alias("remaining"),
+            F.col("__wp.n_pieces").alias("n_pieces"),
+            F.col("__wp.sig").alias("sig"),
+        )
+    )

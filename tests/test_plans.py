@@ -815,6 +815,12 @@ _R8_PLAN_BUDGET = {
     "media_byte_stats": (1, 1),
     "flights_prepare_summary": (4, 0),
     "corpus_bpe_segment_apply": (3, 1),
+    # corpus touched once (lang-word agg), vocab segmented once, one
+    # dimension join on word, per-lang rollup
+    "corpus_bpe_fertility": (5, 2),
+    # WP side is a map-only fold expression; exchanges are the shared
+    # word-freq agg + the census join/agg
+    "corpus_wordpiece_agreement": (3, 1),
 }
 
 

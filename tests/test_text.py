@@ -855,3 +855,44 @@ def test_bpe_train_stops_when_no_pairs(spark):
     merges, final = B.bpe_train(words, 4)
     assert merges == []
     assert {r.sym for r in final.collect()} == {"a", "b"}
+
+
+def test_wordpiece_longest_match_and_truncation(spark):
+    """Greedy longest-match-first semantics: with inventory
+    {a,b,c,ab,abc}, 'abcab' takes 'abc' then 'ab' (longest at each
+    position, NOT the leftmost shorter 'ab'); max_pieces truncation
+    leaves the unconsumed suffix in `remaining`."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [("abcab", 2), ("cba", 1)], "word string, freq long"
+    )
+    merges = [("a", "b"), ("ab", "c")]  # inventory: a,b,c,ab,abc
+    out = {r.word: r for r in B.wordpiece_segment(words, merges).collect()}
+    assert out["abcab"].sig == "abc|ab" and out["abcab"].n_pieces == 2
+    assert out["abcab"].remaining == ""
+    assert out["cba"].sig == "c|b|a" and out["cba"].n_pieces == 3
+    trunc = {
+        r.word: r
+        for r in B.wordpiece_segment(words, merges, max_pieces=2).collect()
+    }
+    assert trunc["cba"].n_pieces == 2 and trunc["cba"].remaining == "a"
+    assert trunc["cba"].sig == "c|b"
+
+
+def test_wordpiece_agrees_with_bpe_replay_on_disjoint_merges(spark):
+    """When merges never chain, replay and longest-match coincide —
+    the agreement census's n_identical should equal n_words."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [("ster", 4), ("erst", 2)], "word string, freq long"
+    )
+    merges = [("e", "r"), ("s", "t")]
+    wp = {r.word: r.sig for r in B.wordpiece_segment(words, merges).collect()}
+    bpe_rows = B.bpe_apply(words, merges).collect()
+    bpe = {}
+    for r in bpe_rows:
+        bpe.setdefault(r.word, []).append((r.pos, r.sym))
+    bpe_sig = {w: "|".join(s for _, s in sorted(v)) for w, v in bpe.items()}
+    assert wp == bpe_sig == {"ster": "st|er", "erst": "er|st"}
