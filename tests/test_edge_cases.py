@@ -133,3 +133,62 @@ def test_write_range_sorted_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary equality allowed)
+
+
+def test_bpe_on_empty_and_single_char_vocab(spark):
+    """BPE training and both inference paths must degrade cleanly:
+    empty vocabulary -> no merges, empty outputs; all-single-char
+    vocabulary -> no pairs to merge, identity segmentation."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    empty = spark.createDataFrame([], "word string, freq long")
+    merges, final = B.bpe_train(empty, 3)
+    assert merges == [] and final.count() == 0
+    assert B.wordpiece_segment(empty, []).count() == 0
+
+    singles = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "word string, freq long"
+    )
+    merges, final = B.bpe_train(singles, 3)
+    assert merges == []
+    wp = {r.word: r.sig for r in B.wordpiece_segment(singles, merges).collect()}
+    assert wp == {"a": "a", "b": "b"}
+
+
+def test_plan_multiply_guard_shapes(spark):
+    """_plan_may_multiply_rows: trips on Generate (explode) and
+    common-relation self-joins, stays quiet on FK-style
+    different-table joins and on semi/anti joins of the same table."""
+    from flight_delay_prediction_using_pyspark_spark.operators.relational import (
+        _plan_may_multiply_rows,
+    )
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import (
+        load_table,
+    )
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    def trips(df) -> bool:
+        return _plan_may_multiply_rows(
+            df._jdf.queryExecution().optimizedPlan()
+        )
+
+    nation = load_table(spark, SF_CORRECTNESS_DIR, "nation")
+    region = load_table(spark, SF_CORRECTNESS_DIR, "region")
+    fk = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    assert not trips(fk)
+
+    n2 = load_table(spark, SF_CORRECTNESS_DIR, "nation").select(
+        F.col("n_regionkey").alias("rk2")
+    )
+    self_join = nation.join(n2, nation.n_regionkey == n2.rk2)
+    assert trips(self_join)
+
+    semi = nation.join(
+        load_table(spark, SF_CORRECTNESS_DIR, "nation").select("n_nationkey"),
+        "n_nationkey",
+        "left_semi",
+    )
+    assert not trips(semi)
+
+    gen = nation.select(F.explode(F.split(F.col("n_name"), " ")))
+    assert trips(gen)
