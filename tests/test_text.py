@@ -896,3 +896,88 @@ def test_wordpiece_agrees_with_bpe_replay_on_disjoint_merges(spark):
         bpe.setdefault(r.word, []).append((r.pos, r.sym))
     bpe_sig = {w: "|".join(s for _, s in sorted(v)) for w, v in bpe.items()}
     assert wp == bpe_sig == {"ster": "st|er", "erst": "er|st"}
+
+
+def test_bpe_matches_pure_python_textbook_reference(spark):
+    """Engine-free correctness contract (the round-7 sketch-family
+    lesson: shared-constant implementations can be wrong together and
+    stay oracle-green — here the oracle SQL mirrors the same window
+    formulation, so a reference from OUTSIDE that formulation is the
+    real guard). A deliberately adversarial seeded vocabulary over a
+    2-symbol alphabet (maximal same-symbol runs, chaining merges,
+    overlap ambiguity) is trained with the obviously-correct textbook
+    loop in pure Python; merges AND final segmentations must match
+    the distributed operator exactly. WordPiece longest-match gets
+    the same treatment."""
+    import random
+
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    rng = random.Random(20260815)
+    vocab = {}
+    while len(vocab) < 24:
+        w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+        vocab.setdefault(w, rng.randint(1, 5))
+
+    def merge_seq(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    def py_bpe(freqs, n_merges):
+        seqs = {w: list(w) for w in freqs}
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for w, f in freqs.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, a, b, c))
+            seqs = {w: merge_seq(s, a, b) for w, s in seqs.items()}
+        return merges, seqs
+
+    def py_wordpiece(word, inventory, max_pieces):
+        rem, pieces = word, []
+        while rem and len(pieces) < max_pieces:
+            best = max(
+                (v for v in inventory if rem.startswith(v)), key=len
+            )
+            pieces.append(best)
+            rem = rem[len(best):]
+        return pieces, rem
+
+    n_merges = 6
+    exp_merges, exp_seqs = py_bpe(vocab, n_merges)
+    words = spark.createDataFrame(
+        list(vocab.items()), "word string, freq long"
+    )
+    got_merges, final = B.bpe_train(words, n_merges)
+    assert got_merges == exp_merges
+    got_seqs = {}
+    for r in final.collect():
+        got_seqs.setdefault(r.word, []).append((r.pos, r.sym))
+    assert {
+        w: [s for _, s in sorted(v)] for w, v in got_seqs.items()
+    } == exp_seqs
+
+    pairs = [(a, b) for _, a, b, _ in got_merges]
+    inventory = set("ab") | {a + b for a, b in pairs}
+    wp = {
+        r.word: (r.sig, r.remaining)
+        for r in B.wordpiece_segment(words, pairs, max_pieces=4).collect()
+    }
+    for w in vocab:
+        exp_pieces, exp_rem = py_wordpiece(w, inventory, 4)
+        assert wp[w] == ("|".join(exp_pieces), exp_rem), w
