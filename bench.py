@@ -197,6 +197,7 @@ HEADLINE = [
     "corpus_bpe_segment_apply",
     "corpus_bpe_fertility",
     "corpus_wordpiece_agreement",
+    "corpus_unigram_lm_vocab",
 ]
 
 

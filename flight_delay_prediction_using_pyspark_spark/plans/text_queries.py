@@ -4342,3 +4342,154 @@ def q_corpus_wordpiece_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_truncated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer-vocabulary induction (round-8; Kudo ACL 2018 —
+# see text/unigram.py for the algorithm and scale design)
+# ---------------------------------------------------------------------------
+
+_UNI_Q = 100000      # shared ln-quantization factor (text/unigram._Q)
+_UNI_UNROLL = 12     # oracle DP unroll depth; words longer than this
+                     # would be dropped oracle-side (corpus max is 8)
+_UNI_ROUNDS = 2
+
+
+def _unigram_dp_ctes(r: int) -> str:
+    """Round-r Viterbi DP as unrolled MATERIALIZED CTEs: d{r}_{i}
+    accumulates the best struct(score, n, sig) per (word, prefix pos
+    ≤ i) — min-of-struct is the same lexicographic tie-break the
+    Spark fold uses; v{r} is the round's cost table."""
+    from flight_delay_prediction_using_pyspark_spark.text.unigram import (
+        MAX_PIECE_LEN,
+    )
+
+    parts = [f"""d{r}_0 AS MATERIALIZED (
+      SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS score,
+             CAST(0 AS BIGINT) AS n, '' AS sig
+      FROM tfw
+    )"""]
+    for i in range(1, _UNI_UNROLL + 1):
+        parts.append(f"""d{r}_{i} AS MATERIALIZED (
+      SELECT * FROM d{r}_{i-1}
+      UNION ALL
+      SELECT word, freq, {i} AS pos,
+             (m).score AS score, (m).n AS n, (m).sig AS sig
+      FROM (
+        SELECT d.word, d.freq,
+               MIN(struct_pack(
+                 score := d.score + v.cost_q,
+                 n := d.n + 1,
+                 sig := CASE WHEN d.sig = '' THEN v.piece
+                             ELSE d.sig || '|' || v.piece END)) AS m
+        FROM d{r}_{i-1} d
+        JOIN v{r} v ON v.piece = substr(d.word, d.pos + 1, {i} - d.pos)
+        WHERE d.pos BETWEEN {i} - {MAX_PIECE_LEN} AND {i} - 1
+          AND length(d.word) >= {i}
+        GROUP BY d.word, d.freq
+      )
+    )""")
+        # noqa: E501 — generated SQL block
+    parts.append(f"""seg{r} AS MATERIALIZED (
+      SELECT word, freq, score, n, sig
+      FROM d{r}_{_UNI_UNROLL} WHERE pos = length(word)
+    ),
+    cnt{r} AS MATERIALIZED (
+      SELECT s.piece, CAST(coalesce(SUM(p.freq), 0) AS BIGINT) AS cnt
+      FROM seed s
+      LEFT JOIN (SELECT unnest(string_split(sig, '|')) AS piece, freq
+                 FROM seg{r}) p ON p.piece = s.piece
+      GROUP BY s.piece
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _unigram_cost_cte(src: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+      SELECT piece,
+             CAST(floor({_UNI_Q} * ln(t.t + t.m)) AS BIGINT)
+               - CAST(floor({_UNI_Q} * ln(cnt + 1)) AS BIGINT) AS cost_q
+      FROM {src}, (SELECT SUM(cnt) AS t, COUNT(*) AS m FROM {src}) t
+    )"""
+
+
+def _unigram_oracle() -> str:
+    from flight_delay_prediction_using_pyspark_spark.text.unigram import (
+        MAX_PIECE_LEN,
+        TOP_M,
+    )
+
+    rounds_sql = []
+    for r in range(1, _UNI_ROUNDS + 1):
+        src = "seed" if r == 1 else f"cnt{r-1}"
+        rounds_sql.append(_unigram_cost_cte(src, f"v{r}"))
+        rounds_sql.append(_unigram_dp_ctes(r))
+    body = ",\n    ".join(rounds_sql)
+    return rf"""
+    WITH tfw AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+            FROM documents)
+      GROUP BY word
+      HAVING length(word) >= 1
+    ),
+    subs AS (
+      SELECT substr(word, CAST(i AS INT), CAST(L AS INT)) AS piece, freq
+      FROM tfw,
+           unnest(generate_series(1, length(word))) g(i),
+           unnest(generate_series(1, {MAX_PIECE_LEN})) h(L)
+      WHERE i + L - 1 <= length(word)
+    ),
+    scnt AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM subs GROUP BY piece
+    ),
+    seed AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM scnt WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {TOP_M})
+      UNION ALL
+      SELECT piece, cnt FROM scnt WHERE length(piece) = 1
+    ),
+    {body},
+    {_unigram_cost_cte(f"cnt{_UNI_ROUNDS}", "vfinal")}
+    SELECT c.piece, CAST(length(c.piece) AS BIGINT) AS piece_len,
+           c.cnt AS viterbi_count, v.cost_q
+    FROM cnt{_UNI_ROUNDS} c JOIN vfinal v USING (piece)
+    ORDER BY viterbi_count DESC, piece
+    LIMIT 15
+    """
+
+
+@query("corpus_unigram_lm_vocab", oracle=_unigram_oracle())
+def q_corpus_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer-vocabulary induction (Kudo, ACL 2018 —
+    the SentencePiece unigram model behind T5/Llama-family
+    tokenizers), hard-EM variant: substring seeding → 2 rounds of
+    (Viterbi E-step, count M-step) with integer-quantized smoothed
+    costs — the SECOND of the two standard vocab-induction algorithms
+    (BPE is corpus_bpe_vocab_induction; real pipelines pick per
+    model family). Emits the top of the final piece table with
+    weighted Viterbi counts and shippable quantized costs.
+
+    Scale shape (text/unigram.py): one corpus-scale aggregation
+    (word → freq), a bounded substring-seed explode over the vocab
+    frame, then every E-step is a MAP-ONLY projection — the piece-
+    cost table is a bounded tokenizer artifact inlined as a map
+    literal inside one aggregate() DP fold (zero joins/windows;
+    lexicographic min-of-struct is the deterministic tie-break,
+    verified identical in both engines) — and every M-step one
+    explode + groupBy. Driver state is always artifact-sized. The
+    oracle replays the identical computation as unrolled MATERIALIZED
+    per-position DP joins."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+    from flight_delay_prediction_using_pyspark_spark.text import unigram as U
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = scratch_persist(B.word_freq(docs))
+    counts, costs, _ = U.unigram_train(words, n_rounds=_UNI_ROUNDS)
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    return spark.createDataFrame(
+        [(p, len(p), c, costs[p]) for p, c in rows],
+        "piece string, piece_len long, viterbi_count long, cost_q long",
+    ).orderBy(F.desc("viterbi_count"), F.asc("piece"))

@@ -1,0 +1,198 @@
+"""Distributed unigram-LM tokenizer-vocabulary induction (Kudo,
+"Subword Regularization", ACL 2018 — the SentencePiece unigram model
+behind T5/Llama-family tokenizers), hard-EM variant: Viterbi E-step,
+count M-step, integer-quantized costs so every number is bit-portable
+across engines.
+
+Algorithm (deterministic by construction):
+1. SEED: all substrings of length 1..MAX_PIECE_LEN of the corpus
+   vocabulary, occurrence-counted (overlapping) and word-frequency
+   weighted; keep the top-M multi-char pieces by (count DESC, piece)
+   plus EVERY single character (the cover guarantee: any word always
+   has at least the all-singles segmentation).
+2. Piece costs: cost(p) = floor(Q·ln(total + |V|)) −
+   floor(Q·ln(cnt(p) + 1)) — an integer-quantized, add-one-smoothed
+   negative log-probability. Both engines quantize ln identically
+   (the repo-wide floor-quantized-ln discipline).
+3. E-STEP (Viterbi): per word, the minimum-cost segmentation by DP
+   over prefix positions; the DP value is struct(score, n_pieces,
+   sig) compared lexicographically, so equal-cost ties resolve to the
+   fewest pieces and then the lexicographically-least piece string —
+   a TOTAL deterministic order both engines share (min-of-struct is
+   field-lexicographic in Spark and DuckDB, verified).
+4. M-STEP: piece counts over the freq-weighted Viterbi segmentations;
+   recompute costs; repeat. Zero-count pieces stay in the vocabulary
+   with the smoothed maximum cost (pruning is a reporting concern —
+   the emitted table ranks by final count, which is what a pruner
+   would cut on).
+
+Scale design (mirrors text/bpe.py):
+- ONE corpus-scale aggregation (word → freq). Seeding is a bounded
+  explode over the vocab frame (≤ len·MAX_PIECE_LEN substrings per
+  word). Every E-step is a MAP-ONLY projection: the piece-cost table
+  is a bounded tokenizer artifact (top-M + alphabet, like the BPE
+  merge list), collected once per round and inlined as a map literal
+  inside a single aggregate() DP fold — zero joins, zero windows,
+  whole-stage codegen. The M-step is one explode + groupBy over the
+  vocab frame. Driver state is always vocab-artifact-sized.
+- At inventories too large to inline (≫10⁵ pieces), the documented
+  swap is a mapInPandas lattice pass; the relational M-step is
+  unchanged.
+
+The DuckDB oracle replays the identical computation as unrolled
+MATERIALIZED CTEs (per-position DP joins instead of the fold — same
+integers, different shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Maximum seed-piece length: seeding explodes len·MAX_PIECE_LEN
+#: substrings per vocab word, and the DP looks back this many
+#: positions. 4 covers the interesting multi-merge units at the test
+#: corpus' 8-char words; production SentencePiece uses ~16.
+MAX_PIECE_LEN = 4
+
+#: Multi-char seed pieces kept (plus the full alphabet). Bounded
+#: driver artifact, like the BPE merge list.
+TOP_M = 32
+
+#: ln quantization factor (the repo-wide portable-ln discipline).
+_Q = 100000
+
+
+def seed_vocab(words: DataFrame, top_m: int = TOP_M) -> DataFrame:
+    """(word, freq) → seed piece table (piece, cnt): top-M multi-char
+    substrings by weighted overlapping occurrence count, plus every
+    single character (cover guarantee)."""
+    subs = (
+        words.filter(F.length("word") >= 1)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(1, least({MAX_PIECE_LEN}, "
+                    "length(word) - i + 1)), L -> substring(word, i, L))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_m)
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    return multi.unionByName(chars)
+
+
+def quantized_costs(counts: dict[str, int]) -> dict[str, int]:
+    """Integer-quantized smoothed negative log-probs from a bounded
+    piece-count dict — pure Python (the artifact is driver-resident
+    by design), but floor(Q·ln(x)) matches both engines' floor/ln on
+    the same integers bit-for-bit."""
+    import math
+
+    total = sum(counts.values())
+    m = len(counts)
+    base = math.floor(_Q * math.log(total + m))
+    return {
+        p: base - math.floor(_Q * math.log(c + 1)) for p, c in counts.items()
+    }
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def viterbi_segment(words: DataFrame, costs: dict[str, int]) -> DataFrame:
+    """Map-only Viterbi: per word, the minimum-cost segmentation under
+    the piece-cost map (inlined as a literal), returning
+    (word, freq, score, n_pieces, sig). DP over prefix positions with
+    struct(score, n, sig) values — lexicographic struct comparison is
+    the deterministic tie-break. Every character must be in `costs`
+    (guaranteed when the costs came from seed_vocab over the same
+    frame)."""
+    items = sorted(costs.items())
+    cost_map = (
+        "map("
+        + ",".join(f"{_sql_quote(p)},CAST({c} AS BIGINT)" for p, c in items)
+        + ")"
+    )
+    cand = (
+        "transform(sequence(greatest(i - {ml}, 1) - 1, i - 1), j -> "
+        "named_struct("
+        "'score', element_at(acc, j + 1).score + "
+        f"element_at({cost_map}, substring(word, j + 1, i - j)), "
+        "'n', element_at(acc, j + 1).n + CAST(1 AS BIGINT), "
+        "'sig', CASE WHEN element_at(acc, j + 1).sig = '' "
+        "THEN substring(word, j + 1, i - j) "
+        "ELSE concat(element_at(acc, j + 1).sig, '|', "
+        "substring(word, j + 1, i - j)) END))"
+    ).format(ml=MAX_PIECE_LEN)
+    fold = f"""aggregate(
+      sequence(1, length(word)),
+      array(named_struct('score', CAST(0 AS BIGINT),
+                         'n', CAST(0 AS BIGINT),
+                         'sig', CAST('' AS STRING))),
+      (acc, i) -> concat(acc, array(
+        array_min(filter({cand}, c -> c.score IS NOT NULL)))),
+      acc -> element_at(acc, -1))"""
+    return (
+        words.filter(F.length("word") >= 1)
+        .withColumn("__vit", F.expr(fold))
+        .select(
+            "word",
+            "freq",
+            F.col("__vit.score").alias("score"),
+            F.col("__vit.n").alias("n_pieces"),
+            F.col("__vit.sig").alias("sig"),
+        )
+    )
+
+
+def em_round(
+    words: DataFrame, costs: dict[str, int], seed_pieces: list[str]
+) -> dict[str, int]:
+    """One hard-EM round: Viterbi E-step (map-only), count M-step
+    (explode + groupBy over the vocab frame), returning the new
+    freq-weighted piece counts for EVERY seed piece (zero-count pieces
+    included, so the smoothed cost stays defined). The returned dict
+    is vocab-artifact-sized."""
+    seg = viterbi_segment(words, costs)
+    counted = {
+        r["piece"]: int(r["cnt"])
+        for r in (
+            seg.select(
+                "freq", F.explode(F.split("sig", r"\|")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .collect()
+        )
+    }
+    return {p: counted.get(p, 0) for p in seed_pieces}
+
+
+def unigram_train(
+    words: DataFrame, n_rounds: int = 2, top_m: int = TOP_M
+) -> tuple[dict[str, int], dict[str, int], DataFrame]:
+    """Full induction: seed → n_rounds of hard EM. Returns
+    (final_counts, final_costs, final_segmentation_frame) where the
+    dicts are the shippable tokenizer artifact and the frame is the
+    LAZY Viterbi segmentation under the final costs."""
+    seed = {
+        r["piece"]: int(r["cnt"])
+        for r in seed_vocab(words, top_m=top_m).collect()
+    }
+    pieces = sorted(seed)
+    counts = seed
+    for _ in range(n_rounds):
+        costs = quantized_costs(counts)
+        counts = em_round(words, costs, pieces)
+    final_costs = quantized_costs(counts)
+    return counts, final_costs, viterbi_segment(words, final_costs)

@@ -981,3 +981,82 @@ def test_bpe_matches_pure_python_textbook_reference(spark):
     for w in vocab:
         exp_pieces, exp_rem = py_wordpiece(w, inventory, 4)
         assert wp[w] == ("|".join(exp_pieces), exp_rem), w
+
+
+def test_unigram_lm_matches_pure_python_reference(spark):
+    """Engine-free guard for the unigram-LM induction (same rationale
+    as the BPE textbook test): seeded adversarial vocabulary over a
+    2-symbol alphabet, trained with an obviously-correct pure-Python
+    hard-EM loop (dict DP with the identical (score, n, sig)
+    lexicographic tie-break); seed counts, per-round Viterbi
+    segmentations, and final counts/costs must match the distributed
+    operator exactly."""
+    import math
+    import random
+
+    from flight_delay_prediction_using_pyspark_spark.text import unigram as U
+
+    rng = random.Random(99)
+    vocab = {}
+    while len(vocab) < 20:
+        w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+        vocab.setdefault(w, rng.randint(1, 5))
+
+    Q, ML, TOPM = 100000, U.MAX_PIECE_LEN, 6
+
+    def py_seed(freqs):
+        cnt = {}
+        for w, f in freqs.items():
+            for i in range(len(w)):
+                for L in range(1, min(ML, len(w) - i) + 1):
+                    s = w[i : i + L]
+                    cnt[s] = cnt.get(s, 0) + f
+        multi = sorted(
+            ((s, c) for s, c in cnt.items() if len(s) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:TOPM]
+        return dict(multi) | {s: c for s, c in cnt.items() if len(s) == 1}
+
+    def py_costs(counts):
+        t, m = sum(counts.values()), len(counts)
+        base = math.floor(Q * math.log(t + m))
+        return {p: base - math.floor(Q * math.log(c + 1)) for p, c in counts.items()}
+
+    def py_viterbi(w, costs):
+        dp = [(0, 0, "")]
+        for i in range(1, len(w) + 1):
+            cands = []
+            for j in range(max(0, i - ML), i):
+                piece = w[j:i]
+                if piece in costs:
+                    s, n, sig = dp[j]
+                    cands.append(
+                        (s + costs[piece], n + 1, piece if sig == "" else sig + "|" + piece)
+                    )
+            dp.append(min(cands))
+        return dp[-1]
+
+    seed = py_seed(vocab)
+    pieces = sorted(seed)
+    counts = seed
+    for _ in range(2):
+        costs = py_costs(counts)
+        new = {p: 0 for p in pieces}
+        for w, f in vocab.items():
+            for piece in py_viterbi(w, costs)[2].split("|"):
+                new[piece] += f
+        counts = new
+    exp_costs = py_costs(counts)
+
+    words = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    got_seed = {
+        r["piece"]: int(r["cnt"])
+        for r in U.seed_vocab(words, top_m=TOPM).collect()
+    }
+    assert got_seed == seed
+    got_counts, got_costs, final = U.unigram_train(words, n_rounds=2, top_m=TOPM)
+    assert got_counts == counts
+    assert got_costs == exp_costs
+    got_seg = {r.word: (r.score, r.n_pieces, r.sig) for r in final.collect()}
+    for w in vocab:
+        assert got_seg[w] == py_viterbi(w, exp_costs), w
