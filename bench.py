@@ -198,6 +198,7 @@ HEADLINE = [
     "corpus_bpe_fertility",
     "corpus_wordpiece_agreement",
     "corpus_unigram_lm_vocab",
+    "ml_tree_sql_scoring_parity",
 ]
 
 
@@ -290,6 +291,9 @@ MEMOIZED_ONE_REP = {
     # BPE training is memoized per session+SF (_BPE_CACHE): a second
     # induction rep would measure the cached merge list, not training.
     "corpus_bpe_vocab_induction",
+    # fit memoized per session (_TREESQL_CACHE): the recorded cold rep
+    # includes the one-time fit, like the rest of the ml family
+    "ml_tree_sql_scoring_parity",
 }
 
 #: Canary query + its quiet-window reference (SCALE.md): a cold rep

@@ -1,0 +1,67 @@
+"""Decision-tree → SQL transpilation: export a fitted MLlib
+DecisionTreeRegressionModel as a pure Catalyst CASE-cascade
+expression over the raw feature columns.
+
+Why this is a first-class scale capability: MLlib inference drags the
+assembler + model transform through a non-codegen path per batch; a
+transpiled tree is a single whole-stage-codegen expression — scoring
+100 TB becomes an ordinary projection (pushdown-friendly, usable in
+SQL views, streaming selects, and engines that never load MLlib).
+The tree is depth-bounded, so the expression is small (2^depth leaf
+literals) and driver-resident — the same bounded-artifact rule as the
+tokenizer merge lists.
+
+Exactness contract: MLlib continuous splits route `value <= threshold`
+and leaves emit constant predictions; the generated SQL uses the
+identical comparison on the identical double (repr round-trip through
+CAST('…' AS DOUBLE)), so transpiled scores are BIT-EQUAL to
+model.transform, verified by the `ml_tree_sql_scoring_parity` query's
+oracle-pinned zero-mismatch count.
+
+Scope: continuous (numeric) splits only — categorical features should
+be one-hot-encoded upstream (each one-hot slot is a continuous 0/1
+split); a raw CategoricalSplit raises rather than mistranslating.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+
+def tree_to_case_expr(model, feature_cols: Sequence[str]) -> str:
+    """Fitted DecisionTreeRegressionModel (or classifier with numeric
+    leaf predictions) → a Spark SQL expression string over
+    `feature_cols` (the assembler inputs, in assembly order)."""
+
+    def walk(node) -> str:
+        cls = node.getClass().getSimpleName()
+        if "LeafNode" in cls:
+            return f"CAST('{node.prediction()!r}' AS DOUBLE)"
+        split = node.split()
+        if split.getClass().getSimpleName() != "ContinuousSplit":
+            raise NotImplementedError(
+                "tree_to_case_expr translates continuous splits only; "
+                "one-hot categoricals upstream (see module docstring)"
+            )
+        col = feature_cols[split.featureIndex()]
+        thr = repr(split.threshold())
+        return (
+            f"(CASE WHEN {col} <= CAST('{thr}' AS DOUBLE) "
+            f"THEN {walk(node.leftChild())} "
+            f"ELSE {walk(node.rightChild())} END)"
+        )
+
+    return walk(model._call_java("rootNode"))
+
+
+def count_leaves(model) -> int:
+    """Leaf count of a fitted tree (2·splits+1 for binary trees) —
+    bounded by 2^maxDepth, the size witness for the transpiled
+    expression."""
+
+    def walk(node) -> int:
+        if "LeafNode" in node.getClass().getSimpleName():
+            return 1
+        return walk(node.leftChild()) + walk(node.rightChild())
+
+    return walk(model._call_java("rootNode"))

@@ -1817,3 +1817,97 @@ def q_ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_val long, raw_mse double, cal_mse double, monotone_ok boolean, "
         "improved_ok boolean, contract_ok boolean",
     )
+
+
+# Transpiled-tree scoring (round 8): fit memoized per session — the
+# synthetic frame is SF-independent, so one small deterministic fit
+# serves every invocation.
+_TREESQL_CACHE: dict[int, tuple] = {}
+
+_TREESQL_FEATURES = ["DepDelay", "Distance", "DepTime"]
+
+
+def _treesql_fit(spark: SparkSession):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    key = id(spark.sparkContext)
+    if key not in _TREESQL_CACHE:
+        df = (
+            flights_df(spark, 2000)
+            .select(
+                *[F.col(c).cast("double") for c in _TREESQL_FEATURES],
+                F.col("ArrDelay").cast("double").alias("label"),
+            )
+            .dropna()
+        )
+        assembled = (
+            VectorAssembler(
+                inputCols=_TREESQL_FEATURES, outputCol="features"
+            )
+            .transform(df)
+            # compact before fitting — tree induction runs dozens of
+            # internal jobs (the _encoded_flights sizing rule)
+            .repartition(2)
+            .persist()
+        )
+        model = DecisionTreeRegressor(maxDepth=4, seed=42).fit(assembled)
+        _TREESQL_CACHE[key] = (model, assembled)
+    return _TREESQL_CACHE[key]
+
+
+@query(
+    "ml_tree_sql_scoring_parity",
+    oracle="""
+    SELECT CAST(1858 AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           TRUE AS has_splits,
+           TRUE AS leaves_bounded
+    """,
+)
+def q_ml_tree_sql_scoring_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-to-SQL transpilation parity (ml/tree_sql.py): fit a small
+    numeric-feature decision tree on the deterministic synthetic
+    flights frame, export it as a pure Catalyst CASE-cascade over the
+    raw columns, score the SAME frame through model.transform AND the
+    transpiled expression, and emit the oracle-pinned invariants —
+    row count (the generator is deterministic and SF-independent, so
+    1858 is exact), ZERO score mismatches (bit-equal doubles: MLlib
+    routes `value <= threshold` and the SQL uses the identical
+    comparison on the repr-round-tripped double), a non-trivial tree,
+    and the 2^maxDepth leaf bound that keeps the expression a bounded
+    driver artifact.
+
+    Why it matters at 100 TB: the transpiled tree scores as ONE
+    whole-stage-codegen projection — no MLlib at inference, usable
+    from SQL views, streaming selects, and non-JVM readers of the
+    exported expression. This is the catalog's first ORACLE-GATED ML
+    inference row (the estimator fits themselves stay rows-only by
+    nature)."""
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        count_leaves,
+        tree_to_case_expr,
+    )
+
+    model, assembled = _treesql_fit(spark)
+    expr = tree_to_case_expr(model, _TREESQL_FEATURES)
+    scored = model.transform(assembled).withColumn("sql_pred", F.expr(expr))
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("prediction") != F.col("sql_pred"), 1)
+        ).alias("mism"),
+    ).first()
+    n_leaves = count_leaves(model)
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n"]),
+                int(row["mism"]),
+                n_leaves >= 2,
+                n_leaves <= 2**4,
+            )
+        ],
+        "n_rows long, n_mismatch long, has_splits boolean, "
+        "leaves_bounded boolean",
+    )

@@ -214,3 +214,33 @@ def test_gbt_learns_planted_signal(spark, prepared):
     stddev = planted.agg(F.stddev("ArrDelay")).first()[0]
     assert metrics["mae"] < stddev / 2
     assert metrics["rmse"] >= metrics["mae"]
+
+
+def test_tree_to_sql_transpile_bit_exact(spark):
+    """ml/tree_sql: a fitted tree's CASE-cascade transpilation must
+    score BIT-equal to model.transform on every row, leaf count must
+    respect the 2^depth bound, and raw categorical splits must refuse
+    rather than mistranslate."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        count_leaves,
+        tree_to_case_expr,
+    )
+
+    rows = [(float(i % 7), float((i * 3) % 11), float(i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "label"])
+    feats = ["x1", "x2"]
+    assembled = (
+        VectorAssembler(inputCols=feats, outputCol="features")
+        .transform(df)
+        .repartition(2)
+    )
+    model = DecisionTreeRegressor(maxDepth=3, seed=7).fit(assembled)
+    expr = tree_to_case_expr(model, feats)
+    scored = model.transform(assembled).withColumn("sql_pred", F.expr(expr))
+    assert (
+        scored.filter(F.col("prediction") != F.col("sql_pred")).count() == 0
+    )
+    assert 2 <= count_leaves(model) <= 2**3
