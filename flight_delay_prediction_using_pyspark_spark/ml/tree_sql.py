@@ -65,3 +65,26 @@ def count_leaves(model) -> int:
         return walk(node.leftChild()) + walk(node.rightChild())
 
     return walk(model._call_java("rootNode"))
+
+
+def forest_to_sql_expr(model, feature_cols: Sequence[str]) -> str:
+    """Fitted tree-ensemble regressor → one SQL expression.
+
+    RandomForestRegressionModel averages unweighted member trees;
+    GBTRegressionModel sums weight·tree (MLlib evaluates the member
+    predictions sequentially, so a left-fold sum in tree order
+    reproduces the ensemble's double BIT-EXACTLY — verified by the
+    parity query's oracle-pinned zero-mismatch counts for both
+    families). The expression stays a bounded artifact:
+    n_trees · 2^depth leaf literals."""
+    trees = model.trees
+    weights = list(model.treeWeights)
+    cls = model.__class__.__name__
+    if cls.startswith("RandomForest"):
+        body = " + ".join(tree_to_case_expr(t, feature_cols) for t in trees)
+        return f"(({body}) / CAST({len(trees)} AS DOUBLE))"
+    terms = " + ".join(
+        f"(CAST('{w!r}' AS DOUBLE) * {tree_to_case_expr(t, feature_cols)})"
+        for t, w in zip(trees, weights)
+    )
+    return f"({terms})"

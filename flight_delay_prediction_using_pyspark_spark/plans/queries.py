@@ -1829,7 +1829,11 @@ _TREESQL_FEATURES = ["DepDelay", "Distance", "DepTime"]
 
 def _treesql_fit(spark: SparkSession):
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import DecisionTreeRegressor
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        GBTRegressor,
+        RandomForestRegressor,
+    )
 
     key = id(spark.sparkContext)
     if key not in _TREESQL_CACHE:
@@ -1851,8 +1855,14 @@ def _treesql_fit(spark: SparkSession):
             .repartition(2)
             .persist()
         )
-        model = DecisionTreeRegressor(maxDepth=4, seed=42).fit(assembled)
-        _TREESQL_CACHE[key] = (model, assembled)
+        tree = DecisionTreeRegressor(maxDepth=4, seed=42).fit(assembled)
+        rf = RandomForestRegressor(
+            numTrees=5, maxDepth=3, seed=42, bootstrap=True
+        ).fit(assembled)
+        gbt = GBTRegressor(maxIter=5, maxDepth=3, seed=42, stepSize=0.1).fit(
+            assembled
+        )
+        _TREESQL_CACHE[key] = (tree, rf, gbt, assembled)
     return _TREESQL_CACHE[key]
 
 
@@ -1860,25 +1870,30 @@ def _treesql_fit(spark: SparkSession):
     "ml_tree_sql_scoring_parity",
     oracle="""
     SELECT CAST(1858 AS BIGINT) AS n_rows,
-           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS tree_mismatch,
+           CAST(0 AS BIGINT) AS rf_mismatch,
+           CAST(0 AS BIGINT) AS gbt_mismatch,
            TRUE AS has_splits,
            TRUE AS leaves_bounded
     """,
 )
 def q_ml_tree_sql_scoring_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-to-SQL transpilation parity (ml/tree_sql.py): fit a small
-    numeric-feature decision tree on the deterministic synthetic
-    flights frame, export it as a pure Catalyst CASE-cascade over the
-    raw columns, score the SAME frame through model.transform AND the
-    transpiled expression, and emit the oracle-pinned invariants —
-    row count (the generator is deterministic and SF-independent, so
-    1858 is exact), ZERO score mismatches (bit-equal doubles: MLlib
-    routes `value <= threshold` and the SQL uses the identical
-    comparison on the repr-round-tripped double), a non-trivial tree,
-    and the 2^maxDepth leaf bound that keeps the expression a bounded
-    driver artifact.
+    """Model-to-SQL transpilation parity (ml/tree_sql.py) across all
+    three tree families: fit a small numeric-feature DecisionTree,
+    RandomForest (5×depth-3, averaged), and GBT (5 rounds, weighted
+    sum) on the deterministic synthetic flights frame, export each as
+    a pure Catalyst expression over the raw columns, score the SAME
+    frame through model.transform AND the transpiled expression, and
+    emit the oracle-pinned invariants — row count (the generator is
+    deterministic and SF-independent, so 1858 is exact), ZERO
+    bit-level score mismatches for EVERY family (MLlib routes
+    `value <= threshold` and evaluates ensemble members sequentially;
+    the SQL uses identical comparisons on repr-round-tripped doubles
+    and a left-fold sum in tree order), a non-trivial tree, and the
+    2^maxDepth leaf bound that keeps each expression a bounded driver
+    artifact.
 
-    Why it matters at 100 TB: the transpiled tree scores as ONE
+    Why it matters at 100 TB: a transpiled ensemble scores as ONE
     whole-stage-codegen projection — no MLlib at inference, usable
     from SQL views, streaming selects, and non-JVM readers of the
     exported expression. This is the catalog's first ORACLE-GATED ML
@@ -1886,28 +1901,39 @@ def q_ml_tree_sql_scoring_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature)."""
     from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
         count_leaves,
+        forest_to_sql_expr,
         tree_to_case_expr,
     )
 
-    model, assembled = _treesql_fit(spark)
-    expr = tree_to_case_expr(model, _TREESQL_FEATURES)
-    scored = model.transform(assembled).withColumn("sql_pred", F.expr(expr))
-    row = scored.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(
-            F.when(F.col("prediction") != F.col("sql_pred"), 1)
-        ).alias("mism"),
-    ).first()
-    n_leaves = count_leaves(model)
+    tree, rf, gbt, assembled = _treesql_fit(spark)
+
+    def mismatches(model, expr: str) -> tuple[int, int]:
+        scored = model.transform(assembled).withColumn(
+            "sql_pred", F.expr(expr)
+        )
+        r = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("prediction") != F.col("sql_pred"), 1)
+            ).alias("mism"),
+        ).first()
+        return int(r["n"]), int(r["mism"])
+
+    n, tree_mism = mismatches(tree, tree_to_case_expr(tree, _TREESQL_FEATURES))
+    _, rf_mism = mismatches(rf, forest_to_sql_expr(rf, _TREESQL_FEATURES))
+    _, gbt_mism = mismatches(gbt, forest_to_sql_expr(gbt, _TREESQL_FEATURES))
+    n_leaves = count_leaves(tree)
     return spark.createDataFrame(
         [
             (
-                int(row["n"]),
-                int(row["mism"]),
+                n,
+                tree_mism,
+                rf_mism,
+                gbt_mism,
                 n_leaves >= 2,
                 n_leaves <= 2**4,
             )
         ],
-        "n_rows long, n_mismatch long, has_splits boolean, "
-        "leaves_bounded boolean",
+        "n_rows long, tree_mismatch long, rf_mismatch long, "
+        "gbt_mismatch long, has_splits boolean, leaves_bounded boolean",
     )

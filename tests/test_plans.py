@@ -791,7 +791,11 @@ def test_round7_query_plan_budgets(spark, name):
 # window chain).
 _R8_PLAN_BUDGET = {
     "copurchase_pagerank_top10": (13, 1),
-    "dedup_minhash_lsh_pairs": (2, 1),
+    # minhash/simhash share the memoized corpus signature frame: when
+    # a sibling test already materialized it, cache substitution swaps
+    # an InMemoryRelation into the plan and the exchange count shifts
+    # by one — budget the max of both states (cold 2, warm 3)
+    "dedup_minhash_lsh_pairs": (3, 1),
     "copurchase_association_rules": (5, 1),
     "doc_lm_perplexity_buckets": (6, 3),
     "doc_token_pmi_pairs": (4, 2),
@@ -801,7 +805,7 @@ _R8_PLAN_BUDGET = {
     "events_cogroup_asof_python": (3, 2),
     "orders_join_size_cms": (5, 2),
     "lineitem_winsorized_stats": (2, 2),
-    "dedup_simhash_pairs": (2, 1),
+    "dedup_simhash_pairs": (3, 1),
     "events_max_concurrent_sessions": (5, 2),
     "semdedup_prune_census": (3, 3),
     "doc_language_chargram_confusion": (1, 1),
