@@ -244,3 +244,30 @@ def test_tree_to_sql_transpile_bit_exact(spark):
         scored.filter(F.col("prediction") != F.col("sql_pred")).count() == 0
     )
     assert 2 <= count_leaves(model) <= 2**3
+
+
+def test_tree_to_sql_refuses_categorical_splits(spark):
+    """A tree trained on VectorIndexer-marked categorical features
+    learns CategoricalSplit nodes; the transpiler must REFUSE them
+    (one-hot upstream is the documented contract) rather than emit a
+    wrong threshold comparison."""
+    import pytest as _pytest
+    from pyspark.ml.feature import VectorAssembler, VectorIndexer
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        tree_to_case_expr,
+    )
+
+    rows = [
+        (float(i % 3), float(i % 7), float((i % 3) * 10 + i % 2))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["cat", "x", "label"])
+    raw = VectorAssembler(inputCols=["cat", "x"], outputCol="raw").transform(df)
+    indexed = VectorIndexer(
+        inputCol="raw", outputCol="features", maxCategories=4
+    ).fit(raw).transform(raw)
+    model = DecisionTreeRegressor(maxDepth=3, seed=1).fit(indexed)
+    with _pytest.raises(NotImplementedError, match="continuous"):
+        tree_to_case_expr(model, ["cat", "x"])
