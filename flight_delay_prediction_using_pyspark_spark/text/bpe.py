@@ -227,6 +227,7 @@ def wordpiece_segment(
     words: DataFrame,
     merges: list[tuple[str, str]],
     max_pieces: int = 8,
+    inventory: list[str] | None = None,
 ) -> DataFrame:
     """Greedy longest-match-first segmentation (the WordPiece
     INFERENCE algorithm, Wu et al. 2016 — what BERT-family tokenizers
@@ -257,29 +258,38 @@ def wordpiece_segment(
     too large to inline (≫10⁵ entries), swap the literal for a
     mapInPandas trie pass — the documented escape hatch.
 
-    Caller contract: every character of every word must be in the
-    inventory (always true when the inventory's alphabet comes from
-    the same word frame, as here) — an unmatched position would fold
-    to a NULL state.
+    `inventory` is the production parameter: pass the SHIPPED piece
+    list (alphabet ∪ merged units from the training corpus) to
+    segment NEW text with a frozen vocabulary; None derives the
+    alphabet from `words` itself (the train-and-apply-on-same-corpus
+    path the catalog queries use). Out-of-inventory characters —
+    possible only with a shipped inventory meeting foreign text —
+    fall back to consuming one character as its own piece (the
+    char-fallback analogue of byte-fallback in production tokenizers),
+    so segmentation is total and never folds to a NULL state.
 
     Note: merge-replay (BPE inference, `bpe_apply`) and longest-match
     (WordPiece inference) are DIFFERENT segmenters that happen to
     share a vocabulary — quantifying their disagreement is exactly
     what the agreement census query exists for."""
-    alphabet = {
-        r["sym"]
-        for r in char_state(words).select("sym").distinct().collect()
-    }
-    vocab_syms = sorted(alphabet | {a + b for a, b in merges})
+    if inventory is not None:
+        vocab_syms = sorted(set(inventory))
+    else:
+        alphabet = {
+            r["sym"]
+            for r in char_state(words).select("sym").distinct().collect()
+        }
+        vocab_syms = sorted(alphabet | {a + b for a, b in merges})
 
     def _q(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     inv = "array(" + ",".join(_q(v) for v in vocab_syms) + ")"
     best = (
-        f"array_max(transform(filter({inv}, "
+        f"coalesce(array_max(transform(filter({inv}, "
         "v -> v = substring(acc.remaining, 1, length(v))), "
-        "v -> struct(length(v) AS l, v AS p))).p"
+        "v -> struct(length(v) AS l, v AS p))).p, "
+        "substring(acc.remaining, 1, 1))"
     )
     fold = f"""aggregate(
       sequence(1, {max_pieces}),

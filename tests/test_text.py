@@ -1060,3 +1060,24 @@ def test_unigram_lm_matches_pure_python_reference(spark):
     got_seg = {r.word: (r.score, r.n_pieces, r.sig) for r in final.collect()}
     for w in vocab:
         assert got_seg[w] == py_viterbi(w, exp_costs), w
+
+
+def test_wordpiece_char_fallback_on_foreign_alphabet(spark):
+    """A SHIPPED inventory (trained elsewhere: pieces a, b, ab) meets
+    words with characters outside it: segmentation must stay total —
+    each foreign char consumed as its own piece (the char-fallback
+    analogue of byte-fallback) — never fold to a NULL state."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    shipped = ["a", "b", "ab"]
+    foreign = spark.createDataFrame(
+        [("abxab", 1), ("zzz", 1)], "word string, freq long"
+    )
+    out = {
+        r.word: r
+        for r in B.wordpiece_segment(
+            foreign, [("a", "b")], inventory=shipped
+        ).collect()
+    }
+    assert out["abxab"].sig == "ab|x|ab" and out["abxab"].remaining == ""
+    assert out["zzz"].sig == "z|z|z" and out["zzz"].n_pieces == 3
