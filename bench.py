@@ -296,6 +296,65 @@ MEMOIZED_ONE_REP = {
     "ml_tree_sql_scoring_parity",
 }
 
+#: Consumer groups of the PERSISTED cross-query caches (_PAIR_CACHE /
+#: _GRAPH_CACHE in plans/text_queries.py and plans/graph_queries.py):
+#: within each group the FIRST query to run builds and persists the
+#: shared frame, so its rep 2 is a cache hit and min-of-reps would
+#: silently drop the build cost from the headline (round-8 ADVICE).
+#: At run time the first group member present in the run order joins
+#: MEMOIZED_ONE_REP — it records its one COLD rep, the build cost
+#: stays attributed, and later group members (warm either way) keep
+#: min-of-reps. Listed in HEADLINE order per group.
+SHARED_CACHE_GROUPS: dict[str, list[str]] = {
+    # _sigs_cached (shingle + minhash signature frame)
+    "minhash_sigs": [
+        "dedup_minhash_lsh_pairs",
+        "training_corpus_prep",
+        "corpus_full_pipeline",
+        "dedup_containment_pairs",
+        "corpus_dedup_survivor_bias",
+        "dedup_minhash_band_tuning",
+        "corpus_leakage_safe_split",
+        "dedup_bbit_minhash_est",
+        "dedup_minhash_clusters",
+        "dedup_lsh_levenshtein",
+        "corpus_decontaminate",
+        "corpus_decontaminate_report",
+        "dedup_minhash_est_accuracy",
+        "dedup_family_agreement",
+    ],
+    # _lsh_pairs_cached (band-bucket join + Jaccard verify on top of sigs)
+    "minhash_pairs": [
+        "dedup_minhash_lsh_pairs",
+        "corpus_leakage_safe_split",
+        "dedup_minhash_clusters",
+        "dedup_lsh_levenshtein",
+        "dedup_family_agreement",
+    ],
+    # _simhash_pairs_cached
+    "simhash": ["dedup_simhash_pairs", "dedup_family_agreement"],
+    # _winnow_fps_cached
+    "winnow": ["dedup_winnowing_pairs", "doc_winnowing_census"],
+    # _edges_cached (copurchase graph)
+    "graph": [
+        "copurchase_triangle_stats",
+        "copurchase_pagerank_top10",
+        "copurchase_kcore_census",
+    ],
+}
+
+
+def _one_rep_names(names: list[str]) -> set[str]:
+    """MEMOIZED_ONE_REP plus the first present consumer of each shared
+    persisted cache, resolved against the actual run order."""
+    out = set(MEMOIZED_ONE_REP)
+    order = {n: i for i, n in enumerate(names)}
+    for members in SHARED_CACHE_GROUPS.values():
+        present = [m for m in members if m in order]
+        if present:
+            out.add(min(present, key=lambda m: order[m]))
+    return out
+
 #: Canary query + its quiet-window reference (SCALE.md): a cold rep
 #: far above quiet_ref means the run is contaminated by host load and
 #: per-query readings should not be adjudicated as regressions.
@@ -339,9 +398,10 @@ def main() -> None:
     # each.
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    one_rep = _one_rep_names(names)
     for name in names:
         reps: list[float] = []
-        n_reps = 1 if name in MEMOIZED_ONE_REP else 2
+        n_reps = 1 if name in one_rep else 2
         while len(reps) < n_reps:
             start = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
@@ -357,6 +417,27 @@ def main() -> None:
         timings[name] = round(min(reps), 2)
         all_reps[name] = reps
 
+    # Canary auto-retry (round-8 verdict, process item): when the
+    # contention canary reads >1.3× its quiet-window reference, the
+    # whole run is inflated by host load and per-query numbers are
+    # unadjudicatable. Rather than record a contaminated artifact,
+    # sleep out the load window and RE-EXEC the battery in a fresh
+    # process — a same-session rerun would hit every memoized fit and
+    # persisted cache and record warm numbers as cold. One retry only;
+    # if the retry is still hot, the artifact carries
+    # `contaminated: true` so adjudication knows to discount it.
+    canary_val = timings.get(CANARY)
+    contaminated = bool(
+        sf == 0.1
+        and canary_val is not None
+        and canary_val > 1.3 * CANARY_QUIET_REF_SEC
+    )
+    if contaminated and not os.environ.get("SPARK_GRAFT_BENCH_RETRIED"):
+        spark.stop()
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "120")))
+        os.environ["SPARK_GRAFT_BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
     _report_regressions(timings, sf)
 
     headline = {n: t for n, t in timings.items() if n in set(HEADLINE)}
@@ -371,8 +452,10 @@ def main() -> None:
     shown: dict[str, float] = {}
     canary = {
         "name": CANARY,
-        "sec": timings.get(CANARY),
+        "sec": canary_val,
         "quiet_ref_sec": CANARY_QUIET_REF_SEC if sf == 0.1 else None,
+        "contaminated": contaminated,
+        "retried": bool(os.environ.get("SPARK_GRAFT_BENCH_RETRIED")),
     }
     base = {
         "metric": "headline_total",

@@ -28,6 +28,14 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 
+def _quote_ident(col: str) -> str:
+    """Backtick-quote a column identifier for interpolation into
+    generated SQL: a feature named `dep delay`, `a.b`, or `order`
+    would otherwise produce invalid or misresolving expressions.
+    Embedded backticks double, per Spark's quoting rule."""
+    return "`" + col.replace("`", "``") + "`"
+
+
 def tree_to_case_expr(model, feature_cols: Sequence[str]) -> str:
     """Fitted DecisionTreeRegressionModel (or classifier with numeric
     leaf predictions) → a Spark SQL expression string over
@@ -43,7 +51,7 @@ def tree_to_case_expr(model, feature_cols: Sequence[str]) -> str:
                 "tree_to_case_expr translates continuous splits only; "
                 "one-hot categoricals upstream (see module docstring)"
             )
-        col = feature_cols[split.featureIndex()]
+        col = _quote_ident(feature_cols[split.featureIndex()])
         thr = repr(split.threshold())
         return (
             f"(CASE WHEN {col} <= CAST('{thr}' AS DOUBLE) "

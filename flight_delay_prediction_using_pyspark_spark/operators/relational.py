@@ -149,18 +149,25 @@ def _plan_may_multiply_rows(node) -> bool:
     UNDER-estimate:
 
     - Generate (explode/posexplode): one row in, many out;
+    - Expand (cube / rollup / grouping sets): emits one row per
+      grouping set per input row;
     - cross join: |L|·|R| by construction;
     - an equi-join whose two sides scan a COMMON file relation (the
       self-join shape): without uniqueness metadata nothing proves the
       shared key is a primary key, so the output may be quadratic in
-      the duplicated key groups.
+      the duplicated key groups. File-scan leaves are matched by root
+      path; sides whose leaves carry NO portable identity (a persisted
+      InMemoryRelation, a LocalRelation) are caught by Catalyst's
+      `sameResult` on the two subtrees — canonicalized structural
+      equality, so a cached/local dim self-joined against itself no
+      longer slips past the path check (round-8 ADVICE).
 
     FK dimension chains — the lineage `dim_join` exists for — always
     join DIFFERENT tables, so they never trip this. Semi/anti joins
     output at most their left side and are exempt. The check is
     plan-only (no job)."""
     name = node.nodeName()
-    if name == "Generate":
+    if name in ("Generate", "Expand"):
         return True
     children = node.children()
     n = children.size()
@@ -172,9 +179,15 @@ def _plan_may_multiply_rows(node) -> bool:
         if "cross" in jt:
             return True
         if "semi" not in jt and "anti" not in jt:
-            left_ids = _leaf_scan_ids(children.apply(0))
-            if left_ids and left_ids & _leaf_scan_ids(children.apply(1)):
+            left, right = children.apply(0), children.apply(1)
+            left_ids = _leaf_scan_ids(left)
+            if left_ids and left_ids & _leaf_scan_ids(right):
                 return True
+            try:
+                if left.sameResult(right):
+                    return True
+            except Exception:  # pragma: no cover - API drift
+                pass
     return any(_plan_may_multiply_rows(children.apply(i)) for i in range(n))
 
 

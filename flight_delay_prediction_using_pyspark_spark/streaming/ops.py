@@ -570,13 +570,25 @@ def commit_batch_to_manifest(
         # an envelope that does not describe the data on disk, and
         # `between` pruning would then silently DROP batches holding
         # qualifying rows — wrong results, not a missed optimization.
-        # Reading the just-written footers is metadata-cheap and the
-        # one source of truth.
-        row = (
-            batch_df.sparkSession.read.parquet(data_dir)
-            .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
-            .first()
-        )
+        # The read-back is served from the parquet FOOTERS, not a
+        # column scan: parquet aggregate pushdown is enabled for this
+        # one read (a bare min/max with no filter on a top-level
+        # column is exactly the shape it supports), so the per-batch
+        # stats cost is metadata-sized instead of a second full pass
+        # over the batch (round-8 ADVICE: without the pushdown this
+        # agg re-scanned the whole just-written column).
+        spark = batch_df.sparkSession
+        _PUSH = "spark.sql.parquet.aggregatePushdown"
+        prev = spark.conf.get(_PUSH, "false")
+        try:
+            spark.conf.set(_PUSH, "true")
+            row = (
+                spark.read.parquet(data_dir)
+                .agg(F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx"))
+                .first()
+            )
+        finally:
+            spark.conf.set(_PUSH, prev)
         # An empty batch (or all-null stats column) yields null
         # min/max; record stats-absent rather than a null envelope so
         # the reader keeps its "no stats → conservatively keep"

@@ -123,11 +123,17 @@ def viterbi_segment(words: DataFrame, costs: dict[str, int]) -> DataFrame:
         + ",".join(f"{_sql_quote(p)},CAST({c} AS BIGINT)" for p, c in items)
         + ")"
     )
+    # Candidate start positions j span max(0, i - MAX_PIECE_LEN) .. i-1
+    # (piece = word[j+1 .. i], length ≤ MAX_PIECE_LEN). Cost lookups go
+    # through try_element_at: a substring not in the piece table yields
+    # NULL (filtered below) instead of throwing under ANSI mode, where
+    # plain element_at on a missing map key is an error (Spark 4
+    # default semantics).
     cand = (
-        "transform(sequence(greatest(i - {ml}, 1) - 1, i - 1), j -> "
+        "transform(sequence(greatest(i - {ml}, 0), i - 1), j -> "
         "named_struct("
         "'score', element_at(acc, j + 1).score + "
-        f"element_at({cost_map}, substring(word, j + 1, i - j)), "
+        f"try_element_at({cost_map}, substring(word, j + 1, i - j)), "
         "'n', element_at(acc, j + 1).n + CAST(1 AS BIGINT), "
         "'sig', CASE WHEN element_at(acc, j + 1).sig = '' "
         "THEN substring(word, j + 1, i - j) "

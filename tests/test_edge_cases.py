@@ -192,3 +192,34 @@ def test_plan_multiply_guard_shapes(spark):
 
     gen = nation.select(F.explode(F.split(F.col("n_name"), " ")))
     assert trips(gen)
+
+    # Expand (rollup / cube / grouping sets): one output row per
+    # grouping set per input row — a multiplying shape (round-8 ADVICE)
+    roll = nation.rollup("n_regionkey", "n_name").count()
+    assert trips(roll)
+
+    # Self-join over leaves with NO file identity (LocalRelation /
+    # InMemoryRelation): the root-path check is blind here, so the
+    # guard falls through to Catalyst sameResult on the two subtrees
+    # (round-8 ADVICE: this shape previously passed and could still be
+    # force-broadcast).
+    local = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k int, v string")
+    local_self = local.alias("a").join(
+        local.alias("b"), F.col("a.k") == F.col("b.k")
+    )
+    assert trips(local_self)
+
+    cached = nation.select("n_nationkey", "n_regionkey").persist()
+    try:
+        cached.count()  # materialize so the leaves are InMemoryRelation
+        cached_self = cached.alias("a").join(
+            cached.alias("b"), F.col("a.n_regionkey") == F.col("b.n_regionkey")
+        )
+        assert trips(cached_self)
+        # different cached frames joined on a key are NOT flagged
+        other = region.select("r_regionkey")
+        assert not trips(
+            cached.join(other, cached.n_regionkey == other.r_regionkey)
+        )
+    finally:
+        cached.unpersist()

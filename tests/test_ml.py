@@ -271,3 +271,38 @@ def test_tree_to_sql_refuses_categorical_splits(spark):
     model = DecisionTreeRegressor(maxDepth=3, seed=1).fit(indexed)
     with _pytest.raises(NotImplementedError, match="continuous"):
         tree_to_case_expr(model, ["cat", "x"])
+
+
+def test_tree_to_sql_quotes_awkward_column_names(spark):
+    """Feature identifiers are backtick-quoted in the generated SQL
+    (round-8 ADVICE): a column with a space, a dot, or a reserved
+    keyword as its name must still transpile to a valid expression
+    that scores bit-equal to model.transform."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        tree_to_case_expr,
+    )
+
+    rows = [(float(i % 7), float((i * 3) % 11), float(i % 5)) for i in range(200)]
+    # a space and a reserved keyword (a dot-named column would break
+    # VectorAssembler itself, upstream of the transpiler)
+    feats = ["dep delay", "order"]
+    df = spark.createDataFrame(rows, ["c1", "c2", "label"]).select(
+        F.col("c1").alias("dep delay"),
+        F.col("c2").alias("order"),
+        "label",
+    )
+    assembled = (
+        VectorAssembler(inputCols=feats, outputCol="features")
+        .transform(df)
+        .repartition(2)
+    )
+    model = DecisionTreeRegressor(maxDepth=3, seed=7).fit(assembled)
+    expr = tree_to_case_expr(model, feats)
+    assert "`" in expr
+    scored = model.transform(assembled).withColumn("sql_pred", F.expr(expr))
+    assert (
+        scored.filter(F.col("prediction") != F.col("sql_pred")).count() == 0
+    )

@@ -1081,3 +1081,32 @@ def test_wordpiece_char_fallback_on_foreign_alphabet(spark):
     }
     assert out["abxab"].sig == "ab|x|ab" and out["abxab"].remaining == ""
     assert out["zzz"].sig == "z|z|z" and out["zzz"].n_pieces == 3
+
+
+def test_viterbi_candidate_bound_and_ansi_mode(spark):
+    """Round-8 ADVICE: the Viterbi candidate range must be exactly
+    max(0, i - MAX_PIECE_LEN) .. i-1 — no extra length-(ML+1)
+    candidate — and cost lookups must go through try_element_at so a
+    missing piece yields NULL (filtered) instead of throwing under
+    ANSI mode (the Spark 4 default). Run the DP on a word LONGER than
+    MAX_PIECE_LEN with ANSI explicitly pinned on, with a cost table
+    that does NOT contain every substring."""
+    from flight_delay_prediction_using_pyspark_spark.text import unigram as U
+
+    words = spark.createDataFrame(
+        [("abababab", 2), ("ba", 1)], "word string, freq long"
+    )
+    # every single char (cover guarantee) plus one multi-char piece;
+    # substrings like 'aba' / 'abab' are deliberately ABSENT
+    costs = {"a": 300, "b": 300, "ab": 100}
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {
+            r.word: (r.score, r.n_pieces, r.sig)
+            for r in U.viterbi_segment(words, costs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got["abababab"] == (400, 4, "ab|ab|ab|ab")
+    assert got["ba"] == (600, 2, "b|a")
