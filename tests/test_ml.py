@@ -306,3 +306,103 @@ def test_tree_to_sql_quotes_awkward_column_names(spark):
     assert (
         scored.filter(F.col("prediction") != F.col("sql_pred")).count() == 0
     )
+
+
+def test_vectorized_scorer_bit_equal_and_strategy(spark):
+    """Round-9: the Arrow-vectorized tree scorer (tree_to_arrays +
+    vectorized_tree_scorer) scores bit-equal to BOTH model.transform
+    and the transpiled SQL expression, and scoring_strategy routes
+    small trees to 'expression' / above-ceiling trees to
+    'vectorized' (the measured janino whole-stage limit — see the
+    tree_sql module docstring's probe table)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        WHOLESTAGE_SAFE_LEAVES,
+        count_leaves,
+        scoring_strategy,
+        tree_to_arrays,
+        tree_to_case_expr,
+        vectorized_tree_scorer,
+    )
+
+    h = lambda c, m: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        % m
+    )
+    feats = ["f1", "f2", "f3"]
+    df = spark.range(0, 6000, 1, 4).select(
+        h(F.col("id"), 997).alias("f1"),
+        h(F.col("id") + 1, 613).alias("f2"),
+        h(F.col("id") + 2, 211).alias("f3"),
+    )
+    df = df.withColumn(
+        "label", (F.col("f1") * 0.31 + F.col("f2") % 17).cast("double")
+    )
+    assembled = (
+        VectorAssembler(inputCols=feats, outputCol="features")
+        .transform(df)
+        .persist()
+    )
+    try:
+        small = DecisionTreeRegressor(maxDepth=6, maxBins=60, seed=42).fit(
+            assembled
+        )
+        assert count_leaves(small) <= WHOLESTAGE_SAFE_LEAVES
+        assert scoring_strategy(small) == "expression"
+
+        deep = DecisionTreeRegressor(maxDepth=12, maxBins=60, seed=42).fit(
+            assembled
+        )
+        assert count_leaves(deep) > WHOLESTAGE_SAFE_LEAVES
+        assert scoring_strategy(deep) == "vectorized"
+
+        for model in (small, deep):
+            scorer = vectorized_tree_scorer(tree_to_arrays(model), 3)
+            scored = (
+                model.transform(assembled)
+                .withColumn("vec_pred", scorer(*[F.col(c) for c in feats]))
+                .withColumn(
+                    "sql_pred", F.expr(tree_to_case_expr(model, feats))
+                )
+            )
+            bad = scored.filter(
+                (F.col("prediction") != F.col("vec_pred"))
+                | (F.col("prediction") != F.col("sql_pred"))
+            ).count()
+            assert bad == 0
+    finally:
+        assembled.unpersist()
+
+
+def test_wholestage_compiles_probe(spark):
+    """The janino probe reports True for a trivial projection and
+    False for a transpiled above-ceiling tree (the measurement the
+    ml_tree_sql_codegen_ceiling driver query pins)."""
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        wholestage_compiles,
+    )
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+        _DEEP_FEATS,
+        _deep_fit,
+        _deep_synth,
+    )
+    from flight_delay_prediction_using_pyspark_spark.ml.tree_sql import (
+        tree_to_case_expr,
+    )
+
+    raw = _deep_synth(spark, 20000)
+    ok, n = wholestage_compiles(
+        raw.select((F.col("f1") + F.col("f2")).alias("s"))
+    )
+    assert ok and n >= 1
+
+    big = _deep_fit(spark, 20000, 11)
+    expr = tree_to_case_expr(big, _DEEP_FEATS)
+    ok_big, n_big = wholestage_compiles(
+        raw.select(F.expr(expr).alias("p"))
+    )
+    assert n_big >= 1 and not ok_big
