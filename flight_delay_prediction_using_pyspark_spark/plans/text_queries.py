@@ -4214,14 +4214,16 @@ def q_corpus_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wordpiece_oracle(n_merges: int, max_pieces: int = 8) -> str:
+def _wordpiece_prefix(n_merges: int, max_pieces: int = 8) -> str:
     """Unrolled greedy longest-match replay: inventory = base alphabet
     ∪ merged units from the BPE CTEs; each step extracts one piece per
     unfinished word (candidate prefixes → inventory equi-join →
     per-word longest wins, ties impossible since equal-length matching
     prefixes are equal strings); finished words ride the UNION-ALL
-    carry branch. The census joins the WordPiece segmentation to the
-    merge-replay segmentation (r{n}) and counts agreement exactly."""
+    carry branch. Returns the WITH-chain through s{max_pieces} (the
+    finished WordPiece segmentation) and bpe_seg (the merge-replay
+    segmentation) for the census and crossover oracles to select
+    from."""
     union_merged = "\n      UNION\n      ".join(
         f"SELECT a || b AS piece FROM best{k}" for k in range(1, n_merges + 1)
     )
@@ -4249,7 +4251,7 @@ def _wordpiece_oracle(n_merges: int, max_pieces: int = 8) -> str:
       FROM s{p} WHERE remaining = ''
     )""")
     steps_sql = ",\n    ".join(steps)
-    return f"""{_bpe_oracle_ctes(n_merges)},
+    prefix = f"""{_bpe_oracle_ctes(n_merges)},
     inventory AS (
       SELECT DISTINCT sym AS piece FROM r0
       UNION
@@ -4266,7 +4268,13 @@ def _wordpiece_oracle(n_merges: int, max_pieces: int = 8) -> str:
       SELECT word, CAST(COUNT(*) AS BIGINT) AS bpe_n,
              string_agg(sym, '|' ORDER BY pos) AS bpe_sig
       FROM r{n_merges} GROUP BY word
-    )
+    )"""
+    return prefix
+
+
+def _wordpiece_oracle(n_merges: int, max_pieces: int = 8) -> str:
+    """The agreement-census select over the longest-match replay."""
+    return f"""{_wordpiece_prefix(n_merges, max_pieces)}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(w.freq * w.n_pieces) AS BIGINT) AS wp_pieces_weighted,
            CAST(SUM(w.freq * b.bpe_n) AS BIGINT) AS bpe_pieces_weighted,
@@ -4493,3 +4501,469 @@ def q_corpus_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, len(p), c, costs[p]) for p, c in rows],
         "piece string, piece_len long, viterbi_count long, cost_q long",
     ).orderBy(F.desc("viterbi_count"), F.asc("piece"))
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-merge BPE induction (round-9; the production variant —
+# see text/bpe.py bpe_train_batched for the symbol-disjointness
+# argument and the divergence-bounding tests)
+# ---------------------------------------------------------------------------
+
+_BPE_BATCH_ROUNDS = 2
+_BPE_BATCH_K = 4
+_BPE_BATCH_CAP = 32
+
+
+def _bpe_batched_oracle(n_rounds: int, batch_k: int, cap: int) -> str:
+    """Unrolled-SQL replay of batched BPE: per round, the top-`cap`
+    pair candidates ranked by the shared (cnt DESC, a, b) order, then
+    `batch_k` greedy picks unrolled as chained single-row CTEs —
+    k{r}_{j} is the minimum-rank candidate symbol-disjoint from every
+    earlier pick this round (greedy scan ≡ that chain, inductively).
+    A pick CTE that finds nothing emits the sentinel ('','') so the
+    chain and the rewrite CTEs stay total: a sentinel's match
+    predicate is false on every (non-empty) symbol, making its rewrite
+    the identity, and sentinels are filtered from the emitted merge
+    table. Rewrites reuse the exact textbook window plan (island
+    start = first match after the last non-match)."""
+    parts = [_bpe_oracle_ctes(0).removeprefix("WITH ")]
+    prev = "r0"
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""pc{r} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rnk
+        FROM (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM (SELECT sym AS a,
+                           lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                             AS b,
+                           freq
+                    FROM {prev})
+              WHERE b IS NOT NULL GROUP BY a, b)
+      ) WHERE rnk <= {cap}
+    )""")
+        for j in range(1, batch_k + 1):
+            if j == 1:
+                inner = f"SELECT a, b, cnt FROM pc{r} WHERE rnk = 1"
+            else:
+                conds = " AND ".join(
+                    f"p.a NOT IN (k{r}_{i}.a, k{r}_{i}.b) "
+                    f"AND p.b NOT IN (k{r}_{i}.a, k{r}_{i}.b)"
+                    for i in range(1, j)
+                )
+                froms = ", ".join(f"k{r}_{i}" for i in range(1, j))
+                inner = (
+                    f"SELECT p.a, p.b, p.cnt FROM pc{r} p, {froms} "
+                    f"WHERE {conds} ORDER BY p.rnk LIMIT 1"
+                )
+            parts.append(f"""k{r}_{j} AS MATERIALIZED (
+      SELECT coalesce(p.a, '') AS a, coalesce(p.b, '') AS b,
+             CAST(coalesce(p.cnt, 0) AS BIGINT) AS cnt
+      FROM (SELECT 1 AS one) d LEFT JOIN ({inner}) p ON TRUE
+    )""")
+            nxt = f"s{r}_{j}"
+            parts.append(f"""bf{r}_{j} AS (
+      SELECT t.word, t.freq, t.pos, t.sym, k.a AS ba, k.b AS bb,
+             coalesce(t.sym = k.a
+                      AND lead(t.sym) OVER (PARTITION BY t.word
+                                            ORDER BY t.pos) = k.b,
+                      FALSE) AS match
+      FROM {prev} t CROSS JOIN k{r}_{j} k
+    ),
+    bh{r}_{j} AS (
+      SELECT *, (match AND (pos
+                 - coalesce(MAX(CASE WHEN NOT match THEN pos END)
+                            OVER (PARTITION BY word ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING), 0)
+                 - 1) % 2 = 0) AS is_start
+      FROM bf{r}_{j}
+    ),
+    bi{r}_{j} AS (
+      SELECT *, coalesce(LAG(is_start) OVER (PARTITION BY word
+                                             ORDER BY pos),
+                         FALSE) AS gone
+      FROM bh{r}_{j}
+    ),
+    {nxt} AS MATERIALIZED (
+      SELECT word, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                  AS BIGINT) AS pos,
+             CASE WHEN is_start THEN ba || bb ELSE sym END AS sym
+      FROM bi{r}_{j} WHERE NOT gone
+    )""")
+            prev = nxt
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS sel_round, {j} AS sel_slot, a, b, cnt "
+        f"FROM k{r}_{j}"
+        for r in range(1, n_rounds + 1)
+        for j in range(1, batch_k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sel_round, sel_slot)
+                AS BIGINT) AS merge_rank,
+           a AS left_sym, b AS right_sym, a || b AS merged,
+           cnt AS pair_count
+    FROM (SELECT * FROM ({union}) WHERE a <> '')
+    ORDER BY merge_rank
+    """
+    )
+
+
+#: Batched-training memo, same pattern as _BPE_CACHE (deterministic
+#: fit per session+SF; the cached object is the bounded merge list).
+_BPE_BATCH_CACHE: dict[tuple[int, str], list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_batched_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _BPE_BATCH_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        words = scratch_persist(B.word_freq(docs))
+        _BPE_BATCH_CACHE[key] = B.bpe_train_batched(
+            words,
+            batch_k=_BPE_BATCH_K,
+            cand_cap=_BPE_BATCH_CAP,
+            n_rounds=_BPE_BATCH_ROUNDS,
+        )[0]
+    return _BPE_BATCH_CACHE[key]
+
+
+@query(
+    "corpus_bpe_batched_merges",
+    oracle=_bpe_batched_oracle(_BPE_BATCH_ROUNDS, _BPE_BATCH_K, _BPE_BATCH_CAP),
+)
+def q_corpus_bpe_batched_merges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched multi-merge BPE induction (round-9 mandate): learn a
+    vocabulary in `_BPE_BATCH_ROUNDS` selection rounds of up to
+    `_BPE_BATCH_K` symbol-disjoint merges each and emit the ordered
+    merge table. This is the PRODUCTION induction shape: driver
+    round-trips drop from n_merges to n_merges/batch_k (a 30k-merge
+    vocab becomes thousands of driver actions, not tens of
+    thousands) while staying deterministic and oracle-replayable —
+    the DuckDB oracle re-runs the identical capped-candidate greedy
+    selection and batch rewrite as unrolled SQL. Within a round,
+    symbol-disjoint merges cannot overlap in any word or perturb each
+    other's pair counts, so the batch equals sequential application
+    (tests pin both the equal-schedule and the predicted-divergence
+    regimes vs the textbook trainer).
+
+    Scale shape (text/bpe.py): identical to the textbook trainer —
+    ONE corpus-scale aggregation, vocab-grain rounds, window-only
+    rewrites sharing one (word, pos) partitioning, size-gated
+    iteration caching — except the driver argmax widens from one row
+    to the top-`_BPE_BATCH_CAP` candidate list (still a bounded
+    artifact). The returned frame is the driver-side merge table; the
+    distributed plan shape is pinned by the selection-plan budget
+    test (test_plans) and the shared apply twin."""
+    merges = _bpe_batched_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(rank, a, b, a + b, cnt) for rank, a, b, cnt in merges],
+        "merge_rank long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+def _wordpiece_crossover_oracle(n_merges: int, max_pieces: int = 8) -> str:
+    """The trie-vs-fold crossover select: the oracle cannot run the
+    mapInPandas trie, so it replays the longest-match segmentation
+    once (the shared ground truth) and pins the CONTRACT instead —
+    identical rows on every word (n_identical = n_words); the piece
+    and truncation sums re-verify the segmentation itself."""
+    return f"""{_wordpiece_prefix(n_merges, max_pieces)}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_identical,
+           CAST(SUM(freq * n_pieces) AS BIGINT) AS wp_pieces_weighted,
+           CAST(COUNT(CASE WHEN remaining <> '' THEN 1 END) AS BIGINT)
+             AS n_truncated
+    FROM s{max_pieces}
+    """
+
+
+@query(
+    "corpus_wordpiece_trie_crossover",
+    oracle=_wordpiece_crossover_oracle(_BPE_N_MERGES),
+)
+def q_corpus_wordpiece_trie_crossover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fold-vs-trie crossover for WordPiece segmentation (round-9
+    mandate — the large-inventory escape hatch is now code, not a
+    docstring): segment the corpus vocabulary with BOTH
+    implementations of greedy longest-match-first over the same
+    induced inventory — the inlined-array-literal aggregate() fold
+    (the ≤INLINE_INVENTORY_MAX production path) and the mapInPandas
+    prefix-trie pass (the ≫10⁵-inventory path,
+    `wordpiece_segment_trie`) — join on word, and count full-row
+    agreement (remaining, piece count, AND the piece sequence itself).
+    The oracle replays the segmentation once in unrolled SQL and pins
+    n_identical = n_words: any divergence between the two engines'
+    paths, on any word, turns the row red.
+
+    Scale shape: both segmentations are map-only over the vocab frame
+    (the fold is pure codegen; the trie is one Arrow pass whose
+    closure ships the bounded inventory artifact once per executor);
+    the census is one vocab-grain join plus a global agg. The
+    auto-switch between them is size-gated at INLINE_INVENTORY_MAX
+    (tested), the same bounded-artifact economics as
+    scratch_persist_if_large."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    merges = _bpe_merges(spark, sf_dir)
+    pairs = [(a, b) for _, a, b, _ in merges]
+    docs = load_table(spark, sf_dir, "documents")
+    words = scratch_persist(B.word_freq(docs))
+    fold = B.wordpiece_segment(words, pairs, max_pieces=_BPE_N_MERGES)
+    trie = B.wordpiece_segment_trie(words, pairs, max_pieces=_BPE_N_MERGES)
+    f, t = fold.alias("f"), trie.alias("t")
+    same = (
+        (F.col("f.remaining") == F.col("t.remaining"))
+        & (F.col("f.n_pieces") == F.col("t.n_pieces"))
+        & (F.col("f.sig") == F.col("t.sig"))
+    )
+    return f.join(t, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.count(F.when(same, 1)).cast("long").alias("n_identical"),
+        F.sum(F.col("f.freq") * F.col("f.n_pieces"))
+        .cast("long")
+        .alias("wp_pieces_weighted"),
+        F.count(F.when(F.col("f.remaining") != "", 1))
+        .cast("long")
+        .alias("n_truncated"),
+    )
+
+
+def _wordpiece_frozen_oracle(n_merges: int, max_pieces: int = 8) -> str:
+    """Frozen-inventory cross-corpus replay: the inventory comes from
+    the DOCUMENTS training replay (alphabet ∪ merged units — the same
+    CTEs the census oracle uses), the segmented vocabulary from
+    part.p_name. The longest-match steps gain the char-fallback
+    branch: a word whose remaining suffix has NO inventory prefix
+    (possible only cross-corpus — 'z' never occurs in the training
+    text) consumes one character as its own piece, exactly like the
+    Spark fold's coalesce(..., substring(remaining, 1, 1))."""
+    union_merged = "\n      UNION\n      ".join(
+        f"SELECT a || b AS piece FROM best{k}" for k in range(1, n_merges + 1)
+    )
+    steps = []
+    for i in range(1, max_pieces + 1):
+        p = i - 1
+        steps.append(f"""pcand{i} AS (
+      SELECT s.word, s.freq, s.remaining, s.n_pieces, s.sig, v.piece
+      FROM (SELECT s.*, substr(s.remaining, 1, CAST(g.l AS INT)) AS pref
+            FROM p{p} s, ml,
+                 unnest(generate_series(1, least(length(s.remaining), ml.m)))
+                   AS g(l)) s
+      JOIN inventory v ON v.piece = s.pref
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT word, freq, substr(remaining, length(piece) + 1) AS remaining,
+             n_pieces + 1 AS n_pieces,
+             CASE WHEN sig = '' THEN piece
+                  ELSE sig || '|' || piece END AS sig
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+                      ORDER BY length(piece) DESC, piece) AS rn
+            FROM pcand{i}) WHERE rn = 1
+      UNION ALL
+      SELECT word, freq, substr(remaining, 2) AS remaining,
+             n_pieces + 1 AS n_pieces,
+             CASE WHEN sig = '' THEN substr(remaining, 1, 1)
+                  ELSE sig || '|' || substr(remaining, 1, 1) END AS sig
+      FROM p{p}
+      WHERE remaining <> ''
+        AND word NOT IN (SELECT word FROM pcand{i})
+      UNION ALL
+      SELECT word, freq, remaining, n_pieces, sig
+      FROM p{p} WHERE remaining = ''
+    )""")
+    steps_sql = ",\n    ".join(steps)
+    return rf"""{_bpe_oracle_ctes(n_merges)},
+    inventory AS (
+      SELECT DISTINCT sym AS piece FROM r0
+      UNION
+      {union_merged}
+    ),
+    ml AS (SELECT MAX(length(piece)) AS m FROM inventory),
+    tfp AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(p_name)), '\s+'))
+              AS word
+            FROM part)
+      GROUP BY word
+    ),
+    p0 AS MATERIALIZED (
+      SELECT word, freq, word AS remaining,
+             CAST(0 AS BIGINT) AS n_pieces, '' AS sig
+      FROM tfp WHERE length(word) >= 1
+    ),
+    {steps_sql}
+    SELECT word, freq, remaining,
+           CAST(n_pieces AS BIGINT) AS n_pieces, sig
+    FROM p{max_pieces}
+    ORDER BY word
+    """
+
+
+@query(
+    "corpus_wordpiece_frozen_apply",
+    oracle=_wordpiece_frozen_oracle(_BPE_N_MERGES),
+)
+def q_corpus_wordpiece_frozen_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-once / apply-many — the contract a tokenizer artifact
+    exists for (round-9 mandate; the shipped-inventory path had only
+    local tests through round 8): induce the vocabulary on the
+    DOCUMENTS corpus (the memoized deterministic training run the
+    whole BPE family shares), freeze inventory = training alphabet ∪
+    merged units, and segment a FOREIGN vocabulary — part.p_name's
+    words — with `wordpiece_segment(inventory=...)`. The foreign
+    vocabulary contains characters the training corpus never saw
+    ('z' in bronze), so the char-fallback path (the byte-fallback
+    analogue in production tokenizers) executes for real and its
+    output is hash-verified per word: the oracle replays the frozen
+    inventory AND the fallback branch in unrolled SQL, and the
+    emitted rows carry every piece sequence verbatim.
+
+    Scale shape: the training corpus is never re-touched (inventory
+    is one bounded collect over the memoized vocab state); applying a
+    frozen inventory to new text is the map-only fold (or the trie
+    pass past INLINE_INVENTORY_MAX) over the new corpus' one
+    word-frequency aggregate."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    merges = _bpe_merges(spark, sf_dir)
+    pairs = [(a, b) for _, a, b, _ in merges]
+    docs = load_table(spark, sf_dir, "documents")
+    train_words = scratch_persist(B.word_freq(docs))
+    alphabet = {
+        r["sym"]
+        for r in B.char_state(train_words).select("sym").distinct().collect()
+    }
+    inventory = sorted(alphabet | {a + b for a, b in pairs})
+    part = load_table(spark, sf_dir, "part")
+    apply_words = B.word_freq(part, text_col="p_name")
+    return (
+        B.wordpiece_segment(
+            apply_words, [], max_pieces=_BPE_N_MERGES, inventory=inventory
+        )
+        .select("word", "freq", "remaining", "n_pieces", "sig")
+        .orderBy("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality-classifier scoring (round-9; fastText-style hashed
+# n-gram logistic regression — see text/quality_clf.py)
+# ---------------------------------------------------------------------------
+
+
+def _quality_clf_oracle() -> str:
+    """DuckDB replay of classifier scoring with the IDENTICAL trained
+    integer artifact: the weight vector is inlined as a list literal
+    (both engines call trained_weights_q, whose training is a
+    deterministic pure-Python constant of the codebase), the feature
+    hash is the engine-portable md5 prefix, and scores are exact
+    integer sums — nothing float-portable to drift."""
+    from flight_delay_prediction_using_pyspark_spark.text.quality_clf import (
+        N_BUCKETS,
+        trained_weights_q,
+    )
+
+    bias_q, wq = trained_weights_q()
+    w_list = "[" + ",".join(str(v) for v in wq) + "]"
+    buck = (
+        "(CAST(concat('0x', substr(md5({t}), 1, 8)) AS BIGINT) "
+        f"% {N_BUCKETS})"
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang,
+             CAST({bias_q}
+               + coalesce(list_sum(list_transform(t, x ->
+                   {w_list}[{buck.format(t='x')} + 1])), 0)
+               + coalesce(list_sum(list_transform(range(1, len(t)), i ->
+                   {w_list}[{buck.format(t="t[i] || ' ' || t[i+1]")} + 1])),
+                   0)
+               AS BIGINT) AS score_q
+      FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN score_q > 0 THEN 1 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(score_q) AS BIGINT) AS sum_score_q,
+           CAST(SUM(score_q) // COUNT(*) AS BIGINT) AS mean_score_q,
+           CAST(MIN(score_q) AS BIGINT) AS min_score_q,
+           CAST(MAX(score_q) AS BIGINT) AS max_score_q
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("doc_quality_classifier_scores", oracle=_quality_clf_oracle())
+def q_doc_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-based quality filtering (round-9 mandate): score every
+    document with a LEARNED fastText-style classifier — hashed
+    unigram+bigram features · integer-quantized logistic-regression
+    weights — and roll the integer scores up per language. The rules
+    stack (doc_quality_buckets, doc_gopher_rule_census) encodes
+    hand-written thresholds; this is the standard learned stage an
+    LLM data pipeline runs beside them.
+
+    Training is driver-side pure Python on a deterministic labeled
+    fixture (diverse corpus-vocabulary docs vs repetitive spam-subset
+    docs — text/quality_clf.py), so the weight vector is a
+    reproducible constant; an engine-free pytest scorer pins Spark's
+    integers bit-for-bit, and this oracle replays scoring with the
+    identical inlined artifact.
+
+    Scale shape — scoring as expression (the tokenizer-as-expression
+    pattern): the ~8 KB weight array rides the plan as a literal;
+    each doc is ONE aggregate() fold per n-gram order inside
+    whole-stage codegen — map-only, zero joins, zero Python, one
+    corpus pass, then a per-lang agg. Exactly how a 100 TB corpus
+    gets quality-filtered without moving data."""
+    from flight_delay_prediction_using_pyspark_spark.text.quality_clf import (
+        spark_score_expr,
+        trained_weights_q,
+    )
+
+    bias_q, wq = trained_weights_q()
+    score = spark_score_expr("__toks", bias_q, wq)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
+    ).select("lang", F.expr(score).alias("score_q"))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("score_q") > 0, 1))
+            .cast("long")
+            .alias("n_positive"),
+            F.sum("score_q").cast("long").alias("sum_score_q"),
+            F.expr("CAST(sum(score_q) DIV count(1) AS BIGINT)").alias(
+                "mean_score_q"
+            ),
+            F.min("score_q").cast("long").alias("min_score_q"),
+            F.max("score_q").cast("long").alias("max_score_q"),
+        )
+        .orderBy("lang")
+    )

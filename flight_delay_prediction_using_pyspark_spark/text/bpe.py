@@ -33,10 +33,16 @@ Design for 100 TB:
   the same induced inventory: greedy longest-match-first (WordPiece,
   Wu et al. 2016), a pure plan with no driver feedback.
 
-Production note: at very large vocabularies, practical trainers batch
-several non-interacting merges per round to cut iteration count; this
-implementation takes one merge per round (the exact textbook
-algorithm) so results are deterministic and oracle-replayable.
+Two trainers ship side by side: `bpe_train` takes one merge per round
+(the exact textbook algorithm, Sennrich et al.) and
+`bpe_train_batched` keeps up to `batch_k` symbol-disjoint merges per
+selection round — the production variant that cuts driver round-trips
+to n_merges/batch_k (at a 30k-merge production vocab: thousands of
+driver actions instead of tens of thousands). Both are deterministic
+and oracle-replayable; their schedules agree exactly unless a pair
+created by an earlier in-batch pick would have outranked a later one
+(see bpe_train_batched's docstring for the bounded-divergence
+argument and the tests that pin both regimes).
 """
 
 from __future__ import annotations
@@ -210,6 +216,105 @@ def bpe_train(
     return merges, final
 
 
+def bpe_train_batched(
+    words: DataFrame,
+    n_merges: int | None = None,
+    batch_k: int = 4,
+    cand_cap: int = 32,
+    n_rounds: int | None = None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Batched multi-merge BPE induction — the PRODUCTION variant the
+    one-merge textbook path (`bpe_train`) documents: per selection
+    round, ONE driver action collects the top `cand_cap` pair-count
+    rows (ordered by the same (cnt DESC, a, b) total order) and
+    greedily keeps up to `batch_k` pairwise NON-INTERACTING merges —
+    a candidate is kept iff neither of its symbols appears in any
+    merge already kept THIS round — then applies the whole batch
+    before the next count. Driver round-trips drop from `n_merges`
+    (30k sequential jobs at a production vocab) to `n_merges/batch_k`.
+
+    Why symbol-disjointness is the right batch criterion: two merges
+    that share no symbol can neither overlap inside any word nor
+    change each other's pair counts (merging a,b→ab only creates or
+    destroys pairs INVOLVING a or b), so within a round the batch
+    result is IDENTICAL to applying the kept merges one at a time.
+    Across rounds the batched schedule can diverge from the textbook
+    schedule in exactly one way: a pair CREATED by an earlier pick
+    (x,ab — whose count is bounded by the pick's own count) may
+    outrank a later pick that the batch took early. The divergence is
+    therefore bounded by the batch width and measured, not assumed —
+    tests pin a corpus where the schedules are equal (fully disjoint
+    top pairs, no created-pair promotion) and a crafted corpus where
+    slot 2 diverges exactly as predicted; the driver query's oracle
+    replays THIS algorithm, so the batched path is oracle-exact in
+    its own right.
+
+    `cand_cap` is part of the algorithm's deterministic spec (both
+    engines scan the same top-`cand_cap` list): a round keeps fewer
+    than `batch_k` merges when the capped candidate list runs out of
+    disjoint pairs — correct, just a narrower batch. Driver state is
+    one `cand_cap`-row list per round; per-round state caching reuses
+    the same size-gated economics as `bpe_train`.
+
+    Stop criterion is one of `n_merges` (total merge budget — the
+    production parameter; the last round narrows to the remainder) or
+    `n_rounds` (exactly that many selection rounds, whatever each
+    keeps — the oracle-replayable spec, since an unrolled SQL replay
+    has a fixed round count)."""
+    from flight_delay_prediction_using_pyspark_spark.operators.relational import (
+        plan_size_bytes,
+    )
+
+    if (n_merges is None) == (n_rounds is None):
+        raise ValueError("pass exactly one of n_merges / n_rounds")
+    merges: list[tuple[int, str, str, int]] = []
+    state = char_state(words)
+    est = plan_size_bytes(state)
+    cache_iters = est is None or est >= 8 * 1024 * 1024
+    cached: list[DataFrame] = []
+    rounds_done = 0
+    while (
+        rounds_done < n_rounds
+        if n_rounds is not None
+        else len(merges) < n_merges
+    ):
+        rounds_done += 1
+        rows = (
+            pair_counts(state)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(cand_cap)
+            .collect()
+        )
+        if not rows:
+            break
+        budget = (
+            batch_k
+            if n_merges is None
+            else min(batch_k, n_merges - len(merges))
+        )
+        used: set[str] = set()
+        kept: list[tuple[str, str, int]] = []
+        for r in rows:
+            if len(kept) >= budget:
+                break
+            if r["a"] in used or r["b"] in used:
+                continue
+            kept.append((r["a"], r["b"], int(r["cnt"])))
+            used.update((r["a"], r["b"]))
+        for a, b, cnt in kept:
+            merges.append((len(merges) + 1, a, b, cnt))
+            state = apply_merge(state, a, b)
+        if cache_iters:
+            state = state.persist()
+            cached.append(state)
+            if len(cached) > 2:
+                cached.pop(0).unpersist()
+    final = bpe_apply(words, [(m[1], m[2]) for m in merges])
+    for df in cached:
+        df.unpersist()
+    return merges, final
+
+
 def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """Segment a (word, freq) vocabulary with an already-learned merge
     list — the production path for new text: merges are literals, so
@@ -223,11 +328,21 @@ def bpe_apply(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return state
 
 
+#: Inventory size past which wordpiece_segment switches from the
+#: inlined-array-literal fold to the mapInPandas trie pass. The fold
+#: wins below it (pure codegen, zero Python); above it the literal
+#: itself becomes the cost: it is re-serialized into every task
+#: binary and re-scanned per fold step, while the trie is built once
+#: per executor and looks up in O(piece length).
+INLINE_INVENTORY_MAX = 4096
+
+
 def wordpiece_segment(
     words: DataFrame,
     merges: list[tuple[str, str]],
     max_pieces: int = 8,
     inventory: list[str] | None = None,
+    inline_threshold: int = INLINE_INVENTORY_MAX,
 ) -> DataFrame:
     """Greedy longest-match-first segmentation (the WordPiece
     INFERENCE algorithm, Wu et al. 2016 — what BERT-family tokenizers
@@ -268,6 +383,15 @@ def wordpiece_segment(
     char-fallback analogue of byte-fallback in production tokenizers),
     so segmentation is total and never folds to a NULL state.
 
+    Inventories LARGER than `inline_threshold` entries (default
+    INLINE_INVENTORY_MAX) are routed to `wordpiece_segment_trie`
+    automatically — the mapInPandas escape hatch (round-9 mandate; it
+    was a docstring promise through round 8): a 100k-entry array
+    literal would bloat every task's serialized plan and the codegen
+    text, while the trie pass ships the inventory once per executor
+    inside the function closure. The two paths are row-identical by
+    contract (crossover-tested and driver-verified).
+
     Note: merge-replay (BPE inference, `bpe_apply`) and longest-match
     (WordPiece inference) are DIFFERENT segmenters that happen to
     share a vocabulary — quantifying their disagreement is exactly
@@ -280,6 +404,11 @@ def wordpiece_segment(
             for r in char_state(words).select("sym").distinct().collect()
         }
         vocab_syms = sorted(alphabet | {a + b for a, b in merges})
+
+    if len(vocab_syms) > inline_threshold:
+        return wordpiece_segment_trie(
+            words, merges, max_pieces=max_pieces, inventory=vocab_syms
+        )
 
     def _q(s: str) -> str:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -309,5 +438,104 @@ def wordpiece_segment(
             F.col("__wp.remaining").alias("remaining"),
             F.col("__wp.n_pieces").alias("n_pieces"),
             F.col("__wp.sig").alias("sig"),
+        )
+    )
+
+
+def wordpiece_segment_trie(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    max_pieces: int = 8,
+    inventory: list[str] | None = None,
+) -> DataFrame:
+    """The large-inventory escape hatch for `wordpiece_segment`
+    (round-9 mandate): identical greedy longest-match-first semantics
+    — same `max_pieces` truncation, same char-fallback on
+    out-of-inventory text, same (word, freq, remaining, n_pieces,
+    sig) schema — executed as an Arrow-batched mapInPandas pass
+    instead of an inlined array-literal fold.
+
+    Why this is the ≫10⁵-inventory shape: the fold re-serializes the
+    whole inventory into every task binary and linearly re-filters it
+    per fold step, while this pass ships the piece list ONCE per
+    executor (task-closure broadcast of a bounded tokenizer artifact)
+    and builds a prefix trie per partition — longest-match is then
+    O(match length) per position, independent of inventory size. The
+    UDF is a SELF-CONTAINED closure (no module references — executors
+    under a foreign cwd cannot import the repo; the driver-sim
+    contract).
+
+    Row-identity with the fold path is a tested contract: the
+    `corpus_wordpiece_trie_crossover` driver query joins both outputs
+    and its oracle pins identical = total, and the pytest crossover
+    covers the char-fallback and truncation edges."""
+    if inventory is not None:
+        vocab_syms = sorted(set(inventory))
+    else:
+        alphabet = {
+            r["sym"]
+            for r in char_state(words).select("sym").distinct().collect()
+        }
+        vocab_syms = sorted(alphabet | {a + b for a, b in merges})
+
+    pieces = list(vocab_syms)
+    mp = int(max_pieces)
+    in_cols = words.columns
+
+    def _segment(batches):
+        import pandas as pd
+
+        # prefix trie: node = {char: node, ...; "" marks a complete
+        # piece}. Built once per partition from the closure's list.
+        trie: dict = {}
+        for p in pieces:
+            node = trie
+            for ch in p:
+                node = node.setdefault(ch, {})
+            node[""] = True
+
+        def longest(s: str, start: int) -> int:
+            """Length of the longest trie piece prefixing s[start:],
+            0 if none."""
+            node, best, i = trie, 0, start
+            while i < len(s):
+                node = node.get(s[i])
+                if node is None:
+                    break
+                i += 1
+                if "" in node:
+                    best = i - start
+            return best
+
+        for pdf in batches:
+            rem_out, np_out, sig_out = [], [], []
+            for w in pdf["word"].astype(str):
+                pos, taken, sig = 0, 0, []
+                while pos < len(w) and taken < mp:
+                    ln = longest(w, pos) or 1  # char-fallback
+                    sig.append(w[pos : pos + ln])
+                    pos += ln
+                    taken += 1
+                rem_out.append(w[pos:])
+                np_out.append(taken)
+                sig_out.append("|".join(sig))
+            out = pd.DataFrame(
+                {
+                    "word": pdf["word"].astype(str),
+                    "freq": pdf["freq"],
+                    "remaining": rem_out,
+                    "n_pieces": np_out,
+                    "sig": sig_out,
+                }
+            )
+            yield out
+
+    return (
+        words.filter(F.length("word") >= 1)
+        .select("word", "freq")
+        .mapInPandas(
+            _segment,
+            "word string, freq long, remaining string, "
+            "n_pieces long, sig string",
         )
     )

@@ -61,11 +61,28 @@ TOP_M = 32
 #: ln quantization factor (the repo-wide portable-ln discipline).
 _Q = 100000
 
+#: Cost-table size past which viterbi_segment switches from the
+#: map-literal fold to the mapInPandas lattice. The fold's
+#: element_at on a literal map is a LINEAR ArrayBasedMapData scan, so
+#: its per-row cost grows with |V| (measured: the fold beats the
+#: lattice at oracle-scale tables but is already ~7× slower at a 4k
+#: table under production look-back — SCALE.md curve); the lattice's
+#: dict lookup is O(1) and its closure ships the table once per
+#: executor.
+INLINE_COSTS_MAX = 1024
 
-def seed_vocab(words: DataFrame, top_m: int = TOP_M) -> DataFrame:
+
+def seed_vocab(
+    words: DataFrame, top_m: int = TOP_M, max_piece_len: int | None = None
+) -> DataFrame:
     """(word, freq) → seed piece table (piece, cnt): top-M multi-char
     substrings by weighted overlapping occurrence count, plus every
-    single character (cover guarantee)."""
+    single character (cover guarantee). `max_piece_len`/`top_m`
+    default to the oracle-scale module constants; production runs
+    pass ~16 / thousands (the measured cost curve lives in SCALE.md —
+    the fold's map-literal lookup is LINEAR in the table size, which
+    is why production constants route to the lattice pass)."""
+    ml = MAX_PIECE_LEN if max_piece_len is None else int(max_piece_len)
     subs = (
         words.filter(F.length("word") >= 1)
         .select(
@@ -73,7 +90,7 @@ def seed_vocab(words: DataFrame, top_m: int = TOP_M) -> DataFrame:
             F.explode(
                 F.expr(
                     f"flatten(transform(sequence(1, length(word)), i -> "
-                    f"transform(sequence(1, least({MAX_PIECE_LEN}, "
+                    f"transform(sequence(1, least({ml}, "
                     "length(word) - i + 1)), L -> substring(word, i, L))))"
                 )
             ).alias("piece"),
@@ -109,14 +126,32 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def viterbi_segment(words: DataFrame, costs: dict[str, int]) -> DataFrame:
+def viterbi_segment(
+    words: DataFrame,
+    costs: dict[str, int],
+    max_piece_len: int | None = None,
+    inline_threshold: int | None = None,
+) -> DataFrame:
     """Map-only Viterbi: per word, the minimum-cost segmentation under
     the piece-cost map (inlined as a literal), returning
     (word, freq, score, n_pieces, sig). DP over prefix positions with
     struct(score, n, sig) values — lexicographic struct comparison is
     the deterministic tie-break. Every character must be in `costs`
     (guaranteed when the costs came from seed_vocab over the same
-    frame)."""
+    frame).
+
+    `max_piece_len` bounds the DP look-back (defaults to the module
+    constant; production SentencePiece uses ~16). Cost tables LARGER
+    than `inline_threshold` (default INLINE_COSTS_MAX) route to the
+    mapInPandas lattice (`viterbi_segment_pandas`): a map LITERAL is
+    an ArrayBasedMapData whose element_at is a LINEAR scan, so the
+    fold's per-row cost grows as O(word_len · max_piece_len · |V|) —
+    measured curve in SCALE.md — while the lattice's dict lookup is
+    O(1) per candidate."""
+    ml_over = MAX_PIECE_LEN if max_piece_len is None else int(max_piece_len)
+    thr = INLINE_COSTS_MAX if inline_threshold is None else inline_threshold
+    if len(costs) > thr:
+        return viterbi_segment_pandas(words, costs, max_piece_len=ml_over)
     items = sorted(costs.items())
     cost_map = (
         "map("
@@ -139,7 +174,7 @@ def viterbi_segment(words: DataFrame, costs: dict[str, int]) -> DataFrame:
         "THEN substring(word, j + 1, i - j) "
         "ELSE concat(element_at(acc, j + 1).sig, '|', "
         "substring(word, j + 1, i - j)) END))"
-    ).format(ml=MAX_PIECE_LEN)
+    ).format(ml=ml_over)
     fold = f"""aggregate(
       sequence(1, length(word)),
       array(named_struct('score', CAST(0 AS BIGINT),
@@ -202,3 +237,74 @@ def unigram_train(
         counts = em_round(words, costs, pieces)
     final_costs = quantized_costs(counts)
     return counts, final_costs, viterbi_segment(words, final_costs)
+
+
+def viterbi_segment_pandas(
+    words: DataFrame,
+    costs: dict[str, int],
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """The large-inventory escape hatch for `viterbi_segment`
+    (round-9 mandate; mirrors text/bpe.wordpiece_segment_trie):
+    identical DP semantics — same integer-quantized scores, same
+    lexicographic (score, n_pieces, sig) tie-break, same
+    MAX_PIECE_LEN look-back — as an Arrow-batched mapInPandas lattice
+    instead of a map-literal fold. At ≫10⁵ pieces the literal is the
+    cost (re-serialized per task, re-parsed per plan); the lattice
+    ships the cost dict once per executor in the closure and looks up
+    in O(1). Python tuple min == the fold's struct array_min: both
+    compare (score, n, sig) field-lexicographically, and Python's
+    code-point string order equals Spark's UTF8 binary order (UTF-8
+    preserves code-point order). Self-contained closure (driver-sim
+    contract: executors can't import the repo)."""
+    cost_map = dict(costs)
+    ml = MAX_PIECE_LEN if max_piece_len is None else int(max_piece_len)
+
+    def _lattice(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            s_out, n_out, sig_out = [], [], []
+            for w in pdf["word"].astype(str):
+                # dp[i] = best (score, n, sig) for prefix w[:i]
+                dp: list[tuple | None] = [None] * (len(w) + 1)
+                dp[0] = (0, 0, "")
+                for i in range(1, len(w) + 1):
+                    best = None
+                    for j in range(max(0, i - ml), i):
+                        prev = dp[j]
+                        if prev is None:
+                            continue
+                        c = cost_map.get(w[j:i])
+                        if c is None:
+                            continue
+                        cand = (
+                            prev[0] + c,
+                            prev[1] + 1,
+                            w[j:i] if prev[2] == "" else prev[2] + "|" + w[j:i],
+                        )
+                        if best is None or cand < best:
+                            best = cand
+                    dp[i] = best
+                fin = dp[len(w)]
+                s_out.append(fin[0] if fin else None)
+                n_out.append(fin[1] if fin else None)
+                sig_out.append(fin[2] if fin else None)
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"].astype(str),
+                    "freq": pdf["freq"],
+                    "score": pd.array(s_out, dtype="Int64"),
+                    "n_pieces": pd.array(n_out, dtype="Int64"),
+                    "sig": sig_out,
+                }
+            )
+
+    return (
+        words.filter(F.length("word") >= 1)
+        .select("word", "freq")
+        .mapInPandas(
+            _lattice,
+            "word string, freq long, score long, n_pieces long, sig string",
+        )
+    )

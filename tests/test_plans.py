@@ -838,3 +838,31 @@ def test_round8_expensive_tier_plan_budgets(spark, name):
     n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > budget {max_ex}"
     assert n_scan <= max_scan, f"{name}: {n_scan} scans > budget {max_scan}"
+
+
+def test_bpe_batched_selection_plan_budget(spark):
+    """Plan budget for the batched trainer's per-round selection
+    (round-9 mandate): the round-2 candidate plan — pair counts over
+    the state after a full round-1 batch of rewrites — must stay at
+    one parquet scan and a bounded exchange count: word-freq agg (1),
+    the shared (word, pos) window partitioning (1, REUSED by all four
+    chained rewrites and the lead()), and the pair groupBy (1). A
+    rewrite that stops sharing the window partitioning would add an
+    exchange per merge and fail this."""
+    import re
+
+    from flight_delay_prediction_using_pyspark_spark.sources.readers import (
+        load_table,
+    )
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    docs = load_table(spark, SF_CORRECTNESS_DIR, "documents")
+    words = B.word_freq(docs)
+    state = B.char_state(words)
+    for a, b in [("e", "r"), ("i", "n"), ("o", "w"), ("s", "t")]:
+        state = B.apply_merge(state, a, b)
+    plan = plan_of(B.pair_counts(state))
+    n_ex = n_exchanges(plan)
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_ex <= 4, f"selection plan: {n_ex} exchanges > 4"
+    assert n_scan <= 1, f"selection plan: {n_scan} scans > 1"

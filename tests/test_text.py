@@ -1110,3 +1110,176 @@ def test_viterbi_candidate_bound_and_ansi_mode(spark):
         spark.conf.set("spark.sql.ansi.enabled", prev)
     assert got["abababab"] == (400, 4, "ab|ab|ab|ab")
     assert got["ba"] == (600, 2, "b|a")
+
+
+def test_bpe_batched_equals_textbook_when_disjoint(spark):
+    """Equivalence contract (round-9 mandate): when every top pair is
+    symbol-disjoint and merging creates no promotable pairs (whole
+    words collapse to single symbols), the batched schedule IS the
+    textbook schedule — same merges, same counts, same order."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [("ab", 100), ("cd", 90), ("ef", 80), ("gh", 70)],
+        "word string, freq long",
+    )
+    tb, _ = B.bpe_train(words, 4)
+    bt, _ = B.bpe_train_batched(words, n_merges=4, batch_k=4)
+    assert tb == bt
+
+
+def test_bpe_batched_divergence_is_the_predicted_one(spark):
+    """Bounded-divergence contract: the batched schedule diverges from
+    textbook ONLY via created-pair promotion. Corpus crafted so
+    (a,b):10 > (b,x):8 > (c,d):6 — textbook merges (a,b) then the
+    CREATED (ab,x):8; batched k=2 keeps (a,b) and, skipping (b,x)
+    (shares b), the disjoint (c,d) — slot 1 agrees, slot 2 diverges
+    exactly as the symbol-disjointness analysis predicts."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [("abx", 8), ("ab", 2), ("cd", 6)], "word string, freq long"
+    )
+    tb, _ = B.bpe_train(words, 2)
+    bt, _ = B.bpe_train_batched(words, n_merges=2, batch_k=2)
+    assert [(a, b) for _, a, b, _ in tb] == [("a", "b"), ("ab", "x")]
+    assert [(a, b) for _, a, b, _ in bt] == [("a", "b"), ("c", "d")]
+
+
+def test_bpe_batched_rounds_mode_and_segmentation(spark):
+    """n_rounds mode runs exactly that many selection rounds (the
+    oracle-replayable spec) and the returned final state equals
+    bpe_apply of the learned merge list — batch application of
+    disjoint merges is sequential application."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [("abab", 5), ("cdcd", 4), ("abcd", 3), ("xy", 2)],
+        "word string, freq long",
+    )
+    merges, final = B.bpe_train_batched(words, n_rounds=2, batch_k=2)
+    replay = B.bpe_apply(words, [(a, b) for _, a, b, _ in merges])
+    got = sorted(map(tuple, final.collect()))
+    want = sorted(map(tuple, replay.collect()))
+    assert got == want and len(merges) >= 2
+
+
+def test_wordpiece_trie_crossover_row_identical(spark):
+    """The mapInPandas trie segmenter is row-identical to the
+    array-literal fold on the same vocabulary — including the
+    char-fallback (out-of-inventory chars) and max_pieces truncation
+    edges — and wordpiece_segment auto-routes to it past
+    inline_threshold."""
+    from flight_delay_prediction_using_pyspark_spark.text import bpe as B
+
+    words = spark.createDataFrame(
+        [
+            ("abxab", 3),
+            ("zzz", 2),          # fully out-of-inventory → char fallback
+            ("ababababab", 1),   # longer than max_pieces pieces → truncates
+            ("ab", 5),
+            ("κόσμος", 1),       # foreign alphabet
+        ],
+        "word string, freq long",
+    )
+    inv = ["a", "b", "x", "ab", "abx"]
+    fold = B.wordpiece_segment(words, [], max_pieces=3, inventory=inv)
+    trie = B.wordpiece_segment_trie(words, [], max_pieces=3, inventory=inv)
+    got_f = sorted(map(tuple, fold.collect()))
+    got_t = sorted(map(tuple, trie.collect()))
+    assert got_f == got_t
+    # spot-check semantics: longest-match takes abx over ab, then ab
+    by_word = {r[0]: r for r in got_t}
+    assert by_word["abxab"][4] == "abx|ab"
+    assert by_word["zzz"][4] == "z|z|z"
+    assert by_word["ababababab"][2] == "abab"  # remaining after 3 pieces
+
+    # auto-switch: a sub-threshold inventory stays a fold (pure plan,
+    # no Python), an over-threshold one becomes a mapInPandas scan
+    small_plan = B.wordpiece_segment(
+        words, [], inventory=inv, inline_threshold=10
+    )._jdf.queryExecution().executedPlan().toString()
+    big_plan = B.wordpiece_segment(
+        words, [], inventory=inv, inline_threshold=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in small_plan
+    assert "MapInPandas" in big_plan
+
+
+def test_viterbi_pandas_lattice_crossover(spark):
+    """The mapInPandas Viterbi lattice is row-identical to the
+    map-literal DP fold on the same cost table — same integer scores,
+    same (score, n, sig) lexicographic tie-break."""
+    from flight_delay_prediction_using_pyspark_spark.text import unigram as U
+
+    words = spark.createDataFrame(
+        [("abababab", 2), ("ba", 1), ("abc", 4), ("aaaa", 3)],
+        "word string, freq long",
+    )
+    costs = {"a": 300, "b": 300, "c": 250, "ab": 100, "aa": 450, "abc": 777}
+    fold = U.viterbi_segment(words, costs)
+    lattice = U.viterbi_segment_pandas(words, costs)
+    assert sorted(map(tuple, fold.collect())) == sorted(
+        map(tuple, lattice.collect())
+    )
+
+
+def test_quality_clf_engine_free_reference(spark):
+    """The learned quality classifier's Spark scoring fold matches the
+    engine-free pure-Python scorer BIT-FOR-BIT per document, and the
+    trained artifact separates its labeled fixture perfectly by
+    integer-score sign (round-9 mandate: model-based filtering with a
+    reference implementation pinning the scores)."""
+    from flight_delay_prediction_using_pyspark_spark.text import (
+        quality_clf as Q,
+    )
+
+    bias_q, wq = Q.trained_weights_q()
+    fix = Q.labeled_fixture()
+    assert all(
+        (Q.score_q(t, bias_q, wq) > 0) == bool(y) for t, y in fix
+    )
+
+    # score a mixed bag — fixture rows AND real corpus-vocabulary
+    # text — through the Spark fold and compare per row
+    texts = [t for t, _ in fix[:6]] + [t for t, _ in fix[-6:]] + [
+        "spark join batch window merge the a big data query",
+        "slow row slow row slow row the the the",
+        "single",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks"),
+    )
+    got = {
+        r["text"]: r["s"]
+        for r in df.select(
+            "text", F.expr(Q.spark_score_expr("__toks", bias_q, wq)).alias("s")
+        ).collect()
+    }
+    for t in texts:
+        assert got[t] == Q.score_q(t, bias_q, wq), t
+
+
+def test_viterbi_auto_switch_threshold(spark):
+    """viterbi_segment routes cost tables past inline_threshold to the
+    mapInPandas lattice (map-literal element_at is a linear scan —
+    SCALE.md curve) and keeps small tables on the codegen fold."""
+    from flight_delay_prediction_using_pyspark_spark.text import unigram as U
+
+    words = spark.createDataFrame([("abab", 2)], "word string, freq long")
+    costs = {"a": 300, "b": 300, "ab": 100}
+    fold_plan = (
+        U.viterbi_segment(words, costs, inline_threshold=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lat_plan = (
+        U.viterbi_segment(words, costs, inline_threshold=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in fold_plan
+    assert "MapInPandas" in lat_plan
+    # and both produce the same rows
+    a = U.viterbi_segment(words, costs, inline_threshold=10).collect()
+    b = U.viterbi_segment(words, costs, inline_threshold=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
