@@ -49,52 +49,37 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 8:
-#   - doc_lm_perplexity_buckets / doc_token_pmi_pairs /
-#     copurchase_association_rules: round-7 shipped plan-only scan
-#     reductions for these WITHOUT fresh driver rows (round-7 verdict
-#     "What's missing #1" — queued by name for round 8).
-#   - plan_estimate_contract: grew a fifth oracle-pinned boolean
-#     (exploding_hint_refused — dim_join must refuse the broadcast
-#     hint on a many-to-many self-join lineage, the one shape the
-#     robust size bound under-estimates; verdict "What's wrong #2").
-#     Schema changed, so the r7 row attests to a narrower contract.
-#   - events_max_concurrent_sessions: the round-7 spans persist is
-#     now SIZE-GATED (scratch_persist_if_large) — at bench SF the
-#     persist pinned an AQE-frozen 128-task cached plan and cost
-#     1.66× baseline (the round's only recorded regression); output
-#     is invariant but the lineage changed.
-#   - corpus_heaps_law_fit: the decile cut moved to exact integer
-#     division on BOTH engines (ADVICE: DuckDB's DOUBLE-divide +
-#     round-half-to-even vs Spark's truncating cast diverge by one
-#     doc whenever doc_count isn't a multiple of 10 — masked at the
-#     shipped SFs, latent everywhere else).
+# Round 9:
+#   - ml_tree_sql_scoring_parity: the transpiler now emits bare
+#     D-suffix double literals instead of CAST('…' AS DOUBLE) —
+#     bit-identical values, different generated SQL text, so the r8
+#     row attests to deleted emission code.
+#   - corpus_unigram_lm_vocab: the Viterbi candidate bound moved to
+#     the exact max(0, i-ML) form and cost lookups to try_element_at
+#     (round-8 ADVICE; ANSI-mode safety) — output-invariant on the
+#     shipped corpus, lineage changed.
 #   - layout_manifest_time_travel / layout_schema_evolution_read /
-#     layout_manifest_stats_pruning: the manifest protocol changed
-#     (ADVICE ×3 — stats now derived from the files actually written,
-#     null min/max recorded as stats-absent and kept conservatively
-#     on read, all-pruned schema read comes from a known-committed
-#     batch instead of a lexicographic data-tree listing).
+#     layout_manifest_stats_pruning: the manifest stats read-back now
+#     runs under parquet aggregate pushdown (round-8 ADVICE — footer
+#     stats instead of a second column scan); envelope values are
+#     invariant, the read path changed.
+#   - plan_estimate_contract: the exploding-lineage guard now also
+#     detects Expand (rollup/cube) and cached/local self-joins via
+#     Catalyst sameResult (round-8 ADVICE) — the oracle booleans are
+#     unchanged but the guard they attest to is wider.
 _MUST_HAVE: list[str] = [
-    "doc_lm_perplexity_buckets",
-    "doc_token_pmi_pairs",
-    "copurchase_association_rules",
-    "plan_estimate_contract",
-    "events_max_concurrent_sessions",
-    "corpus_heaps_law_fit",
+    "ml_tree_sql_scoring_parity",
+    "corpus_unigram_lm_vocab",
     "layout_manifest_time_travel",
     "layout_schema_evolution_read",
     "layout_manifest_stats_pruning",
+    "plan_estimate_contract",
 ]
-# NOT re-queued: dim_join consumers for the round-8 exploding-join
-# guard — the guard only REFUSES hints on Generate/cross/self-join
-# lineage, which no existing consumer has (FK chains join different
-# tables); their plans are pinned value-invariant by
-# test_chain_dim_queries_plan_no_sortmergejoin and the re-queued
-# plan_estimate_contract carries the new boolean. Likewise the
-# thread-keyed scratch registry (pure lifecycle, output-invariant,
-# tests/test_scratch.py) touches every scratch_persist query; the
-# sequential driver path is behavior-identical.
+# The six round-9 queries (corpus_bpe_batched_merges,
+# corpus_wordpiece_trie_crossover, corpus_wordpiece_frozen_apply,
+# doc_quality_classifier_scores, ml_tree_sql_codegen_ceiling,
+# ml_tree_sql_depth15_parity) are never-attempted → tier 2 seats them
+# right behind this list, well inside the 50-row window.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

@@ -199,6 +199,15 @@ HEADLINE = [
     "corpus_wordpiece_agreement",
     "corpus_unigram_lm_vocab",
     "ml_tree_sql_scoring_parity",
+    # round-9 additions (batched induction and the tree fits are
+    # session-memoized → one-rep; trie/frozen run AFTER the textbook
+    # induction so the shared training is already attributed to it)
+    "corpus_bpe_batched_merges",
+    "corpus_wordpiece_trie_crossover",
+    "corpus_wordpiece_frozen_apply",
+    "doc_quality_classifier_scores",
+    "ml_tree_sql_codegen_ceiling",
+    "ml_tree_sql_depth15_parity",
 ]
 
 
@@ -291,9 +300,15 @@ MEMOIZED_ONE_REP = {
     # BPE training is memoized per session+SF (_BPE_CACHE): a second
     # induction rep would measure the cached merge list, not training.
     "corpus_bpe_vocab_induction",
+    # batched trainer likewise (_BPE_BATCH_CACHE)
+    "corpus_bpe_batched_merges",
     # fit memoized per session (_TREESQL_CACHE): the recorded cold rep
     # includes the one-time fit, like the rest of the ml family
     "ml_tree_sql_scoring_parity",
+    # whole-result memo (_DEEP_RESULT_CACHE): rep 2 would serve a
+    # driver-side tuple and hide the fit + doomed-compile measurement
+    "ml_tree_sql_codegen_ceiling",
+    "ml_tree_sql_depth15_parity",
 }
 
 #: Consumer groups of the PERSISTED cross-query caches (_PAIR_CACHE /
