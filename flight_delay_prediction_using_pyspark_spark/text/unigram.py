@@ -64,11 +64,13 @@ _Q = 100000
 #: Cost-table size past which viterbi_segment switches from the
 #: map-literal fold to the mapInPandas lattice. The fold's
 #: element_at on a literal map is a LINEAR ArrayBasedMapData scan, so
-#: its per-row cost grows with |V| (measured: the fold beats the
-#: lattice at oracle-scale tables but is already ~7× slower at a 4k
-#: table under production look-back — SCALE.md curve); the lattice's
-#: dict lookup is O(1) and its closure ships the table once per
-#: executor.
+#: its per-row cost grows with |V| — measured over a 50k-word vocab
+#: (SCALE.md round-9 curve): at production look-back (ml=16) the fold
+#: reads 7.6 s at |V|≈1k and 26.8 s at |V|≈4k vs the lattice's flat
+#: ~0.8 s (dict lookup is O(1); the closure ships the table once per
+#: executor). The fold's remaining advantage is tiny inputs, where
+#: Arrow/Python worker spin-up dominates the lattice — the
+#: oracle-scale catalog tables (|V|≈60) stay on the codegen fold.
 INLINE_COSTS_MAX = 1024
 
 
