@@ -208,6 +208,11 @@ HEADLINE = [
     "doc_quality_classifier_scores",
     "ml_tree_sql_codegen_ceiling",
     "ml_tree_sql_depth15_parity",
+    # round-9 clustering tier: each trains its own deterministic
+    # k-means in-query (no cross-call cache), so min-of-reps is honest
+    "embedding_kmeans_clusters",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_adc_topk",
 ]
 
 

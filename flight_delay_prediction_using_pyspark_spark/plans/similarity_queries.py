@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
+from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist, scratch_persist_if_large
 from flight_delay_prediction_using_pyspark_spark.similarity import ann
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
@@ -761,4 +761,235 @@ def q_ann_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _HARDNEG_K)
         .orderBy("anchor_id", "rk")
+    )
+
+
+# --- deterministic k-means / IVF / PQ (similarity.kmeans) ---------------------
+#
+# The clustering tier of the similarity stack: an oracle-replayable
+# Lloyd's trainer (exact-integer centroid state — see similarity/
+# kmeans.py for the determinism contract), the IVF coarse quantizer it
+# unlocks (the MLlib-trained ann_ivf_topk stays as the production-
+# parity rows-only sibling), and FAISS-style product quantization with
+# asymmetric-distance scoring (Jégou, Douze, Schmid, TPAMI 2011).
+
+from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+_KM_K = 8
+_KM_D = 64
+_KM_ITERS = 3
+_IVF_ITERS = 2
+_IVF_PROBES = 2
+_PQ_M = 4
+_PQ_SUBD = 16
+_PQ_K = 8
+_PQ_ITERS = 2
+
+
+@query(
+    "embedding_kmeans_clusters",
+    oracle=f"""
+    WITH {km.kmeans_cte_sql(k=_KM_K, iters=_KM_ITERS, d=_KM_D)}
+    SELECT CAST(cid AS BIGINT) AS cluster_id, n AS n_vectors,
+           CAST(list_reduce(s, (a, b) -> a + b) AS BIGINT) AS centroid_sum,
+           ROUND(CAST(s[1] AS DOUBLE) / n, 6) AS c0,
+           ROUND(CAST(s[2] AS DOUBLE) / n, 6) AS c1
+    FROM cent{_KM_ITERS}
+    ORDER BY cluster_id
+    """,
+)
+def q_embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding corpus (k=8, 3 Lloyd's
+    iterations): the trained centroid state — cluster sizes, the exact
+    integer component-sum checksum that pins the whole centroid, and
+    the first two centroid components.
+
+    Scale shape: per iteration ONE job — assignment is a pure
+    projection (centroids inlined as literals, the k×(d+1) bounded
+    artifact) feeding a k-row groupBy with map-side combine; the
+    driver never sees more than k×(d+1) integers. The quantized base
+    is size-gate persisted across the 3 iterations (at 100 TB the gate
+    flips to persist; at bench SF it stays a cheap rescan). Integer
+    quantization makes every group sum exact — reduction-order-free,
+    hence the DuckDB oracle can replay all three iterations
+    bit-for-bit (see similarity/kmeans.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = scratch_persist_if_large(
+        emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
+    )
+    cent = km.kmeans_fit(qdf, k=_KM_K, iters=_KM_ITERS, d=_KM_D)
+    rows = [
+        (cid, n, sum(s), s[0] / n, s[1] / n)
+        for cid, (n, s) in sorted(cent.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "cluster_id long, n_vectors long, centroid_sum long, c0 double, c1 double",
+    )
+    return out.select(
+        "cluster_id",
+        "n_vectors",
+        "centroid_sum",
+        F.round("c0", 6).alias("c0"),
+        F.round("c1", 6).alias("c1"),
+    ).orderBy("cluster_id")
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {km.kmeans_cte_sql(k=_KM_K, iters=_IVF_ITERS + 1, d=_KM_D)},
+    probecent AS (SELECT cid, list_transform(s, x -> CAST(x AS DOUBLE) / n)
+                  AS c FROM cent{_IVF_ITERS}),
+    qq AS (SELECT qv FROM q WHERE vid = {_QUERY_VEC_ID}),
+    probes AS (SELECT cid FROM (
+        SELECT c.cid, {km._sq_dist_sql('qq.qv', 'c.c', _KM_D)} AS dist
+        FROM probecent c CROSS JOIN qq)
+        ORDER BY dist, cid LIMIT {_IVF_PROBES}),
+    cands AS (SELECT vid FROM b{_IVF_ITERS + 1}
+              WHERE cid IN (SELECT cid FROM probes)),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv0 AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id, ROUND({_cosine_sql('e.v', 'qv0.qv')}, 6) AS cosine
+    FROM e JOIN cands ON e.vec_id = cands.vid CROSS JOIN qv0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with the DETERMINISTIC coarse quantizer: 8 lists
+    trained by similarity.kmeans (2 iterations), the 2 lists nearest
+    the query probed, exact cosine rank within them — the first
+    fully-oracle-backed IVF row (ann_ivf_topk, the MLlib-trained
+    sibling, stays rows-only because float KMeans centroids are
+    reduction-order-dependent).
+
+    Scale shape: probe selection is driver-side over the k×d centroid
+    artifact (bytes); assignment is a projection; with the corpus
+    written partitionBy(list_id) the IN-filter prunes partitions at
+    plan time, so a probe reads n_probe/n_lists of the data. The
+    final rank is TakeOrderedAndProject over the probed lists — no
+    shuffle. The oracle replays the trainer bit-for-bit and reuses
+    iteration {_IVF_ITERS + 1}'s assignment CTE (b{_IVF_ITERS + 1})
+    as the final-assignment pass under cent{_IVF_ITERS}."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_persist_if_large(
+        emb.select(
+            "vec_id", "embedding", km.quantize_expr("embedding").alias("qv")
+        )
+    )
+    cent = km.kmeans_fit(
+        base.select("vec_id", "qv"), k=_KM_K, iters=_IVF_ITERS, d=_KM_D
+    )
+    qrow = (
+        base.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("qv", "embedding")
+        .first()
+    )
+    q_quant = [int(x) for x in qrow["qv"]]
+    q_vec = [float(x) for x in qrow["embedding"]]
+    comps = {cid: km.centroid_components(n, s) for cid, (n, s) in cent.items()}
+    probes = sorted(
+        comps, key=lambda cid: (km.py_sq_dist(q_quant, comps[cid]), cid)
+    )[:_IVF_PROBES]
+    cands = base.withColumn("list_id", km.nearest_expr(F.col("qv"), cent)).filter(
+        F.col("list_id").isin(probes)
+    )
+    return ann.cosine_topk(cands, q_vec, k=10)
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {km.grouped_kmeans_cte_sql(k=_PQ_K, iters=_PQ_ITERS + 1, m=_PQ_M,
+                                    sub_d=_PQ_SUBD)},
+    qsub AS (SELECT sub, qv FROM r WHERE vid = {_QUERY_VEC_ID}),
+    cfin AS (SELECT sub, cid, list_transform(s, x -> CAST(x AS DOUBLE) / n)
+             AS c FROM cent{_PQ_ITERS}),
+    lut AS (SELECT c.sub, c.cid,
+            {km._sq_dist_sql('qsub.qv', 'c.c', _PQ_SUBD)} AS dist
+            FROM cfin c JOIN qsub ON c.sub = qsub.sub),
+    scored AS (SELECT b{_PQ_ITERS + 1}.vid,
+               list_reduce(list_prepend(0.0,
+                   list(lut.dist ORDER BY b{_PQ_ITERS + 1}.sub)),
+                   (a, b) -> a + b) AS adist
+               FROM b{_PQ_ITERS + 1}
+               JOIN lut ON b{_PQ_ITERS + 1}.sub = lut.sub
+                       AND b{_PQ_ITERS + 1}.cid = lut.cid
+               GROUP BY b{_PQ_ITERS + 1}.vid)
+    SELECT vid AS vec_id, adist AS pq_dist
+    FROM scored
+    ORDER BY pq_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (Jégou et al., TPAMI 2011): 4 subspaces × 16 dims, an 8-code
+    codebook per subspace trained by ONE grouped k-means (all
+    codebooks share each iteration's job), query→code lookup tables
+    built driver-side, and the top-10 by summed LUT distance.
+
+    Why PQ is the 100 TB path: each 64-d float vector compresses to 4
+    code ids (≥64× smaller), scoring touches only the codes + a
+    k×m-double LUT, and the whole ADC pass is a PROJECTION feeding
+    TakeOrderedAndProject — no join, no shuffle, memory-bandwidth
+    bound. Training cost is the same per-iteration shape as flat
+    k-means (one projection + one (m·k)-row groupBy). The oracle
+    replays training, encoding (iteration {_PQ_ITERS + 1}'s assignment
+    CTE under cent{_PQ_ITERS}), LUT build, and the ordered
+    0.0-seeded fold bit-for-bit. pq_dist is deliberately UNrounded:
+    it is bit-deterministic by construction, and at ~1e10 magnitude a
+    6-decimal round is sub-ulp — Spark's BigDecimal HALF_UP and
+    DuckDB's float round then disagree by 1 ulp (measured), so
+    rounding would BREAK parity rather than protect it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_persist_if_large(
+        emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
+    )
+    reshaped = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD)
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sub", "qv"),
+    )
+    books = km.kmeans_fit_grouped(
+        reshaped,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        d=_PQ_SUBD,
+        group_col="sub",
+        n_groups=_PQ_M,
+    )
+    qq = [
+        int(x)
+        for x in base.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["qv"]
+    ]
+    lut = {
+        s: [
+            km.py_sq_dist(
+                qq[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                km.centroid_components(*books[s][cid]),
+            )
+            for cid in sorted(books[s])
+        ]
+        for s in range(_PQ_M)
+    }
+    adist = F.lit(0.0)
+    for s in range(_PQ_M):
+        code = km.nearest_expr(
+            F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD), books[s]
+        )
+        adist = adist + F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), code + F.lit(1)
+        )
+    return (
+        base.select("vec_id", adist.alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+        .limit(10)
     )

@@ -1,0 +1,391 @@
+"""Deterministic distributed k-means (Lloyd's) over integer-quantized
+embeddings — the coarse/product quantizer trainer for IVF and PQ
+similarity search, built so a second SQL engine can replay every
+iteration bit-for-bit.
+
+Why a second k-means next to similarity/ivf.py (MLlib): MLlib's
+trainer accumulates float centroid sums whose value depends on
+reduction order and partitioning, so its centroids can't be pinned by
+the DuckDB oracle (the IVF catalog entry is rows-only for exactly that
+reason). This trainer removes every source of nondeterminism while
+keeping the distributed shape:
+
+- vector components quantized to BIGINT (``floor(x * scale)``) →
+  per-cluster component sums are exact integer arithmetic —
+  associative, so identical under ANY reduction order, partitioning,
+  or engine;
+- a centroid component is ``double(sum) / double(count)`` — one
+  correctly-rounded IEEE division of exactly-representable integers,
+  identical in Python, Spark, and DuckDB;
+- per-row distance is a LEFT FOLD over the fixed-length component
+  array with the centroid inlined as a literal — Spark's
+  ``aggregate(zip_with(...))`` and DuckDB's
+  ``list_reduce(list_prepend(0.0, list_transform(...)))`` execute the
+  same IEEE ops in the same order → bit-identical doubles;
+- argmin ties break to the lowest cluster id (strict ``<`` while
+  scanning ids ascending ≡ SQL ``ORDER BY dist, cid``);
+- init picks the k rows with the smallest ``md5(CAST(id AS VARCHAR))``
+  (both engines emit the same lowercase hex) — a deterministic,
+  hash-spread seeding;
+- an empty cluster keeps its previous centroid (both sides).
+
+Scale shape (the part that matters at 100 TB): assignment is a pure
+projection — the centroid table is inlined as literals, a bounded
+artifact of k×(d+1) numbers, the same economics as the BPE merge list
+and the quality-classifier weights (tokenizer-as-expression pattern).
+The ONLY shuffle per iteration is the k-row (or k·m-row, grouped)
+centroid recompute ``groupBy`` with map-side partial aggregation; the
+driver round-trips once per iteration carrying k×(d+1) integers.
+Nothing data-sized ever reaches the driver.
+
+Used by:
+- ``embedding_kmeans_clusters`` — the trained state itself;
+- ``ann_ivf_kmeans_topk`` — IVF with an oracle-replayable coarse
+  quantizer (upgrades IVF from the rows-only MLlib gate);
+- ``ann_pq_adc_topk`` — product quantization: per-subspace codebooks
+  (grouped k-means), asymmetric-distance top-k via code → LUT lookup.
+
+References: Lloyd 1982 (k-means); Jégou, Douze, Schmid 2011 (Product
+Quantization for Nearest Neighbor Search) — public literature; the
+reference repo has no clustering surface (its MLlib usage is
+supervised, /root/reference/src/main/helper_methods.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 100_000
+
+
+# --- quantization -------------------------------------------------------------
+
+
+def quantize_expr(vec_col: str | Column, scale: int = DEFAULT_SCALE) -> Column:
+    """array<float|double> → array<bigint>: floor(x · scale).
+
+    Exactness bound: |component| ≤ ~10 and corpora ≤ ~10^9 rows keep
+    per-cluster component sums < 2^53 ≪ BIGINT, so group sums are
+    exact and order-independent — the property the whole oracle
+    contract rests on."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def quantize_sql(vec_expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """DuckDB twin of quantize_expr (identical IEEE ops)."""
+    return (
+        f"list_transform(CAST({vec_expr} AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {float(scale)!r}) AS BIGINT))"
+    )
+
+
+# --- distance + assignment expressions ----------------------------------------
+
+
+def _sq_dist_expr(qv_col: Column, centroid: list[float]) -> Column:
+    """Σ_j (double(qv_j) − c_j)² as a left fold in array order —
+    operand-order-identical to _sq_dist_sql."""
+    c_lit = F.array(*[F.lit(float(c)) for c in centroid])
+    diffs = F.zip_with(
+        qv_col,
+        c_lit,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda a, b: a + b)
+
+
+def _sq_dist_sql(qv_expr: str, centroid_expr: str, d: int) -> str:
+    """DuckDB twin: left fold from 0.0 over positions 1..d."""
+    term = (
+        f"(CAST({qv_expr}[i] AS DOUBLE) - {centroid_expr}[i])"
+        f" * (CAST({qv_expr}[i] AS DOUBLE) - {centroid_expr}[i])"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, {d}), i -> {term})), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def py_sq_dist(q: list[int], c: list[float]) -> float:
+    """Driver-side twin of _sq_dist_expr/_sq_dist_sql: the SAME left
+    fold (acc starts 0.0, terms in index order), so centroid-ranking
+    decisions made on the driver (IVF probe lists, PQ LUTs) are
+    bit-equal to what either engine would compute."""
+    acc = 0.0
+    for x, cj in zip(q, c):
+        diff = float(x) - cj
+        acc = acc + diff * diff
+    return acc
+
+
+def centroid_components(n: int, sums: list[int]) -> list[float]:
+    """Exact-integer state → double centroid (one correctly-rounded
+    division per component; bit-equal to DuckDB's
+    CAST(s AS DOUBLE)/n)."""
+    return [s / n for s in sums]
+
+
+def nearest_expr(
+    qv_col: Column, centroids: dict[int, tuple[int, list[int]]]
+) -> Column:
+    """Argmin cluster id over inlined centroid literals: array_min of
+    (dist, cid) structs — lexicographic struct ordering ≡ SQL
+    ``ORDER BY dist, cid`` (ties → lowest cid). Each distance fold
+    appears ONCE in the expression (a nested when-chain duplicates it
+    O(k²) times — measured 5.8 MB task binaries at k=8·m=4 vs ~1.5 MB
+    this way)."""
+    entries = [
+        F.struct(
+            _sq_dist_expr(qv_col, centroid_components(*centroids[cid])).alias(
+                "d"
+            ),
+            F.lit(cid).alias("c"),
+        )
+        for cid in sorted(centroids)
+    ]
+    return F.array_min(F.array(*entries))["c"]
+
+
+# --- the trainer ---------------------------------------------------------------
+
+
+def init_centroids(
+    df: DataFrame, k: int, *, qv_col: str = "qv", id_col: str = "vec_id"
+) -> dict[int, tuple[int, list[int]]]:
+    """Seed with the k rows of smallest md5(id): cid i = i-th smallest.
+    A driver-side k-row collect — the bounded artifact, not data."""
+    rows = (
+        df.select(F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"), qv_col)
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return {i: (1, [int(x) for x in r[qv_col]]) for i, r in enumerate(rows)}
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    d: int,
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+) -> dict[int, tuple[int, list[int]]]:
+    """Lloyd's with exact-integer centroid state.
+
+    Per iteration: ONE wide-dependency job — a projection (assignment
+    via inlined literals, no join/shuffle) feeding a k-row groupBy
+    with map-side combine; the driver collects k×(d+1) integers.
+    Empty clusters carry their previous state forward."""
+    cent = init_centroids(df, k, qv_col=qv_col, id_col=id_col)
+    sums = [F.sum(F.col(qv_col)[j]).alias(f"s{j}") for j in range(d)]
+    for _ in range(iters):
+        stats = (
+            df.withColumn("__cid", nearest_expr(F.col(qv_col), cent))
+            .groupBy("__cid")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        new = {
+            int(r["__cid"]): (int(r["n"]), [int(r[f"s{j}"]) for j in range(d)])
+            for r in stats
+        }
+        cent = {cid: new.get(cid, cent[cid]) for cid in cent}
+    return cent
+
+
+def kmeans_fit_grouped(
+    df: DataFrame,
+    *,
+    k: int,
+    iters: int,
+    d: int,
+    group_col: str,
+    n_groups: int,
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+) -> dict[int, dict[int, tuple[int, list[int]]]]:
+    """Per-group k-means in ONE set of jobs (the PQ trainer: one group
+    per subspace). Identical math to running kmeans_fit per group, but
+    every iteration is a single groupBy(group, cid) over the reshaped
+    frame — m codebooks for the job cost of one."""
+    # init: same k smallest-md5 ids in every group (md5 of the id only,
+    # so the seeding is one k-row collect, reused across groups)
+    per_group: dict[int, dict[int, tuple[int, list[int]]]] = {}
+    seed_ids = [
+        r[id_col]
+        for r in (
+            df.select(id_col)
+            .distinct()
+            .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")))
+            .limit(k)
+            .collect()
+        )
+    ]
+    order = {v: i for i, v in enumerate(seed_ids)}
+    seed_rows = df.filter(F.col(id_col).isin(seed_ids)).collect()
+    for r in seed_rows:
+        g = int(r[group_col])
+        per_group.setdefault(g, {})[order[r[id_col]]] = (
+            1,
+            [int(x) for x in r[qv_col]],
+        )
+    sums = [F.sum(F.col(qv_col)[j]).alias(f"s{j}") for j in range(d)]
+    for _ in range(iters):
+        assign = _grouped_nearest_expr(F.col(group_col), F.col(qv_col), per_group)
+        stats = (
+            df.withColumn("__cid", assign)
+            .groupBy(group_col, "__cid")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        new: dict[int, dict[int, tuple[int, list[int]]]] = {}
+        for r in stats:
+            new.setdefault(int(r[group_col]), {})[int(r["__cid"])] = (
+                int(r["n"]),
+                [int(r[f"s{j}"]) for j in range(d)],
+            )
+        per_group = {
+            g: {cid: new.get(g, {}).get(cid, cent[cid]) for cid in cent}
+            for g, cent in per_group.items()
+        }
+    return per_group
+
+
+def _grouped_nearest_expr(
+    group_col: Column,
+    qv_col: Column,
+    per_group: dict[int, dict[int, tuple[int, list[int]]]],
+) -> Column:
+    """CASE over the group column, each branch the group's argmin —
+    one projection covers all m codebooks."""
+    expr = None
+    for g in sorted(per_group):
+        branch = nearest_expr(qv_col, per_group[g])
+        expr = (
+            F.when(group_col == F.lit(g), branch)
+            if expr is None
+            else expr.when(group_col == F.lit(g), branch)
+        )
+    return expr
+
+
+# --- oracle SQL generation ------------------------------------------------------
+
+
+def kmeans_cte_sql(
+    *,
+    k: int,
+    iters: int,
+    d: int,
+    scale: int = DEFAULT_SCALE,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The full iteration chain as DuckDB CTEs (q, cent0 … cent{T}).
+
+    Callers append their own final SELECT. The chain mirrors
+    kmeans_fit exactly: same init, same fold distance, same
+    lowest-cid tie-break (ORDER BY dist, cid), same empty-cluster
+    carry-forward."""
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(d))
+    slist = "list_value(" + ", ".join(f"s{j}" for j in range(d)) + ")"
+    parts = [
+        f"q AS (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
+        f" FROM {table})",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
+        f" AS cid, CAST(1 AS BIGINT) AS n, qv AS s FROM"
+        f" (SELECT md5(CAST(vid AS VARCHAR)) AS h, qv FROM q"
+        f" ORDER BY h LIMIT {k}))",
+    ]
+    dist = _sq_dist_sql("q.qv", "c.c", d)
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"a{t} AS (SELECT q.vid, q.qv, c.cid, {dist} AS dist FROM q"
+            f" CROSS JOIN (SELECT cid, list_transform(s, x ->"
+            f" CAST(x AS DOUBLE) / n) AS c FROM cent{p}) c)"
+        )
+        parts.append(
+            f"b{t} AS (SELECT vid, qv, cid FROM (SELECT vid, qv, cid,"
+            f" row_number() OVER (PARTITION BY vid ORDER BY dist, cid)"
+            f" AS rn FROM a{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT cid, n, {slist} AS s FROM"
+            f" (SELECT cid, COUNT(*) AS n, {sums} FROM b{t} GROUP BY cid))"
+        )
+        parts.append(
+            f"cent{t} AS (SELECT cid, n, s FROM n{t} UNION ALL"
+            f" SELECT cid, n, s FROM cent{p}"
+            f" WHERE cid NOT IN (SELECT cid FROM n{t}))"
+        )
+    return ",\n    ".join(parts)
+
+
+def grouped_kmeans_cte_sql(
+    *,
+    k: int,
+    iters: int,
+    m: int,
+    sub_d: int,
+    scale: int = DEFAULT_SCALE,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The PQ-trainer twin of kmeans_cte_sql: m per-subspace codebooks
+    trained in one shared iteration chain. Emits CTEs ``q0`` (flat
+    quantized), ``r`` (reshaped vid/sub/qv), ``cent0`` … ``cent{T}``
+    keyed by (sub, cid). Same init (k smallest-md5 ids, reused across
+    subspaces), fold distance, tie-break, and empty-cluster
+    carry-forward as kmeans_fit_grouped."""
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(sub_d))
+    slist = "list_value(" + ", ".join(f"s{j}" for j in range(sub_d)) + ")"
+    slices = " UNION ALL ".join(
+        f"SELECT vid, {s} AS sub,"
+        f" list_slice(qv, {s * sub_d + 1}, {(s + 1) * sub_d}) AS qv FROM q0"
+        for s in range(m)
+    )
+    parts = [
+        f"q0 AS (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
+        f" FROM {table})",
+        f"r AS ({slices})",
+        f"seed AS (SELECT vid, CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
+        f" AS cid FROM (SELECT vid, md5(CAST(vid AS VARCHAR)) AS h FROM q0"
+        f" ORDER BY h LIMIT {k}))",
+        "cent0 AS (SELECT r.sub, seed.cid, CAST(1 AS BIGINT) AS n,"
+        " r.qv AS s FROM r JOIN seed USING (vid))",
+    ]
+    dist = _sq_dist_sql("r.qv", "c.c", sub_d)
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f"a{t} AS (SELECT r.vid, r.sub, r.qv, c.cid, {dist} AS dist"
+            f" FROM r JOIN (SELECT sub, cid, list_transform(s, x ->"
+            f" CAST(x AS DOUBLE) / n) AS c FROM cent{p}) c ON r.sub = c.sub)"
+        )
+        parts.append(
+            f"b{t} AS (SELECT vid, sub, qv, cid FROM (SELECT vid, sub, qv,"
+            f" cid, row_number() OVER (PARTITION BY vid, sub"
+            f" ORDER BY dist, cid) AS rn FROM a{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT sub, cid, n, {slist} AS s FROM"
+            f" (SELECT sub, cid, COUNT(*) AS n, {sums} FROM b{t}"
+            f" GROUP BY sub, cid))"
+        )
+        parts.append(
+            f"cent{t} AS (SELECT sub, cid, n, s FROM n{t} UNION ALL"
+            f" SELECT c.sub, c.cid, c.n, c.s FROM cent{p} c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM n{t} x"
+            f" WHERE x.sub = c.sub AND x.cid = c.cid))"
+        )
+    return ",\n    ".join(parts)

@@ -139,3 +139,104 @@ def test_hard_negatives_are_bucket_confined_and_cross_label(spark):
         assert r.neg_label != r.anchor_label
         assert 1 <= r.rk <= _HARDNEG_K
         assert buckets[r.vec_id] == buckets[r.anchor_id]
+
+
+# --- deterministic k-means (similarity.kmeans) --------------------------------
+
+
+def _py_kmeans(rows, k, iters):
+    """Engine-free textbook Lloyd's with the SAME contract as
+    kmeans_fit: exact-integer state, md5 init, left-fold distance,
+    lowest-cid ties, empty-cluster carry-forward. Pins the distributed
+    trainer to public-knowledge semantics with no Spark in the loop."""
+    import hashlib
+
+    from flight_delay_prediction_using_pyspark_spark.similarity.kmeans import (
+        centroid_components,
+        py_sq_dist,
+    )
+
+    byhash = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    cent = {i: (1, list(byhash[i][1])) for i in range(k)}
+    for _ in range(iters):
+        acc = {}
+        for _vid, qv in rows:
+            comps = {c: centroid_components(*cent[c]) for c in cent}
+            best = min(
+                sorted(cent), key=lambda c: (py_sq_dist(qv, comps[c]), c)
+            )
+            n, s = acc.setdefault(best, (0, [0] * len(qv)))
+            acc[best] = (n + 1, [a + b for a, b in zip(s, qv)])
+        cent = {c: acc.get(c, cent[c]) for c in cent}
+    return cent
+
+
+@pytest.fixture(scope="module")
+def km_rows(spark):
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    qdf = (
+        spark.read.parquet(f"{SF_CORRECTNESS_DIR}/embeddings.parquet")
+        .select("vec_id", km.quantize_expr("embedding").alias("qv"))
+        .limit(120)
+    )
+    return [(int(r.vec_id), [int(x) for x in r.qv]) for r in qdf.collect()]
+
+
+def test_kmeans_matches_engine_free_reference(spark, km_rows):
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    df = spark.createDataFrame(
+        km_rows, "vec_id long, qv array<long>"
+    ).repartition(7)  # partitioning must not matter: integer sums
+    got = km.kmeans_fit(df, k=5, iters=3, d=64)
+    want = _py_kmeans(km_rows, k=5, iters=3)
+    assert got == want
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    # 3 distinct points, k=4: at most 3 clusters can ever win a row,
+    # so at least one centroid must carry its init state through both
+    # iterations (the duplicate-seeded cluster loses every argmin tie
+    # to the lower cid).
+    rows = [(i, [int(1000 * (i % 3)), 0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    cent = km.kmeans_fit(df, k=4, iters=2, d=2)
+    assert set(cent) == {0, 1, 2, 3}
+    sizes = sum(n for n, _ in cent.values())
+    # every row assigned each iteration; carried clusters keep n from
+    # their last win (init n=1 if never won)
+    assert any(n == 1 for n, _ in cent.values())
+    assert sizes >= 8
+
+
+def test_grouped_kmeans_single_group_equals_flat(spark, km_rows):
+    from pyspark.sql import functions as F
+
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    df = spark.createDataFrame(km_rows, "vec_id long, qv array<long>")
+    flat = km.kmeans_fit(df, k=4, iters=2, d=64)
+    grouped = km.kmeans_fit_grouped(
+        df.withColumn("sub", F.lit(0)),
+        k=4,
+        iters=2,
+        d=64,
+        group_col="sub",
+        n_groups=1,
+    )
+    assert grouped == {0: flat}
+
+
+def test_pq_adc_scoring_plan_is_shuffle_free(spark):
+    """The PQ scale rationale: after training, ADC scoring is a pure
+    projection + TakeOrderedAndProject — no Exchange in the plan."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    df = QUERIES["ann_pq_adc_topk"](spark, SF_CORRECTNESS_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
