@@ -213,6 +213,7 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     "ann_ivf_kmeans_topk",
     "ann_pq_adc_topk",
+    "ann_pq_recall_eval",
 ]
 
 

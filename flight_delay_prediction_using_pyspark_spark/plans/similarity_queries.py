@@ -780,10 +780,11 @@ _KM_D = 64
 _KM_ITERS = 3
 _IVF_ITERS = 2
 _IVF_PROBES = 2
-_PQ_M = 4
-_PQ_SUBD = 16
+_PQ_M = 8
+_PQ_SUBD = 8
 _PQ_K = 8
 _PQ_ITERS = 2
+_PQ_SHORTLIST = 100
 
 
 @query(
@@ -925,13 +926,13 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring
-    (Jégou et al., TPAMI 2011): 4 subspaces × 16 dims, an 8-code
+    (Jégou et al., TPAMI 2011): 8 subspaces × 8 dims, an 8-code
     codebook per subspace trained by ONE grouped k-means (all
     codebooks share each iteration's job), query→code lookup tables
     built driver-side, and the top-10 by summed LUT distance.
 
-    Why PQ is the 100 TB path: each 64-d float vector compresses to 4
-    code ids (≥64× smaller), scoring touches only the codes + a
+    Why PQ is the 100 TB path: each 64-d float vector compresses to 8
+    code ids (≥32× smaller), scoring touches only the codes + a
     k×m-double LUT, and the whole ADC pass is a PROJECTION feeding
     TakeOrderedAndProject — no join, no shuffle, memory-bandwidth
     bound. Training cost is the same per-iteration shape as flat
@@ -943,6 +944,15 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-decimal round is sub-ulp — Spark's BigDecimal HALF_UP and
     DuckDB's float round then disagree by 1 ulp (measured), so
     rounding would BREAK parity rather than protect it."""
+    _base, scored = _pq_scored(spark, sf_dir)
+    return scored.orderBy("pq_dist", "vec_id").limit(10)
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str):
+    """The shared PQ pipeline (train → LUT → ADC scores). Returns
+    (quantized base frame, scored frame) so the recall eval can reuse
+    both without calling the catalog entry (which would
+    release_scratch mid-query)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = scratch_persist_if_large(
         emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
@@ -988,8 +998,109 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adist = adist + F.element_at(
             F.array(*[F.lit(v) for v in lut[s]]), code + F.lit(1)
         )
-    return (
-        base.select("vec_id", adist.alias("pq_dist"))
-        .orderBy("pq_dist", "vec_id")
+    return base, base.select("vec_id", adist.alias("pq_dist"))
+
+
+_INT_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, {d}), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "ann_pq_recall_eval",
+    oracle=f"""
+    WITH {km.grouped_kmeans_cte_sql(k=_PQ_K, iters=_PQ_ITERS + 1, m=_PQ_M,
+                                    sub_d=_PQ_SUBD)},
+    qsub AS (SELECT sub, qv FROM r WHERE vid = {_QUERY_VEC_ID}),
+    cfin AS (SELECT sub, cid, list_transform(s, x -> CAST(x AS DOUBLE) / n)
+             AS c FROM cent{_PQ_ITERS}),
+    lut AS (SELECT c.sub, c.cid,
+            {km._sq_dist_sql('qsub.qv', 'c.c', _PQ_SUBD)} AS dist
+            FROM cfin c JOIN qsub ON c.sub = qsub.sub),
+    scored AS (SELECT b{_PQ_ITERS + 1}.vid,
+               list_reduce(list_prepend(0.0,
+                   list(lut.dist ORDER BY b{_PQ_ITERS + 1}.sub)),
+                   (a, b) -> a + b) AS adist
+               FROM b{_PQ_ITERS + 1}
+               JOIN lut ON b{_PQ_ITERS + 1}.sub = lut.sub
+                       AND b{_PQ_ITERS + 1}.cid = lut.cid
+               GROUP BY b{_PQ_ITERS + 1}.vid),
+    adc10 AS (SELECT vid FROM scored ORDER BY adist, vid LIMIT 10),
+    short AS (SELECT vid FROM scored ORDER BY adist, vid
+              LIMIT {_PQ_SHORTLIST}),
+    qflat AS (SELECT qv AS qq FROM q0 WHERE vid = {_QUERY_VEC_ID}),
+    rerank10 AS (SELECT vid FROM (
+        SELECT q0.vid,
+               {_INT_L2_SQL.format(a='q0.qv', b='qflat.qq', d=_KM_D)} AS d2
+        FROM q0 JOIN short USING (vid) CROSS JOIN qflat)
+        ORDER BY d2, vid LIMIT 10),
+    exact10 AS (SELECT vid FROM (
+        SELECT q0.vid,
+               {_INT_L2_SQL.format(a='q0.qv', b='qflat.qq', d=_KM_D)} AS d2
+        FROM q0 CROSS JOIN qflat)
+        ORDER BY d2, vid LIMIT 10)
+    SELECT a.n_overlap_adc, a.recall_adc_at_10,
+           b.n_overlap_rerank, b.recall_rerank_at_10
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_adc,
+                 CAST(COUNT(*) AS DOUBLE) / 10 AS recall_adc_at_10
+          FROM adc10 JOIN exact10 USING (vid)) a
+    CROSS JOIN
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_rerank,
+                 CAST(COUNT(*) AS DOUBLE) / 10 AS recall_rerank_at_10
+          FROM rerank10 JOIN exact10 USING (vid)) b
+    """,
+)
+def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ tier against the exact neighbor set under
+    the SAME metric (squared L2 on quantized vectors), for BOTH
+    operating modes: raw ADC ranking, and the production shape —
+    ADC shortlist of {_PQ_SHORTLIST} → exact rerank within it
+    (IVFADC+R, Jégou et al. 2011 §V). The two numbers are the
+    retuning dials: raw ADC recall moves with m·log2(k) bits/vector;
+    rerank recall moves with the shortlist size (measured here:
+    raw 0.1 vs rerank 0.9 at m=8, k=8, shortlist 100/500 — codes
+    are a SHORTLIST generator, floats do the final ranking).
+
+    The exact arm is PURE INTEGER arithmetic end-to-end: per-row
+    Σ(q_j−x_j)² over BIGINT components (≤ ~9e11, no overflow), so its
+    top-10 is portable with no FP contract at all; the PQ arm is the
+    bit-deterministic ADC pipeline. At production scale the rerank
+    reads only the shortlist's float vectors (point lookups by id) —
+    the corpus-wide scan here exists to define recall, and in
+    production is sampled over a query panel."""
+    base, scored = _pq_scored(spark, sf_dir)
+    adc10 = scored.orderBy("pq_dist", "vec_id").limit(10)
+    short = scored.orderBy("pq_dist", "vec_id").limit(_PQ_SHORTLIST)
+    qq_arr = F.array(
+        *[
+            F.lit(int(x)).cast("long")
+            for x in base.filter(F.col("vec_id") == _QUERY_VEC_ID).first()[
+                "qv"
+            ]
+        ]
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), qq_arr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    exact10 = (
+        base.select("vec_id", d2.alias("d2")).orderBy("d2", "vec_id").limit(10)
+    )
+    rerank10 = (
+        base.join(short.select("vec_id"), "vec_id")
+        .select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
         .limit(10)
     )
+    a = adc10.join(exact10.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_adc"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_adc_at_10"),
+    )
+    b = rerank10.join(exact10.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_rerank"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_rerank_at_10"),
+    )
+    return a.crossJoin(b)
