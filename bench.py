@@ -214,6 +214,7 @@ HEADLINE = [
     "ann_ivf_kmeans_topk",
     "ann_pq_adc_topk",
     "ann_pq_recall_eval",
+    "semdedup_kmeans_cells",
 ]
 
 
@@ -238,6 +239,10 @@ SCALING_SET = [
     # vocab-bound iterative training: cost rides the distinct-word
     # frame, so the SF slope should be ≈0 beyond the word-freq agg
     "corpus_bpe_vocab_induction",
+    # centroid-bound iterative training: per-iteration cost is one
+    # linear projection + a k-row agg, so the slope should be ≈ the
+    # scan's (linear), never superlinear
+    "embedding_kmeans_clusters",
 ]
 
 

@@ -1104,3 +1104,66 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_rerank_at_10"),
     )
     return a.crossJoin(b)
+
+
+_SD_KM_ITERS = 2
+
+
+@query(
+    "semdedup_kmeans_cells",
+    oracle=f"""
+    WITH {km.kmeans_cte_sql(k=_KM_K, iters=_SD_KM_ITERS + 1, d=_KM_D)},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT e.vec_id, e.v, {_NORM.format(v='e.v')} AS nrm,
+                 CAST(b{_SD_KM_ITERS + 1}.cid AS BIGINT) AS cell_id
+          FROM e JOIN b{_SD_KM_ITERS + 1} ON e.vec_id = b{_SD_KM_ITERS + 1}.vid),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE {_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)
+            >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+    )
+    SELECT cell_id,
+           COUNT(*) AS n_vectors,
+           COUNT(*) FILTER (WHERE p.vec_id IS NOT NULL) AS n_pruned,
+           COUNT(*) - COUNT(*) FILTER (WHERE p.vec_id IS NOT NULL) AS n_kept
+    FROM n LEFT JOIN pruned p USING (vec_id)
+    GROUP BY cell_id
+    """,
+)
+def q_semdedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PAPER'S OWN cell structure (Abbas et al.
+    2023, arXiv:2303.09540 §3: "we cluster the embeddings with
+    k-means"): learned k-means cells from the deterministic trainer
+    confine the O(n²) cosine test, inside each cell a vector is
+    dropped iff a smaller-id neighbor is cosine-≥ τ similar. The
+    hyperplane sibling (semdedup_prune_census) keeps the
+    data-INDEPENDENT quantizer; this row is the data-ADAPTIVE one —
+    learned cells track the corpus distribution, so cell occupancy
+    (and with it the pair-join cost and recall) is balanced by
+    training instead of left to hyperplane luck.
+
+    Scale shape: training is the bounded-artifact iteration loop
+    (see similarity/kmeans.py); cell assignment is a projection;
+    the pair stage is a cell-equi-join so all-pairs work is confined
+    to single cells (~n/k rows each — raise k as the corpus grows,
+    the paper uses k≈√n); the census is one k-row groupBy. The
+    oracle replays training bit-for-bit and reuses iteration
+    {_SD_KM_ITERS + 1}'s assignment CTE as the final cell map."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_persist_if_large(
+        emb.select(
+            "vec_id", "embedding", km.quantize_expr("embedding").alias("qv")
+        )
+    )
+    cent = km.kmeans_fit(
+        base.select("vec_id", "qv"), k=_KM_K, iters=_SD_KM_ITERS, d=_KM_D
+    )
+    with_cell = base.select(
+        "vec_id",
+        "embedding",
+        km.nearest_expr(F.col("qv"), cent).cast("long").alias("cell"),
+    )
+    return ann.semdedup_census_in_cells(
+        with_cell, "cell", threshold=_SEMDEDUP_TAU, out_cell_col="cell_id"
+    )

@@ -259,6 +259,29 @@ def semdedup_census(
     grows); the shuffle carries (bucket, id, vec) once. No driver-side
     data, no cartesian.
     """
+    with_cell = df.withColumn(
+        "__cell", hyperplane_signature(F.col(vec_col), planes)
+    )
+    return semdedup_census_in_cells(
+        with_cell, "__cell", threshold, vec_col, id_col, out_cell_col="bucket"
+    )
+
+
+def semdedup_census_in_cells(
+    df: DataFrame,
+    cell_col: str,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_cell_col: str = "cell_id",
+) -> DataFrame:
+    """The cell-generic core of semdedup_census: `df` arrives with a
+    precomputed cell column (hyperplane bucket, k-means cluster id,
+    IVF list — any bounded quantizer), and the keep-lowest-id pruning
+    census runs within cells. Split out so the paper-exact k-means
+    variant (semdedup_kmeans_cells, learned cells from
+    similarity.kmeans) shares one pruning implementation with the
+    LSH stand-in."""
     nrm = F.sqrt(
         F.aggregate(
             F.col(vec_col),
@@ -270,7 +293,7 @@ def semdedup_census(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         nrm.alias("nrm"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        F.col(cell_col).alias("bucket"),
     )
     a = base.select(
         F.col("bucket"),
@@ -295,7 +318,7 @@ def semdedup_census(
     )
     return (
         base.join(pruned, ["id"], "left")
-        .groupBy("bucket")
+        .groupBy(F.col("bucket").alias(out_cell_col))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.count(F.col("is_pruned")).alias("n_pruned"),
