@@ -215,6 +215,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_pq_recall_eval",
     "semdedup_kmeans_cells",
+    "embedding_kmeans_pp_candidates",
 ]
 
 

@@ -1167,3 +1167,58 @@ def q_semdedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.semdedup_census_in_cells(
         with_cell, "cell", threshold=_SEMDEDUP_TAU, out_cell_col="cell_id"
     )
+
+
+_KMPP_ROUNDS = 3
+_KMPP_L = 8
+
+
+@query(
+    "embedding_kmeans_pp_candidates",
+    oracle=f"""
+    WITH {km.kmeanspp_cte_sql(rounds=_KMPP_ROUNDS, l=_KMPP_L, d=_KM_D)}
+    SELECT c.vid AS vec_id, CAST(c.round AS BIGINT) AS round_added,
+           CAST(COALESCE(w.n, 0) AS BIGINT) AS weight
+    FROM c{_KMPP_ROUNDS} c LEFT JOIN w ON c.vid = w.cand
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_kmeans_pp_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means|| oversampling init (Bahmani et al., VLDB 2012) — the
+    production seeding MLlib itself uses, made deterministic: per
+    round every point joins the candidate set with probability
+    l·d²(x,C)/Σd², decided by the engine-portable md5-uniform instead
+    of an RNG, so the sampled set is a pure function of the data. The
+    output is the weighted candidate set (candidate id, round it
+    entered, number of corpus points voting it nearest) that the
+    final driver-side weighted Lloyd's would reduce to k seeds — the
+    part of k-means|| that touches the corpus, and the part that must
+    scale.
+
+    Why this completes the trainer: the flat trainer's smallest-md5
+    init is uniform — fine for balanced synthetic data, but the
+    paper's point is that distance-weighted oversampling reaches a
+    provably O(log k)-competitive seeding in O(log n) passes instead
+    of k-means++'s k sequential passes. Distances here are EXACT
+    BIGINTs (candidates are corpus points, not means), Σd² is an
+    exact DECIMAL(38,0) sum, and the sampling inequality
+    u32·S < l·d²·2³² is evaluated on doubles of those exact integers
+    with shared multiplication order — every rounding identical in
+    both engines, so the driver's CORRECTNESS gate can replay a
+    probabilistic algorithm exactly. Per-round cost: one projection
+    over inlined candidate literals + one scalar agg + a ~l-row
+    collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_persist_if_large(
+        emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
+    )
+    cands = km.kmeanspp_candidates(
+        base, rounds=_KMPP_ROUNDS, l=_KMPP_L, d=_KM_D
+    )
+    out = spark.createDataFrame(
+        [(vid, rnd, wt) for vid, rnd, _qv, wt in cands],
+        "vec_id long, round_added long, weight long",
+    )
+    return out.orderBy("vec_id")

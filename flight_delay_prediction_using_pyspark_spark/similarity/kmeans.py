@@ -389,3 +389,181 @@ def grouped_kmeans_cte_sql(
             f" WHERE x.sub = c.sub AND x.cid = c.cid))"
         )
     return ",\n    ".join(parts)
+
+
+# --- k-means|| oversampling init (Bahmani et al., VLDB 2012) -------------------
+
+
+def int_sq_dist_expr(qv_col: Column, cand: list[int]) -> Column:
+    """Exact integer Σ(x_j−c_j)² between a quantized vector column and
+    a quantized candidate POINT (k-means|| candidates are corpus rows,
+    not means, so distances stay in BIGINT — no FP contract at all)."""
+    c_lit = F.array(*[F.lit(int(c)).cast("long") for c in cand])
+    return F.aggregate(
+        F.zip_with(qv_col, c_lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+
+
+def int_sq_dist_sql(a: str, b: str, d: int) -> str:
+    """DuckDB twin of int_sq_dist_expr (exact, order-free)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, {d}), i -> "
+        f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+
+
+#: md5-uniform resolution: first 8 hex digits → 32-bit integer.
+U32_DENOM = float(1 << 32)
+
+
+def u32_expr(id_col: str | Column) -> Column:
+    """The repo's engine-portable hash-uniform as a 32-bit integer:
+    conv(substr(md5(id), 1, 8), 16, 10) — bit-identical to DuckDB's
+    CAST(concat('0x', substr(md5(id), 1, 8)) AS BIGINT)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmeanspp_candidates(
+    df: DataFrame,
+    *,
+    rounds: int,
+    l: int,
+    d: int,
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int, list[int], int]]:
+    """Deterministic k-means|| oversampling: returns the weighted
+    candidate set [(vid, round_added, qv, weight)] that a driver-side
+    weighted Lloyd's would cluster into the final k seeds.
+
+    Per round (O(log n) rounds in the paper; fixed here): each point
+    joins the candidate set with probability l·d²(x,C)/Σd² — decided
+    by the md5-uniform, so the 'sample' is a deterministic function
+    of the data that both engines reproduce. The inequality
+      u32 · S  <  l · d² · 2³²
+    is evaluated on DOUBLES OF EXACT INTEGERS with identical
+    multiplication order in both engines (d² is an exact BIGINT —
+    candidates are corpus points, not means; S is an exact
+    DECIMAL(38,0) sum collected once per round), so every rounding is
+    shared and the selected set is bit-portable. Driver state per
+    round is the ~l selected rows (the bounded artifact); the
+    distance pass is a projection over inlined candidate literals +
+    one scalar agg — the same per-iteration shape as Lloyd's.
+
+    Weights: each corpus point votes for its nearest candidate
+    (exact-integer argmin, ties → lowest candidate id); candidates
+    that win no point keep weight 0."""
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(qv_col).alias("qv"),
+        u32_expr(id_col).alias("u32"),
+    )
+    seed = (
+        base.orderBy(F.md5(F.col("vid").cast("string").cast("binary")))
+        .limit(1)
+        .collect()[0]
+    )
+    cands: list[tuple[int, int, list[int]]] = [
+        (int(seed["vid"]), 0, [int(x) for x in seed["qv"]])
+    ]
+    for t in range(1, rounds + 1):
+        dists = [int_sq_dist_expr(F.col("qv"), qv) for _, _, qv in cands]
+        d2 = dists[0] if len(dists) == 1 else F.least(*dists)
+        scored = base.select("vid", "qv", "u32", d2.alias("d2"))
+        s_total = int(
+            scored.agg(
+                F.sum(F.col("d2").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+        )
+        have = {vid for vid, _, _ in cands}
+        sel = (
+            scored.filter(
+                F.col("u32").cast("double") * F.lit(float(s_total))
+                < F.lit(float(l))
+                * F.col("d2").cast("double")
+                * F.lit(U32_DENOM)
+            )
+            .select("vid", "qv")
+            .collect()
+        )
+        for r in sorted(sel, key=lambda r: int(r["vid"])):
+            if int(r["vid"]) not in have:
+                cands.append((int(r["vid"]), t, [int(x) for x in r["qv"]]))
+    nearest = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    int_sq_dist_expr(F.col("qv"), qv).alias("d"),
+                    F.lit(vid).cast("long").alias("c"),
+                )
+                for vid, _, qv in cands
+            ]
+        )
+    )["c"]
+    counts = {
+        int(r["cand"]): int(r["n"])
+        for r in base.select(nearest.alias("cand"))
+        .groupBy("cand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return [
+        (vid, rnd, qv, counts.get(vid, 0)) for vid, rnd, qv in cands
+    ]
+
+
+def kmeanspp_cte_sql(
+    *,
+    rounds: int,
+    l: int,
+    d: int,
+    scale: int = DEFAULT_SCALE,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The k-means|| replay as DuckDB CTEs: u (quantized + u32),
+    c0 … c{rounds} (candidate sets with round tags), w (nearest-
+    candidate votes under the final set). Callers select from
+    c{rounds} LEFT JOIN the w counts."""
+    dist = int_sq_dist_sql("u.qv", "c.qv", d)
+    parts = [
+        f"u AS (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv,"
+        f" CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) AS u32 FROM {table})",
+        "c0 AS (SELECT vid, qv, 0 AS round FROM (SELECT vid, qv FROM u"
+        " ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT 1))",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"m{t} AS (SELECT u.vid, MIN({dist}) AS d2"
+            f" FROM u CROSS JOIN c{p} c GROUP BY u.vid)"
+        )
+        parts.append(
+            f"s{t} AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,0))) AS DOUBLE)"
+            f" AS s FROM m{t})"
+        )
+        parts.append(
+            f"sel{t} AS (SELECT u.vid, u.qv FROM u JOIN m{t} USING (vid)"
+            f" CROSS JOIN s{t}"
+            f" WHERE CAST(u.u32 AS DOUBLE) * s{t}.s"
+            f" < {float(l)!r} * CAST(m{t}.d2 AS DOUBLE) * {U32_DENOM!r}"
+            f" AND u.vid NOT IN (SELECT vid FROM c{p}))"
+        )
+        parts.append(
+            f"c{t} AS (SELECT vid, qv, round FROM c{p} UNION ALL"
+            f" SELECT vid, qv, {t} AS round FROM sel{t})"
+        )
+    parts.append(
+        f"w AS (SELECT cand, COUNT(*) AS n FROM (SELECT u.vid, c.vid AS cand,"
+        f" row_number() OVER (PARTITION BY u.vid ORDER BY {dist}, c.vid)"
+        f" AS rn FROM u CROSS JOIN c{rounds} c) WHERE rn = 1 GROUP BY cand)"
+    )
+    return ",\n    ".join(parts)

@@ -240,3 +240,26 @@ def test_pq_adc_scoring_plan_is_shuffle_free(spark):
     df = QUERIES["ann_pq_adc_topk"](spark, SF_CORRECTNESS_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_kmeanspp_candidates_contract(spark, km_rows):
+    """k-means|| invariants: the md5-seed is candidate round 0,
+    rounds only add new ids, and every corpus point votes exactly
+    once (weights sum to n)."""
+    import hashlib
+
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    df = spark.createDataFrame(km_rows, "vec_id long, qv array<long>")
+    cands = km.kmeanspp_candidates(df, rounds=2, l=4, d=64)
+    seed = min(
+        (vid for vid, _ in km_rows),
+        key=lambda v: hashlib.md5(str(v).encode()).hexdigest(),
+    )
+    by_round = {}
+    for vid, rnd, _qv, _w in cands:
+        by_round.setdefault(rnd, []).append(vid)
+    assert by_round[0] == [seed]
+    ids = [vid for vid, *_ in cands]
+    assert len(ids) == len(set(ids))
+    assert sum(w for *_, w in cands) == len(km_rows)
