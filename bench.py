@@ -216,6 +216,7 @@ HEADLINE = [
     "ann_pq_recall_eval",
     "semdedup_kmeans_cells",
     "embedding_kmeans_pp_candidates",
+    "embedding_kmeans_init_quality",
 ]
 
 

@@ -184,6 +184,21 @@ def kmeans_fit(
     with map-side combine; the driver collects k×(d+1) integers.
     Empty clusters carry their previous state forward."""
     cent = init_centroids(df, k, qv_col=qv_col, id_col=id_col)
+    return kmeans_fit_from_seeds(df, cent, iters=iters, d=d, qv_col=qv_col)
+
+
+def kmeans_fit_from_seeds(
+    df: DataFrame,
+    seeds: dict[int, tuple[int, list[int]]],
+    *,
+    iters: int,
+    d: int,
+    qv_col: str = "qv",
+) -> dict[int, tuple[int, list[int]]]:
+    """The iteration loop of kmeans_fit from an arbitrary seed state —
+    lets alternative inits (k-means|| candidates, a shipped centroid
+    artifact) run through the identical trainer."""
+    cent = dict(seeds)
     sums = [F.sum(F.col(qv_col)[j]).alias(f"s{j}") for j in range(d)]
     for _ in range(iters):
         stats = (
@@ -198,6 +213,35 @@ def kmeans_fit(
         }
         cent = {cid: new.get(cid, cent[cid]) for cid in cent}
     return cent
+
+
+def inertia_expr(
+    qv_col: Column, centroids: dict[int, tuple[int, list[int]]]
+) -> Column:
+    """floor of the min squared distance to any centroid — the
+    per-row inertia contribution, floor-quantized to BIGINT so the
+    corpus sum is exact and order-free (the double min is
+    bit-identical both engines; only the cross-row SUM needs the
+    integer armor)."""
+    dists = [
+        _sq_dist_expr(qv_col, centroid_components(*centroids[cid]))
+        for cid in sorted(centroids)
+    ]
+    md = dists[0] if len(dists) == 1 else F.least(*dists)
+    return F.floor(md).cast("long")
+
+
+def inertia_sql(q_cte: str, cent_cte: str, d: int) -> str:
+    """DuckDB twin of an inertia scan: SUM(floor(min dist²)) as an
+    exact DECIMAL(38,0) cast back to BIGINT."""
+    dist = _sq_dist_sql(f"{q_cte}.qv", "c.c", d)
+    return (
+        f"(SELECT CAST(SUM(CAST(md AS DECIMAL(38, 0))) AS BIGINT) FROM"
+        f" (SELECT floor(MIN({dist})) AS md FROM {q_cte}"
+        f" CROSS JOIN (SELECT cid, list_transform(s, x ->"
+        f" CAST(x AS DOUBLE) / n) AS c FROM {cent_cte}) c"
+        f" GROUP BY {q_cte}.vid))"
+    )
 
 
 def kmeans_fit_grouped(
@@ -295,39 +339,59 @@ def kmeans_cte_sql(
     kmeans_fit exactly: same init, same fold distance, same
     lowest-cid tie-break (ORDER BY dist, cid), same empty-cluster
     carry-forward."""
-    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(d))
-    slist = "list_value(" + ", ".join(f"s{j}" for j in range(d)) + ")"
     parts = [
-        f"q AS (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
+        f"q AS MATERIALIZED (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
         f" FROM {table})",
-        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
+        f"cent0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
         f" AS cid, CAST(1 AS BIGINT) AS n, qv AS s FROM"
         f" (SELECT md5(CAST(vid AS VARCHAR)) AS h, qv FROM q"
         f" ORDER BY h LIMIT {k}))",
     ]
-    dist = _sq_dist_sql("q.qv", "c.c", d)
-    for t in range(1, iters + 1):
-        p = t - 1
-        parts.append(
-            f"a{t} AS (SELECT q.vid, q.qv, c.cid, {dist} AS dist FROM q"
-            f" CROSS JOIN (SELECT cid, list_transform(s, x ->"
-            f" CAST(x AS DOUBLE) / n) AS c FROM cent{p}) c)"
-        )
-        parts.append(
-            f"b{t} AS (SELECT vid, qv, cid FROM (SELECT vid, qv, cid,"
-            f" row_number() OVER (PARTITION BY vid ORDER BY dist, cid)"
-            f" AS rn FROM a{t}) WHERE rn = 1)"
-        )
-        parts.append(
-            f"n{t} AS (SELECT cid, n, {slist} AS s FROM"
-            f" (SELECT cid, COUNT(*) AS n, {sums} FROM b{t} GROUP BY cid))"
-        )
-        parts.append(
-            f"cent{t} AS (SELECT cid, n, s FROM n{t} UNION ALL"
-            f" SELECT cid, n, s FROM cent{p}"
-            f" WHERE cid NOT IN (SELECT cid FROM n{t}))"
-        )
+    parts += kmeans_iter_ctes(iters=iters, d=d, q_cte="q", cent0_cte="cent0")
     return ",\n    ".join(parts)
+
+
+def kmeans_iter_ctes(
+    *,
+    iters: int,
+    d: int,
+    q_cte: str,
+    cent0_cte: str,
+    prefix: str = "",
+) -> list[str]:
+    """The Lloyd's iteration chain alone, reading points from
+    ``q_cte`` (vid, qv) and seeds from ``cent0_cte`` (cid, n, s).
+    Emits ``{prefix}a{t}/b{t}/n{t}/cent{t}`` so two independently
+    seeded chains can coexist in one WITH (the init-quality
+    comparison)."""
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(d))
+    slist = "list_value(" + ", ".join(f"s{j}" for j in range(d)) + ")"
+    dist = _sq_dist_sql(f"{q_cte}.qv", "c.c", d)
+    parts: list[str] = []
+    for t in range(1, iters + 1):
+        prev = cent0_cte if t == 1 else f"{prefix}cent{t - 1}"
+        parts.append(
+            f"{prefix}a{t} AS MATERIALIZED (SELECT {q_cte}.vid, {q_cte}.qv, c.cid,"
+            f" {dist} AS dist FROM {q_cte}"
+            f" CROSS JOIN (SELECT cid, list_transform(s, x ->"
+            f" CAST(x AS DOUBLE) / n) AS c FROM {prev}) c)"
+        )
+        parts.append(
+            f"{prefix}b{t} AS MATERIALIZED (SELECT vid, qv, cid FROM (SELECT vid, qv, cid,"
+            f" row_number() OVER (PARTITION BY vid ORDER BY dist, cid)"
+            f" AS rn FROM {prefix}a{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"{prefix}n{t} AS MATERIALIZED (SELECT cid, n, {slist} AS s FROM"
+            f" (SELECT cid, COUNT(*) AS n, {sums} FROM {prefix}b{t}"
+            f" GROUP BY cid))"
+        )
+        parts.append(
+            f"{prefix}cent{t} AS MATERIALIZED (SELECT cid, n, s FROM {prefix}n{t}"
+            f" UNION ALL SELECT cid, n, s FROM {prev}"
+            f" WHERE cid NOT IN (SELECT cid FROM {prefix}n{t}))"
+        )
+    return parts
 
 
 def grouped_kmeans_cte_sql(
@@ -355,35 +419,35 @@ def grouped_kmeans_cte_sql(
         for s in range(m)
     )
     parts = [
-        f"q0 AS (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
+        f"q0 AS MATERIALIZED (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
         f" FROM {table})",
         f"r AS ({slices})",
-        f"seed AS (SELECT vid, CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
+        f"seed AS MATERIALIZED (SELECT vid, CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
         f" AS cid FROM (SELECT vid, md5(CAST(vid AS VARCHAR)) AS h FROM q0"
         f" ORDER BY h LIMIT {k}))",
-        "cent0 AS (SELECT r.sub, seed.cid, CAST(1 AS BIGINT) AS n,"
+        "cent0 AS MATERIALIZED (SELECT r.sub, seed.cid, CAST(1 AS BIGINT) AS n,"
         " r.qv AS s FROM r JOIN seed USING (vid))",
     ]
     dist = _sq_dist_sql("r.qv", "c.c", sub_d)
     for t in range(1, iters + 1):
         p = t - 1
         parts.append(
-            f"a{t} AS (SELECT r.vid, r.sub, r.qv, c.cid, {dist} AS dist"
+            f"a{t} AS MATERIALIZED (SELECT r.vid, r.sub, r.qv, c.cid, {dist} AS dist"
             f" FROM r JOIN (SELECT sub, cid, list_transform(s, x ->"
             f" CAST(x AS DOUBLE) / n) AS c FROM cent{p}) c ON r.sub = c.sub)"
         )
         parts.append(
-            f"b{t} AS (SELECT vid, sub, qv, cid FROM (SELECT vid, sub, qv,"
+            f"b{t} AS MATERIALIZED (SELECT vid, sub, qv, cid FROM (SELECT vid, sub, qv,"
             f" cid, row_number() OVER (PARTITION BY vid, sub"
             f" ORDER BY dist, cid) AS rn FROM a{t}) WHERE rn = 1)"
         )
         parts.append(
-            f"n{t} AS (SELECT sub, cid, n, {slist} AS s FROM"
+            f"n{t} AS MATERIALIZED (SELECT sub, cid, n, {slist} AS s FROM"
             f" (SELECT sub, cid, COUNT(*) AS n, {sums} FROM b{t}"
             f" GROUP BY sub, cid))"
         )
         parts.append(
-            f"cent{t} AS (SELECT sub, cid, n, s FROM n{t} UNION ALL"
+            f"cent{t} AS MATERIALIZED (SELECT sub, cid, n, s FROM n{t} UNION ALL"
             f" SELECT c.sub, c.cid, c.n, c.s FROM cent{p} c"
             f" WHERE NOT EXISTS (SELECT 1 FROM n{t} x"
             f" WHERE x.sub = c.sub AND x.cid = c.cid))"
@@ -534,35 +598,35 @@ def kmeanspp_cte_sql(
     c{rounds} LEFT JOIN the w counts."""
     dist = int_sq_dist_sql("u.qv", "c.qv", d)
     parts = [
-        f"u AS (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv,"
+        f"u AS MATERIALIZED (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv,"
         f" CAST(concat('0x', substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))"
         f" AS BIGINT) AS u32 FROM {table})",
-        "c0 AS (SELECT vid, qv, 0 AS round FROM (SELECT vid, qv FROM u"
+        "c0 AS MATERIALIZED (SELECT vid, qv, 0 AS round FROM (SELECT vid, qv FROM u"
         " ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT 1))",
     ]
     for t in range(1, rounds + 1):
         p = t - 1
         parts.append(
-            f"m{t} AS (SELECT u.vid, MIN({dist}) AS d2"
+            f"m{t} AS MATERIALIZED (SELECT u.vid, MIN({dist}) AS d2"
             f" FROM u CROSS JOIN c{p} c GROUP BY u.vid)"
         )
         parts.append(
-            f"s{t} AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,0))) AS DOUBLE)"
+            f"s{t} AS MATERIALIZED (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,0))) AS DOUBLE)"
             f" AS s FROM m{t})"
         )
         parts.append(
-            f"sel{t} AS (SELECT u.vid, u.qv FROM u JOIN m{t} USING (vid)"
+            f"sel{t} AS MATERIALIZED (SELECT u.vid, u.qv FROM u JOIN m{t} USING (vid)"
             f" CROSS JOIN s{t}"
             f" WHERE CAST(u.u32 AS DOUBLE) * s{t}.s"
             f" < {float(l)!r} * CAST(m{t}.d2 AS DOUBLE) * {U32_DENOM!r}"
             f" AND u.vid NOT IN (SELECT vid FROM c{p}))"
         )
         parts.append(
-            f"c{t} AS (SELECT vid, qv, round FROM c{p} UNION ALL"
+            f"c{t} AS MATERIALIZED (SELECT vid, qv, round FROM c{p} UNION ALL"
             f" SELECT vid, qv, {t} AS round FROM sel{t})"
         )
     parts.append(
-        f"w AS (SELECT cand, COUNT(*) AS n FROM (SELECT u.vid, c.vid AS cand,"
+        f"w AS MATERIALIZED (SELECT cand, COUNT(*) AS n FROM (SELECT u.vid, c.vid AS cand,"
         f" row_number() OVER (PARTITION BY u.vid ORDER BY {dist}, c.vid)"
         f" AS rn FROM u CROSS JOIN c{rounds} c) WHERE rn = 1 GROUP BY cand)"
     )
