@@ -217,6 +217,7 @@ HEADLINE = [
     "semdedup_kmeans_cells",
     "embedding_kmeans_pp_candidates",
     "embedding_kmeans_init_quality",
+    "ann_ivf_streaming_ingest",
 ]
 
 

@@ -1310,3 +1310,83 @@ def q_embedding_kmeans_init_quality(
         [(ia, ib, ppm)],
         "inertia_md5 long, inertia_pp long, improvement_ppm long",
     )
+
+
+@query(
+    "ann_ivf_streaming_ingest",
+    oracle=f"""
+    WITH {km.kmeans_cte_sql(k=_KM_K, iters=_IVF_ITERS + 1, d=_KM_D)}
+    SELECT CAST(cid AS BIGINT) AS list_id,
+           COUNT(*) AS n_vectors,
+           CAST(MIN(vid) AS BIGINT) AS min_vec_id,
+           CAST(MAX(vid) AS BIGINT) AS max_vec_id
+    FROM b{_IVF_ITERS + 1}
+    GROUP BY cid
+    ORDER BY list_id
+    """,
+)
+def q_ann_ivf_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE as a stream: the coarse quantizer is
+    trained once in batch (the frozen k×d artifact — production
+    retrains offline and ships centroids to the ingest job), then a
+    readStream of arriving vectors is assigned to its nearest list
+    inside foreachBatch and APPENDED to the index layout
+    partitionBy(list_id) — so every probe-time partition-pruned read
+    (ann_ivf_kmeans_topk's scale path) stays valid as the corpus
+    grows, with no index rebuild. The result is the per-list census
+    of the ingested layout read BACK from the partitioned files.
+
+    Assignment is a pure projection with inlined centroid literals,
+    so the micro-batch adds no shuffle and no state store — the only
+    state is the layout itself. Batching-independence: assignment is
+    per-row deterministic, so the final census equals the batch
+    assignment exactly regardless of how the stream was chopped; the
+    oracle replays training + assignment in SQL (iteration
+    {_IVF_ITERS + 1}'s CTE) without any streaming machinery —
+    batch/stream symmetry, same contract as the events_streaming_*
+    family."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
+    cent = km.kmeans_fit(base, k=_KM_K, iters=_IVF_ITERS, d=_KM_D)
+
+    stage = tempfile.mkdtemp(prefix="ivf_src_")
+    os.symlink(f"{sf_dir}/embeddings.parquet", f"{stage}/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(stage)
+    target = tempfile.mkdtemp(prefix="ivf_index_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_ckpt_")
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "list_id",
+                km.nearest_expr(
+                    km.quantize_expr("embedding"), cent
+                ).cast("long"),
+            )
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(target)
+        )
+
+    (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(target)
+        .groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("list_id")
+    )
