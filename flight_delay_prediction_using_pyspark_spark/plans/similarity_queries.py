@@ -1071,6 +1071,9 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-wide scan here exists to define recall, and in
     production is sampled over a query panel."""
     base, scored = _pq_scored(spark, sf_dir)
+    # two consumers (adc top-10 + the shortlist) would each re-evaluate
+    # the full ADC scoring expression — persist the tiny scored frame
+    scored = scratch_persist(scored)
     adc10 = scored.orderBy("pq_dist", "vec_id").limit(10)
     short = scored.orderBy("pq_dist", "vec_id").limit(_PQ_SHORTLIST)
     qq_arr = F.array(
@@ -1159,10 +1162,18 @@ def q_semdedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = km.kmeans_fit(
         base.select("vec_id", "qv"), k=_KM_K, iters=_SD_KM_ITERS, d=_KM_D
     )
-    with_cell = base.select(
-        "vec_id",
-        "embedding",
-        km.nearest_expr(F.col("qv"), cent).cast("long").alias("cell"),
+    # scratch_persist, NOT the size gate: the census consumes this frame
+    # three times (pair sides a/b + the final retention join), and each
+    # re-derivation re-evaluates the heavy inlined argmin — measured
+    # 12.4 s → 4.7 s cold at sf0.1 with the persist. At 100 TB the
+    # materialization would be the partitionBy(cell) WRITE (the
+    # ann_ivf_streaming_ingest layout), not a RAM cache.
+    with_cell = scratch_persist(
+        base.select(
+            "vec_id",
+            "embedding",
+            km.nearest_expr(F.col("qv"), cent).cast("long").alias("cell"),
+        )
     )
     return ann.semdedup_census_in_cells(
         with_cell, "cell", threshold=_SEMDEDUP_TAU, out_cell_col="cell_id"

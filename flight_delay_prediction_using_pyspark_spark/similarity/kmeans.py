@@ -38,12 +38,20 @@ centroid recompute ``groupBy`` with map-side partial aggregation; the
 driver round-trips once per iteration carrying k×(d+1) integers.
 Nothing data-sized ever reaches the driver.
 
-Used by:
+Used by (plans/similarity_queries.py):
 - ``embedding_kmeans_clusters`` — the trained state itself;
 - ``ann_ivf_kmeans_topk`` — IVF with an oracle-replayable coarse
   quantizer (upgrades IVF from the rows-only MLlib gate);
-- ``ann_pq_adc_topk`` — product quantization: per-subspace codebooks
-  (grouped k-means), asymmetric-distance top-k via code → LUT lookup.
+- ``ann_pq_adc_topk`` / ``ann_pq_recall_eval`` — product quantization
+  (grouped k-means codebooks, ADC scoring) and its raw-vs-reranked
+  recall audit;
+- ``semdedup_kmeans_cells`` — SemDeDup on the paper's own learned
+  cells;
+- ``embedding_kmeans_pp_candidates`` / ``embedding_kmeans_init_quality``
+  — the k-means|| oversampling init and the equal-budget
+  init-quality comparison;
+- ``ann_ivf_streaming_ingest`` — streaming index maintenance with a
+  frozen quantizer artifact.
 
 References: Lloyd 1982 (k-means); Jégou, Douze, Schmid 2011 (Product
 Quantization for Nearest Neighbor Search) — public literature; the
