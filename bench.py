@@ -218,6 +218,7 @@ HEADLINE = [
     "embedding_kmeans_pp_candidates",
     "embedding_kmeans_init_quality",
     "ann_ivf_streaming_ingest",
+    "ann_pq_recall_panel",
 ]
 
 

@@ -948,11 +948,11 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy("pq_dist", "vec_id").limit(10)
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str):
-    """The shared PQ pipeline (train → LUT → ADC scores). Returns
-    (quantized base frame, scored frame) so the recall eval can reuse
-    both without calling the catalog entry (which would
-    release_scratch mid-query)."""
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebooks once; returns (quantized base frame,
+    per-subspace codebooks). Shared by the ADC top-k, the recall
+    evals, and the panel eval without re-entering the catalog (which
+    would release_scratch mid-query)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = scratch_persist_if_large(
         emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
@@ -976,6 +976,12 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         group_col="sub",
         n_groups=_PQ_M,
     )
+    return base, books
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str):
+    """The single-query ADC pipeline (train → LUT → scores)."""
+    base, books = _pq_trained(spark, sf_dir)
     qq = [
         int(x)
         for x in base.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["qv"]
@@ -1400,4 +1406,181 @@ def q_ann_ivf_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
         .orderBy("list_id")
+    )
+
+
+_PANEL_N = 8
+
+
+@query(
+    "ann_pq_recall_panel",
+    oracle=f"""
+    WITH {km.grouped_kmeans_cte_sql(k=_PQ_K, iters=_PQ_ITERS + 1, m=_PQ_M,
+                                    sub_d=_PQ_SUBD)},
+    qp AS MATERIALIZED (SELECT vid AS query_id, qv FROM q0
+                        WHERE vid < {_PANEL_N}),
+    qps AS MATERIALIZED (SELECT vid AS query_id, sub, qv FROM r
+                         WHERE vid < {_PANEL_N}),
+    cfin AS MATERIALIZED (SELECT sub, cid, list_transform(s, x ->
+             CAST(x AS DOUBLE) / n) AS c FROM cent{_PQ_ITERS}),
+    lut AS MATERIALIZED (SELECT qps.query_id, c.sub, c.cid,
+            {km._sq_dist_sql('qps.qv', 'c.c', _PQ_SUBD)} AS dist
+            FROM cfin c JOIN qps ON c.sub = qps.sub),
+    scored AS MATERIALIZED (SELECT lut.query_id, b{_PQ_ITERS + 1}.vid,
+               list_reduce(list_prepend(0.0,
+                   list(lut.dist ORDER BY b{_PQ_ITERS + 1}.sub)),
+                   (a, b) -> a + b) AS adist
+               FROM b{_PQ_ITERS + 1}
+               JOIN lut ON b{_PQ_ITERS + 1}.sub = lut.sub
+                       AND b{_PQ_ITERS + 1}.cid = lut.cid
+               GROUP BY lut.query_id, b{_PQ_ITERS + 1}.vid),
+    ranked AS MATERIALIZED (SELECT query_id, vid, row_number() OVER
+               (PARTITION BY query_id ORDER BY adist, vid) AS rk
+               FROM scored),
+    adc10 AS MATERIALIZED (SELECT query_id, vid FROM ranked
+                           WHERE rk <= 10),
+    short AS MATERIALIZED (SELECT query_id, vid FROM ranked
+                           WHERE rk <= {_PQ_SHORTLIST}),
+    dists AS MATERIALIZED (SELECT qp.query_id, q0.vid,
+             {km.int_sq_dist_sql('q0.qv', 'qp.qv', _KM_D)} AS d2
+             FROM q0 CROSS JOIN qp),
+    exact10 AS MATERIALIZED (SELECT query_id, vid FROM
+             (SELECT query_id, vid, row_number() OVER
+              (PARTITION BY query_id ORDER BY d2, vid) AS rk FROM dists)
+             WHERE rk <= 10),
+    rerank10 AS MATERIALIZED (SELECT query_id, vid FROM
+             (SELECT d.query_id, d.vid, row_number() OVER
+              (PARTITION BY d.query_id ORDER BY d.d2, d.vid) AS rk
+              FROM dists d JOIN short s
+                ON d.query_id = s.query_id AND d.vid = s.vid)
+             WHERE rk <= 10)
+    SELECT CAST((SELECT COUNT(*) FROM qp) AS BIGINT) AS n_queries,
+           CAST((SELECT COUNT(*) FROM adc10 JOIN exact10
+                 USING (query_id, vid)) * 1000000
+                // (10 * (SELECT COUNT(*) FROM qp)) AS BIGINT)
+               AS mean_recall_adc_ppm,
+           CAST((SELECT COUNT(*) FROM rerank10 JOIN exact10
+                 USING (query_id, vid)) * 1000000
+                // (10 * (SELECT COUNT(*) FROM qp)) AS BIGINT)
+               AS mean_recall_rerank_ppm
+    """,
+)
+def q_ann_pq_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ recall eval done the way production does it: a PANEL of
+    {_PANEL_N} query vectors, mean recall@10 for both operating modes
+    (raw ADC, ADC-shortlist → exact rerank) — single-query recall is
+    one Bernoulli draw; the panel mean is the metric a retuning
+    decision can actually ride on. Results are exact integer ppm
+    (overlap·10⁶ // (10·panel)).
+
+    Scale shape — this is the batch-query ADC layout from Jégou et
+    al.: codes are computed ONCE for the corpus (a projection), the
+    per-query LUTs are a panel×m×k-row BROADCAST table built
+    driver-side (bytes — production ships one per query batch), and
+    scoring is a broadcast-join + grouped ORDERED fold (list sorted
+    by subspace, 0.0-seeded — the group sum must NOT be a plain SUM:
+    float addition order across m rows is engine-dependent; the
+    sorted-fold is bit-portable). Per-query ranking is one
+    rank-window partitioned by query — parallelism = panel size ×
+    corpus partitions. The exact arm is the pure-integer L2 corpus
+    × panel cross join (broadcast panel), window top-10."""
+    from pyspark.sql import Window
+
+    base, books = _pq_trained(spark, sf_dir)
+    panel = (
+        base.filter(F.col("vec_id") < _PANEL_N)
+        .select("vec_id", "qv")
+        .collect()
+    )
+    n_queries = len(panel)
+    lut_rows = [
+        (
+            int(p["vec_id"]),
+            s,
+            cid,
+            km.py_sq_dist(
+                [int(x) for x in p["qv"]][s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                km.centroid_components(*books[s][cid]),
+            ),
+        )
+        for p in panel
+        for s in range(_PQ_M)
+        for cid in sorted(books[s])
+    ]
+    lut_df = spark.createDataFrame(
+        lut_rows, "query_id long, sub int, cid int, dist double"
+    )
+    codes = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    km.nearest_expr(
+                        F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD), books[s]
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sub", "cid"),
+    )
+    ordered_fold = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("sub").alias("s"), F.col("dist").alias("dd"))
+                )
+            ),
+            lambda x: x["dd"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    scored = scratch_persist(
+        codes.join(F.broadcast(lut_df), ["sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("vid"))
+        .agg(ordered_fold.alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "vid")
+    ranked = scored.withColumn("rk", F.row_number().over(wq))
+    adc10 = ranked.filter(F.col("rk") <= 10).select("query_id", "vid")
+    short = ranked.filter(F.col("rk") <= _PQ_SHORTLIST).select(
+        "query_id", "vid"
+    )
+    panel_df = spark.createDataFrame(
+        [(int(p["vec_id"]), [int(x) for x in p["qv"]]) for p in panel],
+        "query_id long, qqv array<long>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    dists = scratch_persist(
+        base.crossJoin(F.broadcast(panel_df)).select(
+            "query_id", F.col("vec_id").alias("vid"), d2.alias("d2")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vid")
+    exact10 = (
+        dists.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vid")
+    )
+    rerank10 = (
+        dists.join(short, ["query_id", "vid"])
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vid")
+    )
+    n_adc = adc10.join(exact10, ["query_id", "vid"]).count()
+    n_rr = rerank10.join(exact10, ["query_id", "vid"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                n_adc * 1_000_000 // (10 * n_queries),
+                n_rr * 1_000_000 // (10 * n_queries),
+            )
+        ],
+        "n_queries long, mean_recall_adc_ppm long, mean_recall_rerank_ppm long",
     )
