@@ -639,3 +639,91 @@ def kmeanspp_cte_sql(
         f" AS rn FROM u CROSS JOIN c{rounds} c) WHERE rn = 1 GROUP BY cand)"
     )
     return ",\n    ".join(parts)
+
+
+# --- assignment at production k: the broadcast-join escape hatch ----------------
+
+#: Measured ceiling for literal-inlined argmin (see SCALE.md round-9
+#: "assignment ceiling" table, 64k rows × d=64, local[32]): the two
+#: paths cross at k·d ≈ 8k doubles (10.10 s vs 9.67 s at k=128);
+#: above it the literal plan's codegen cost grows superlinearly
+#: (28.4 s vs 9.4 s at k=256, 108.6 s vs 57.7 s at k=1024). Above
+#: this, assign_cells switches to the broadcast-join formulation
+#: automatically (same auto-switch economics as the tokenizer
+#: INLINE_INVENTORY_MAX).
+INLINE_CENTROID_DOUBLES_MAX = 8_192
+
+
+def _sq_dist_cols(qv_col: Column, c_col: Column) -> Column:
+    """Column-column twin of _sq_dist_expr (the centroid arrives as a
+    JOINED column, not a literal) — identical fold, identical IEEE
+    ops, so join-assignment is bit-equal to literal-assignment."""
+    diffs = F.zip_with(
+        qv_col,
+        c_col,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda a, b: a + b)
+
+
+def assign_via_join(
+    df: DataFrame,
+    centroids: dict[int, tuple[int, list[int]]],
+    *,
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Nearest-centroid assignment as a BROADCAST JOIN + min(struct)
+    aggregation instead of an inlined-literal expression.
+
+    Why it exists: the literal argmin's plan size grows with k·d
+    (every centroid component is an expression-tree literal), and
+    planning cost with it — the same resource the tree-SQL ceiling
+    measured. The join path keeps the plan CONSTANT-SIZE: centroids
+    ride a broadcast k-row frame, each row meets k candidates, and
+    min(struct(dist, cid)) — lexicographic, ties to lowest cid, the
+    same rule as nearest_expr — reduces them with map-side partial
+    aggregation, so the shuffle carries ONE row per input id. The
+    trade: that per-id reduce IS a shuffle the literal path doesn't
+    have; below the ceiling literals win, above it the join is the
+    only plan that still builds. (At IVF-production k≈√n the real
+    answer is hierarchical — a 256-way coarse level then per-list
+    fine assignment — but that composes from this same primitive.)
+
+    Returns df's columns plus `out_col`."""
+    spark = df.sparkSession
+    rows = [
+        (cid, centroid_components(n, s))
+        for cid, (n, s) in sorted(centroids.items())
+    ]
+    cdf = spark.createDataFrame(rows, "__cid int, __c array<double>")
+    dist = _sq_dist_cols(F.col(qv_col), F.col("__c"))
+    best = F.min(F.struct(dist.alias("d"), F.col("__cid").alias("c")))
+    assigned = (
+        df.crossJoin(F.broadcast(cdf))
+        .groupBy(*[F.col(c) for c in df.columns])
+        .agg(best["c"].alias(out_col))
+    )
+    return assigned
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: dict[int, tuple[int, list[int]]],
+    *,
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+    out_col: str = "cid",
+) -> DataFrame:
+    """Size-gated assignment: inline literals below
+    INLINE_CENTROID_DOUBLES_MAX centroid doubles (zero-shuffle, the
+    oracle-scale shape), broadcast-join above it (constant plan size,
+    one per-id reduce). Both paths are bit-identical — crossover-
+    tested in tests/test_similarity.py."""
+    n_doubles = sum(len(s) for _n, s in centroids.values())
+    if n_doubles <= INLINE_CENTROID_DOUBLES_MAX:
+        return df.withColumn(out_col, nearest_expr(F.col(qv_col), centroids))
+    return assign_via_join(
+        df, centroids, qv_col=qv_col, id_col=id_col, out_col=out_col
+    )

@@ -263,3 +263,39 @@ def test_kmeanspp_candidates_contract(spark, km_rows):
     ids = [vid for vid, *_ in cands]
     assert len(ids) == len(set(ids))
     assert sum(w for *_, w in cands) == len(km_rows)
+
+
+def test_assignment_join_path_matches_literal_path(spark, km_rows):
+    """The broadcast-join assignment (production-k escape hatch) is
+    row-identical to the inlined-literal argmin on the same
+    centroids, including ties (min(struct) ≡ array_min(struct))."""
+    from pyspark.sql import functions as F
+
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    df = spark.createDataFrame(km_rows, "vec_id long, qv array<long>")
+    cent = km.kmeans_fit(df, k=6, iters=2, d=64)
+    lit_path = {
+        r["vec_id"]: r["cid"]
+        for r in df.withColumn(
+            "cid", km.nearest_expr(F.col("qv"), cent)
+        ).collect()
+    }
+    join_path = {
+        r["vec_id"]: r["cid"]
+        for r in km.assign_via_join(df, cent).collect()
+    }
+    assert lit_path == join_path
+    # the auto-switch picks the literal path at this k and the join
+    # path above the ceiling
+    assert km.assign_cells(df, cent).columns == ["vec_id", "qv", "cid"]
+    old = km.INLINE_CENTROID_DOUBLES_MAX
+    try:
+        km.INLINE_CENTROID_DOUBLES_MAX = 1
+        switched = {
+            r["vec_id"]: r["cid"]
+            for r in km.assign_cells(df, cent).collect()
+        }
+    finally:
+        km.INLINE_CENTROID_DOUBLES_MAX = old
+    assert switched == lit_path
