@@ -75,15 +75,19 @@ _MUST_HAVE: list[str] = [
     "layout_manifest_stats_pruning",
     "plan_estimate_contract",
 ]
-# The fifteen round-9 queries (corpus_bpe_batched_merges,
+# The twenty round-9 queries (corpus_bpe_batched_merges,
 # corpus_wordpiece_trie_crossover, corpus_wordpiece_frozen_apply,
 # doc_quality_classifier_scores, ml_tree_sql_codegen_ceiling,
 # ml_tree_sql_depth15_parity, plus the clustering tier:
 # embedding_kmeans_clusters, ann_ivf_kmeans_topk, ann_pq_adc_topk,
 # ann_pq_recall_eval, semdedup_kmeans_cells,
 # embedding_kmeans_pp_candidates, embedding_kmeans_init_quality,
-# ann_ivf_streaming_ingest, ann_pq_recall_panel) are never-attempted
-# → tier 2 seats them
+# ann_ivf_streaming_ingest, ann_pq_recall_panel) plus the estimation
+# tier (corpus_priority_sample_estimator,
+# lineitem_neyman_allocation_estimate, lineitem_sample_quantiles_dkw,
+# events_streaming_priority_sample,
+# orders_join_size_coordinated_sample)
+# are never-attempted → tier 2 seats them
 # right behind this list, well inside the 50-row window.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a

@@ -219,6 +219,13 @@ HEADLINE = [
     "embedding_kmeans_init_quality",
     "ann_ivf_streaming_ingest",
     "ann_pq_recall_panel",
+    # round-9 estimation tier (deterministic sampling designs — no
+    # cross-call caches, min-of-reps honest)
+    "corpus_priority_sample_estimator",
+    "lineitem_neyman_allocation_estimate",
+    "lineitem_sample_quantiles_dkw",
+    "events_streaming_priority_sample",
+    "orders_join_size_coordinated_sample",
 ]
 
 

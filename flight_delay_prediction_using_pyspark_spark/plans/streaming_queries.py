@@ -794,3 +794,146 @@ def q_custom_pysource_stream_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("val").cast("long").alias("sum_val"),
         F.max("id").cast("long").alias("max_id"),
     )
+
+
+@query(
+    "events_streaming_priority_sample",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS key,
+             CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS w,
+             CAST(CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS DOUBLE)
+               / (CAST(CAST(concat('0x', substr(md5(concat('eps_', event_id)),
+                            1, 15)) AS BIGINT) + 1 AS DOUBLE)
+                  / 1152921504606846976.0) AS priority
+      FROM events
+      WHERE CAST(floor(coalesce(value, 0) * 100) AS BIGINT) > 0
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, key) AS rn FROM p
+    ),
+    t AS (
+      SELECT COALESCE(MAX(CASE WHEN rn = 51 THEN priority END), 0.0) AS tau,
+             CAST(SUM(w) AS BIGINT) AS true_c
+      FROM r
+    )
+    SELECT COUNT(*) AS k_eff,
+           CAST(floor(1000000 * t.tau) AS BIGINT) AS tau_q,
+           CAST(SUM(CAST(floor(1000000 * greatest(CAST(r.w AS DOUBLE), t.tau))
+                    AS BIGINT)) AS BIGINT) AS est_q,
+           t.true_c,
+           CAST(abs(SUM(CAST(floor(1000000 * greatest(CAST(r.w AS DOUBLE),
+                                                      t.tau)) AS BIGINT))
+                    - 1000000 * t.true_c) // t.true_c AS BIGINT)
+             AS abs_err_ppm,
+           TRUE AS multi_batch
+    FROM r, t
+    WHERE r.rn <= 50
+    GROUP BY t.tau, t.true_c
+    """,
+)
+def q_events_streaming_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming DLT priority-sample maintenance end-to-end
+    (streaming/ops.priority_sample_sink): the events table is staged
+    as FOUR files, streamed one file per micro-batch, and each batch
+    folds its rows into a persisted top-(k+1) reservoir (k=50 sample
+    rows + the τ-carrier). Because top-m selection is associative,
+    the final reservoir — and therefore τ and the DLT subset-sum
+    estimate Σ max(w, τ) — is bit-identical to the batch window-rank
+    oracle over the whole table, whatever the batching: the
+    batch/stream symmetry contract extended to the estimation tier.
+    `multi_batch` self-checks that the run actually exercised the
+    merge path (≥2 micro-batches with rows) rather than degenerating
+    to one batch. Constant state: an unbounded stream's subset-sum
+    sample costs k+1 rows forever; at 100 TB/day this is the sample
+    you can afford to keep per shard."""
+    import shutil
+
+    from flight_delay_prediction_using_pyspark_spark.streaming.ops import (
+        priority_sample_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="prio_sample_src_")
+    # one scan, one shuffle: 4 partition dirs → 4 one-file micro-batches
+    (
+        events.select(
+            "event_id",
+            F.floor(F.coalesce("value", F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("w"),
+        )
+        .withColumn("part", F.col("event_id") % 4)
+        .repartition("part")
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(stage)
+    )
+    state_dir = tempfile.mkdtemp(prefix="prio_sample_state_")
+    os.rmdir(state_dir)  # sink creates it on first merge
+
+    stream = (
+        spark.readStream.schema("event_id long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part=*")
+    )
+    try:
+        n_batches = priority_sample_sink(stream, state_dir, "event_id", "w", k=50)
+        state = spark.read.parquet(state_dir)
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.orderBy(F.desc("priority"), F.asc("key"))
+        )
+        ranked = state.select("key", "w", "priority", rn.alias("rn"))
+        tau = F.coalesce(
+            F.max(F.when(F.col("rn") == 51, F.col("priority"))), F.lit(0.0)
+        )
+        stats = ranked.agg(tau.alias("tau")).collect()[0]
+        true_c = (
+            events.filter(
+                F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long") > 0
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.coalesce("value", F.lit(0.0)) * 100).cast("long")
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        samp = (
+            ranked.filter(F.col("rn") <= 50)
+            .agg(
+                F.count(F.lit(1)).alias("k_eff"),
+                F.sum(
+                    F.floor(
+                        1000000
+                        * F.greatest(
+                            F.col("w").cast("double"), F.lit(stats["tau"])
+                        )
+                    ).cast("long")
+                ).alias("est_q"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
+    est_q = samp["est_q"]
+    import math
+
+    row = (
+        samp["k_eff"],
+        math.floor(1000000 * stats["tau"]),
+        est_q,
+        true_c,
+        abs(est_q - 1000000 * true_c) // true_c,
+        n_batches >= 2,
+    )
+    return spark.createDataFrame(
+        [row],
+        "k_eff long, tau_q long, est_q long, true_c long, "
+        "abs_err_ppm long, multi_batch boolean",
+    )

@@ -2415,3 +2415,417 @@ def q_layout_manifest_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFra
         "n_batches_total long, n_batches_scanned long, "
         "n_rows long, sum_cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based estimation tier (with corpus_priority_sample_estimator
+# in text_queries): design-based survey estimators whose sampling is
+# the deterministic md5-uniform — so a DuckDB oracle replays the whole
+# design bit-exactly, membership and all.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_neyman_allocation_estimate",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+             CAST(CAST(concat('0x', substr(md5(
+                    concat_ws('_', 'ney', l_orderkey, l_linenumber)), 1, 15))
+                  AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n_h,
+             CAST(SUM(xc) AS BIGINT) AS true_c,
+             SUM(CAST(xc AS HUGEINT) * xc) AS sx2
+      FROM b GROUP BY l_returnflag
+    ),
+    g AS (
+      SELECT *,
+             sqrt(CAST(n_h * sx2 - CAST(true_c AS HUGEINT) * true_c AS DOUBLE))
+               / n_h / 100.0 AS sigma_d
+      FROM s
+    ),
+    a AS (SELECT *, CAST(floor(n_h * sigma_d) AS BIGINT) AS a_h FROM g),
+    al AS (
+      SELECT *,
+             CAST((3000 * a_h) // (SELECT SUM(a_h) FROM a) AS BIGINT) AS k_alloc
+      FROM a
+    ),
+    p AS (SELECT *, CAST(k_alloc AS DOUBLE) / n_h AS p_h FROM al),
+    smp AS (
+      SELECT b.l_returnflag, COUNT(*) AS n_sampled,
+             CAST(SUM(b.xc) AS BIGINT) AS s_samp
+      FROM b JOIN p USING (l_returnflag)
+      WHERE b.u < p.p_h
+      GROUP BY b.l_returnflag
+    )
+    SELECT p.l_returnflag, p.n_h,
+           CAST(floor(p.sigma_d * 100) AS BIGINT) AS sigma_centi,
+           p.k_alloc, smp.n_sampled, p.true_c,
+           CAST(floor(CAST(smp.s_samp AS DOUBLE) / p.p_h) AS BIGINT) AS est_c,
+           CAST((1000000 * abs(
+                  CAST(floor(CAST(smp.s_samp AS DOUBLE) / p.p_h) AS BIGINT)
+                  - p.true_c)) // p.true_c AS BIGINT) AS abs_err_ppm
+    FROM p JOIN smp USING (l_returnflag)
+    """,
+)
+def q_lineitem_neyman_allocation_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-allocated stratified estimation (survey sampling at
+    warehouse scale): allocate a K=3000-row sample budget across the
+    l_returnflag strata ∝ N_h·σ_h (Neyman 1934 — minimizes the
+    stratified estimator's variance for a fixed budget), draw each
+    stratum at its allocated rate with the deterministic md5-uniform,
+    and estimate each stratum's revenue total Horvitz-Thompson style
+    (Σ sample / p_h). The design pass here computes exact N_h and σ_h
+    (the audit luxury of bench SF); at 100 TB those come from table
+    statistics or a pilot sample and the money pass is ONE scan with
+    a pushdown-friendly per-row filter — no sort, no shuffle beyond
+    a 3-row broadcast.
+
+    Portability discipline: moments are exact integer cents (so σ_h
+    is sqrt of an exactly-computed integer — one IEEE sqrt, bit-equal
+    cross-engine); the allocation is integer DIV on floor-quantized
+    N_h·σ_h; sampling membership compares the row's md5-uniform
+    against p_h = k_h/N_h (both bit-portable doubles); the HT
+    estimate floors into integer cents before the error report, so
+    every emitted number is either an exact integer or a
+    deterministic double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.lit("ney"),
+                        F.col("l_orderkey"),
+                        F.col("l_linenumber"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(1152921504606846976.0)
+    base = li.select(
+        "l_returnflag", xc.alias("xc"), u.alias("u")
+    )
+    stats = scratch_persist(
+        base.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("xc").alias("true_c"),
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias(
+                "sx2"
+            ),
+        )
+    )
+    sigma_d = (
+        F.sqrt(
+            (
+                F.col("n_h").cast("decimal(38,0)") * F.col("sx2")
+                - F.col("true_c").cast("decimal(38,0)")
+                * F.col("true_c")
+            ).cast("double")
+        )
+        / F.col("n_h")
+        / F.lit(100.0)
+    )
+    alloc = stats.withColumn("sigma_d", sigma_d).withColumn(
+        "a_h", F.floor(F.col("n_h") * F.col("sigma_d")).cast("long")
+    )
+    tot = alloc.agg(F.sum("a_h").alias("tot_a"))
+    plan = (
+        alloc.crossJoin(F.broadcast(tot))
+        .withColumn("k_alloc", F.expr("CAST((3000 * a_h) DIV tot_a AS BIGINT)"))
+        .withColumn("p_h", F.col("k_alloc").cast("double") / F.col("n_h"))
+    )
+    sampled = (
+        base.join(
+            F.broadcast(plan.select("l_returnflag", "p_h")), "l_returnflag"
+        )
+        .filter(F.col("u") < F.col("p_h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("xc").cast("long").alias("s_samp"),
+        )
+    )
+    est_c = F.floor(F.col("s_samp").cast("double") / F.col("p_h")).cast("long")
+    return (
+        plan.join(sampled, "l_returnflag")
+        .withColumn("est_c", est_c)
+        .select(
+            "l_returnflag",
+            "n_h",
+            F.floor(F.col("sigma_d") * 100).cast("long").alias("sigma_centi"),
+            "k_alloc",
+            "n_sampled",
+            "true_c",
+            "est_c",
+            F.expr(
+                "CAST((1000000 * abs(est_c - true_c)) DIV true_c AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+    )
+
+
+@query(
+    "lineitem_sample_quantiles_dkw",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                    concat_ws('_', 'dkw', l_orderkey, l_linenumber)), 1, 8))
+                  AS BIGINT) % 10 = 0 THEN 1 ELSE 0 END AS in_s
+      FROM lineitem
+    ),
+    c AS (SELECT v, COUNT(*) AS cf, CAST(SUM(in_s) AS BIGINT) AS cs
+          FROM s GROUP BY v),
+    cum AS (
+      SELECT v,
+             CAST(SUM(cf) OVER (ORDER BY v) AS BIGINT) AS cum_f,
+             CAST(SUM(cs) OVER (ORDER BY v) AS BIGINT) AS cum_s
+      FROM c
+    ),
+    n AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_f,
+                 CAST(SUM(cs) AS BIGINT) AS n_s FROM c),
+    probs AS (SELECT unnest([250000, 500000, 750000, 900000]) AS p_ppm),
+    q AS (
+      SELECT p_ppm, MIN(v) AS q_hat
+      FROM cum, n, probs
+      WHERE cum_s >= (p_ppm * n_s + 999999) // 1000000
+      GROUP BY p_ppm
+    ),
+    at_q AS (
+      SELECT q.p_ppm, q.q_hat, n.n_s,
+             CAST((1000000000 * abs(CAST(cum.cum_f AS HUGEINT) * n.n_s
+                                    - CAST(cum.cum_s AS HUGEINT) * n.n_f))
+                  // (CAST(n.n_f AS HUGEINT) * n.n_s) AS BIGINT) AS gap_ppb,
+             CAST(floor(1000000000 *
+                    sqrt(9.903487552536127 / (2.0 * n.n_s))) AS BIGINT)
+               AS eps_ppb
+      FROM q JOIN cum ON cum.v = q.q_hat, n
+    )
+    SELECT p_ppm, q_hat, n_s, gap_ppb, eps_ppb,
+           gap_ppb <= eps_ppb AS dkw_ok
+    FROM at_q
+    """,
+)
+def q_lineitem_sample_quantiles_dkw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample quantiles with a distribution-free certificate: estimate
+    l_quantity quantiles from a deterministic 10% hash sample and
+    certify each one with the Dvoretzky-Kiefer-Wolfowitz inequality —
+    sup|F̂_n − F| ≤ ε = √(ln(2/δ)/2n) with probability 1−δ (δ=1e-4;
+    ln(2/δ) is embedded as a shared literal so neither engine computes
+    a transcendental). The audit compares the sample CDF against the
+    true CDF at each estimated quantile by integer CROSS-
+    multiplication (cum_f·n_s vs cum_s·n_f — no float ratio crosses
+    engines) and reports the gap in ppb against the DKW budget.
+
+    This is the third estimator of the tier: GK/percentile_approx
+    gives mergeable sketch quantiles, this gives SAMPLE quantiles
+    whose error bound is distribution-free and holds for ALL
+    quantiles simultaneously — the certificate a 100 TB profiling
+    pass can attach to numbers computed from the 0.1% it actually
+    read. Scale shape: one scan + one 50-group map-side-combinable
+    agg; everything after is metadata-sized."""
+    from pyspark.sql import Window
+
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    in_s = F.when(
+        md5_hash32(
+            F.concat_ws(
+                "_", F.lit("dkw"), F.col("l_orderkey"), F.col("l_linenumber")
+            )
+        )
+        % 10
+        == 0,
+        1,
+    ).otherwise(0)
+    counts = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"), in_s.alias("in_s")
+        )
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.sum("in_s").cast("long").alias("cs"),
+        )
+    )
+    counts = scratch_persist(counts)
+    vwin = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("cf").over(vwin).cast("long").alias("cum_f"),
+        F.sum("cs").over(vwin).cast("long").alias("cum_s"),
+    )
+    n = counts.agg(
+        F.sum("cf").cast("long").alias("n_f"),
+        F.sum("cs").cast("long").alias("n_s"),
+    )
+    probs = spark.createDataFrame(
+        [(250000,), (500000,), (750000,), (900000,)], "p_ppm long"
+    )
+    q = (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(probs))
+        .filter(
+            F.col("cum_s")
+            >= F.expr("(p_ppm * n_s + 999999) DIV 1000000")
+        )
+        .groupBy("p_ppm")
+        .agg(F.min("v").alias("q_hat"))
+    )
+    at_q = (
+        q.join(cum, q["q_hat"] == cum["v"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p_ppm",
+            "q_hat",
+            "n_s",
+            F.expr(
+                "CAST((1000000000 * abs(CAST(cum_f AS DECIMAL(38,0)) * n_s"
+                " - CAST(cum_s AS DECIMAL(38,0)) * n_f))"
+                " DIV (CAST(n_f AS DECIMAL(38,0)) * n_s) AS BIGINT)"
+            ).alias("gap_ppb"),
+            F.floor(
+                1000000000
+                * F.sqrt(F.lit(9.903487552536127) / (2.0 * F.col("n_s")))
+            )
+            .cast("long")
+            .alias("eps_ppb"),
+        )
+    )
+    return at_q.select(
+        "p_ppm",
+        "q_hat",
+        "n_s",
+        "gap_ppb",
+        "eps_ppb",
+        (F.col("gap_ppb") <= F.col("eps_ppb")).alias("dkw_ok"),
+    )
+
+
+@query(
+    "orders_join_size_coordinated_sample",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+    ),
+    l AS (SELECT l_orderkey FROM lineitem),
+    counts AS (
+      SELECT COUNT(*) AS true_j,
+             CAST(SUM(CASE WHEN
+                    CAST(concat('0x', substr(md5(concat('cs_', o.o_orderkey)),
+                         1, 15)) AS BIGINT) % 20 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS j_s,
+             CAST(SUM(CASE WHEN
+                    CAST(concat('0x', substr(md5(concat('csa_', o.o_orderkey)),
+                         1, 15)) AS BIGINT) % 20 = 0
+                    AND
+                    CAST(concat('0x', substr(md5(concat('csb_', l.l_orderkey)),
+                         1, 15)) AS BIGINT) % 20 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS j_i
+      FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT true_j,
+           j_s AS n_coord,
+           20 * j_s AS est_coord,
+           CAST((1000000 * abs(20 * j_s - true_j)) // true_j AS BIGINT)
+             AS err_coord_ppm,
+           j_i AS n_indep,
+           400 * j_i AS est_indep,
+           CAST((1000000 * abs(400 * j_i - true_j)) // true_j AS BIGINT)
+             AS err_indep_ppm
+    FROM counts
+    """,
+)
+def q_orders_join_size_coordinated_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation by COORDINATED sampling (end-biased /
+    correlated sampling, Estan-Naughton ICDE'06 lineage): sample the
+    JOIN KEY domain — the same md5-bucket predicate on both sides —
+    so a key is either fully present in both samples or absent from
+    both; the sample-join count scales by 1/p unbiasedly. The
+    contrast arm samples each side INDEPENDENTLY (different salts):
+    match probability collapses to p², so it estimates from a ~p×
+    smaller matched-key set (n_indep vs n_coord in the output — 106
+    vs 2135 at sf0.01) with correspondingly larger variance. Any ONE
+    draw can land lucky (this fixed draw does); the variance gap is
+    pinned by the 40-salt Monte Carlo in test_sampling.py, where the
+    independent arm's spread is consistently several times the
+    coordinated arm's.
+
+    Everything is integer arithmetic: membership is `md5_60 % 20 = 0`
+    (exact-1/20 bucket semantics, the hash_sample pattern — no float
+    threshold at all), estimators are ×20 / ×400 integer multiplies,
+    errors are integer-DIV ppm. Complements orders_join_size_cms:
+    the sketch estimates from a pass over FREQUENCIES, this estimates
+    from key-domain samples you can also inspect (which keys, which
+    rows). The true-join audit forces one full join here (bench-SF
+    luxury; both arms ride it as conditional counts in ONE agg);
+    the PRODUCTION shape pushes the membership predicate below the
+    join — it depends on the join key alone, so filter-then-join
+    yields the identical sample counts on 1/20 (coord) or 1/400
+    (indep) of the join work, a plain map-side filter per side."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def bucket(salt: str, col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20
+            == 0
+        )
+
+    o = orders.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    li = lineitem.select("l_orderkey")
+    counts = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("true_j"),
+        F.sum(F.when(bucket("cs_", "o_orderkey"), 1).otherwise(0))
+        .cast("long")
+        .alias("j_s"),
+        F.sum(
+            F.when(
+                bucket("csa_", "o_orderkey") & bucket("csb_", "l_orderkey"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("j_i"),
+    )
+    return counts.select(
+        "true_j",
+        F.col("j_s").alias("n_coord"),
+        (20 * F.col("j_s")).alias("est_coord"),
+        F.expr(
+            "CAST((1000000 * abs(20 * j_s - true_j)) DIV true_j AS BIGINT)"
+        ).alias("err_coord_ppm"),
+        F.col("j_i").alias("n_indep"),
+        (400 * F.col("j_i")).alias("est_indep"),
+        F.expr(
+            "CAST((1000000 * abs(400 * j_i - true_j)) DIV true_j AS BIGINT)"
+        ).alias("err_indep_ppm"),
+    )

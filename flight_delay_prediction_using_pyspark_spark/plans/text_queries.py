@@ -4967,3 +4967,111 @@ def q_doc_quality_classifier_scores(
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based estimation tier: at 100 TB the answer to "how big is
+# this slice" is usually an ESTIMATE from a sample kept per shard, not
+# a scan. Priority sampling (Duffield-Lund-Thorup, JACM'07) is the
+# canonical such sample: k rows per group answer arbitrary later
+# subset-sum questions unbiasedly. See also the lineitem estimators in
+# temporal_queries (Neyman-allocated stratified HT, DKW-certified
+# sample quantiles).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_priority_sample_estimator",
+    oracle="""
+    WITH p AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / (CAST(CAST(concat('0x', substr(md5(concat('ps_', doc_id)), 1, 15))
+                       AS BIGINT) + 1 AS DOUBLE)
+                  / 1152921504606846976.0) AS priority
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      FROM p
+    ),
+    t AS (
+      SELECT lang,
+             COALESCE(MAX(CASE WHEN rn = 21 THEN priority END), 0.0) AS tau,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS true_sum
+      FROM r GROUP BY lang
+    )
+    SELECT r.lang,
+           t.n_docs,
+           COUNT(*) AS k_eff,
+           t.true_sum,
+           CAST(SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                  t.tau)) AS BIGINT))
+                AS BIGINT) AS est_sum_u,
+           CAST(abs(SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                      t.tau)) AS BIGINT))
+                    - 1000000 * t.true_sum) // t.true_sum AS BIGINT)
+             AS abs_err_ppm
+    FROM r JOIN t USING (lang)
+    WHERE r.rn <= 20
+    GROUP BY r.lang, t.n_docs, t.true_sum
+    """,
+)
+def q_corpus_priority_sample_estimator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Priority sampling + the DLT subset-sum estimator
+    (operators.sampling.priority_sample): keep the k=20
+    highest-priority docs per language (priority = n_chars/u with the
+    deterministic md5-uniform u) and estimate each language's TOTAL
+    character mass from the sample alone as Σ max(w, τ) — unbiased by
+    Duffield-Lund-Thorup, and the same 20 rows would answer any later
+    subset-sum ("chars in docs from source X") without re-scanning.
+    The true per-group sums computed here are the AUDIT panel — the
+    production value is precisely that τ makes them unnecessary.
+
+    Portability: priority is one IEEE division of exactly-cast
+    integers (correctly rounded ⇒ bit-identical cross-engine, unlike
+    the E-S ln-key in corpus_weighted_sample_topk which needs the
+    floor-quantized-ln discipline); the estimator itself is summed as
+    floor-quantized micro-units so the Σ is integer-exact and
+    order-free. Groups with ≤ k docs get τ=0 and the estimate is
+    exact (abs_err_ppm = 0 — at sf0.01 every non-'en' language, a
+    live degenerate-case check in the driver row). Scale: one
+    scan + per-group top-(k+1); the 100 TB path swaps the full sort
+    for a sketch-threshold prefilter (operator docstring)."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    totals = docs.filter(F.col("n_chars") > 0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("true_sum"),
+    )
+    samp = priority_sample(docs, "doc_id", "n_chars", k=20, group_cols=("lang",))
+    est_term = F.floor(
+        1000000 * F.greatest(F.col("n_chars").cast("double"), F.col("tau"))
+    ).cast("long")
+    est = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(est_term).cast("long").alias("est_sum_u"),
+    )
+    return (
+        est.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "k_eff",
+            "true_sum",
+            "est_sum_u",
+            F.expr(
+                "CAST(abs(est_sum_u - 1000000 * true_sum) DIV true_sum AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+    )

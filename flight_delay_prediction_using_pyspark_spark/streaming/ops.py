@@ -696,3 +696,99 @@ def read_manifest_parquet(
         os.path.join(target_dir, "data", f"batch={b}") for b in committed
     ]
     return spark.read.parquet(*paths)
+
+
+def priority_sample_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "eps_",
+) -> int:
+    """Streaming maintenance of a Duffield-Lund-Thorup priority sample
+    (operators/sampling.priority_sample, the batch twin): every
+    micro-batch computes its rows' deterministic priorities
+    w / ((md5_60(salt‖key)+1)/2^60), merges them with the persisted
+    reservoir, and keeps the global top-(k+1) — k sample rows PLUS the
+    (k+1)-th row whose priority is the estimator threshold τ.
+
+    Why this is the right streaming sample: top-m selection is
+    ASSOCIATIVE (top-m of a union = top-m of the union of per-part
+    top-ms), so the final reservoir is independent of how the stream
+    was batched — a batch window-rank oracle over the full history
+    replays it bit-exactly (the events_streaming_* symmetry
+    standard) — and the state is k+1 rows FOREVER, regardless of
+    stream length: the sample that answers any later subset-sum
+    question about an unbounded stream costs a constant to carry.
+
+    Mechanics: each batch reduces ITSELF to its top-(k+1) first (a
+    TakeOrdered, no shuffle of the batch beyond that), the reservoir
+    is collected to the driver (bounded by k+1 — the same
+    bounded-artifact rule as the tokenizer merge tables) and
+    rewritten atomically; retries are idempotent because priorities
+    are deterministic and the merge dedups on key. On Delta this
+    becomes a MERGE + truncate-beyond-rank; parquet-overwrite is the
+    dependency-free equivalent at k+1-row scale.
+
+    Returns the number of micro-batches that carried rows — callers
+    assert ≥2 to evidence that the associative merge path actually
+    ran (a single-batch run never exercises it)."""
+    import os
+
+    n_batches = {"n": 0}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(1)
+        ).cast("double") / F.lit(1152921504606846976.0)
+        # distributed part: TakeOrdered reduces the batch to its own
+        # top-(k+1) (per-partition heaps, no shuffle of the batch)
+        fresh = [
+            (r["key"], r["w"], r["priority"])
+            for r in (
+                batch.filter(F.col(weight_col) > 0)
+                .select(
+                    F.col(key_col).alias("key"),
+                    F.col(weight_col).cast("long").alias("w"),
+                    (F.col(weight_col).cast("double") / u).alias("priority"),
+                )
+                .orderBy(F.desc("priority"), F.asc("key"))
+                .limit(k + 1)
+                .collect()
+            )
+        ]
+        if not fresh:
+            return
+        n_batches["n"] += 1
+        # driver part: merge two ≤(k+1)-row sets — bounded state by
+        # construction (the tokenizer merge-table rule). Dedup on key
+        # (retry idempotence: priorities are deterministic per key),
+        # order by (-priority, key), truncate to k+1.
+        merged: dict[int, tuple] = {}
+        if os.path.isdir(state_dir):
+            for r in batch.sparkSession.read.parquet(state_dir).collect():
+                merged[r["key"]] = (r["key"], r["w"], r["priority"])
+        for row in fresh:
+            merged[row[0]] = row
+        top = sorted(merged.values(), key=lambda t: (-t[2], t[0]))[: k + 1]
+        batch.sparkSession.createDataFrame(
+            top, "key long, w long, priority double"
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return n_batches["n"]

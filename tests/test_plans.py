@@ -840,6 +840,36 @@ def test_round8_expensive_tier_plan_budgets(spark, name):
     assert n_scan <= max_scan, f"{name}: {n_scan} scans > budget {max_scan}"
 
 
+#: Round-9 estimation-tier budgets, audited zero-slack at sf0.01:
+#: priority-sample = audit-totals scan + sampled window scan (the
+#: window partition-by-lang exchange and the totals agg exchange);
+#: neyman = moments pass (1 agg exchange on the persisted stats) +
+#: sampling pass (broadcast plan join, 1 agg exchange) + the two
+#: metadata-sized result joins; dkw = ONE fact scan (the 50-group
+#: value agg) — everything downstream (cum window, prob join, q-hat
+#: agg) runs on the 50-row persisted residue.
+_R9_ESTIMATION_PLAN_BUDGET = {
+    "corpus_priority_sample_estimator": (2, 2),
+    "lineitem_neyman_allocation_estimate": (4, 2),
+    "lineitem_sample_quantiles_dkw": (5, 1),
+    # one full join (broadcast filtered-orders side), both estimator
+    # arms as conditional counts in the single final agg
+    "orders_join_size_coordinated_sample": (1, 2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_R9_ESTIMATION_PLAN_BUDGET))
+def test_round9_estimation_tier_plan_budgets(spark, name):
+    max_ex, max_scan = _R9_ESTIMATION_PLAN_BUDGET[name]
+    import re
+
+    plan = plan_of(QUERIES[name](spark, SF_CORRECTNESS_DIR))
+    n_ex = n_exchanges(plan)
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_ex <= max_ex, f"{name}: {n_ex} exchanges > budget {max_ex}"
+    assert n_scan <= max_scan, f"{name}: {n_scan} scans > budget {max_scan}"
+
+
 def test_bpe_batched_selection_plan_budget(spark):
     """Plan budget for the batched trainer's per-round selection
     (round-9 mandate): the round-2 candidate plan — pair counts over

@@ -38,3 +38,128 @@ def test_stratified_sample(spark):
     by = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert by["b"] == 500  # rare stratum fully kept
     assert 300 < by["a"] < 600
+
+
+def _brute_priorities(rows, salt="ps_"):
+    """Reference priorities computed with hashlib — pins the Spark
+    md5_hash60-based uniform to the textbook construction."""
+    import hashlib
+
+    out = []
+    for key, w in rows:
+        h = int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / 2**60
+        out.append((w / u, key, w))
+    return sorted(out, reverse=True)
+
+
+def test_priority_sample_matches_textbook_and_partitioning(spark):
+    rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = S.priority_sample(df, "id", "w", k=15).collect()
+    ref = _brute_priorities(rows)
+    assert {r.id for r in got} == {key for _, key, _ in ref[:15]}
+    tau = got[0].tau
+    assert all(abs(r.tau - tau) == 0 for r in got)
+    assert tau == ref[15][0]  # the (k+1)-th priority, bit-equal
+    # membership is partition-insensitive (the whole point vs sample())
+    again = {r.id for r in S.priority_sample(df.repartition(7), "id", "w", 15).collect()}
+    assert again == {r.id for r in got}
+
+
+def test_priority_sample_exhaustive_group_is_exact(spark):
+    from pyspark.sql import functions as F2
+
+    rows = [("a", i, 5 + i) for i in range(8)] + [
+        ("b", 100 + i, 3 + i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    samp = S.priority_sample(df, "id", "w", k=10, group_cols=("g",))
+    est = (
+        samp.groupBy("g")
+        .agg(
+            F2.count(F2.lit(1)).alias("k_eff"),
+            F2.sum(F2.greatest(F2.col("w").cast("double"), F2.col("tau"))).alias("est"),
+        )
+        .collect()
+    )
+    by = {r.g: r for r in est}
+    # group a has 8 ≤ k=10 rows → exhaustive: τ=0 and the DLT
+    # estimate degenerates to the exact sum
+    assert by["a"].k_eff == 8
+    assert by["a"].est == sum(5 + i for i in range(8))
+    assert by["b"].k_eff == 10
+
+
+def test_priority_sample_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 7), (4, 2)], ["id", "w"]
+    )
+    got = {r.id for r in S.priority_sample(df, "id", "w", k=10).collect()}
+    assert got == {3, 4}
+
+
+def test_priority_sample_estimator_unbiased_over_salts(spark):
+    """Monte-carlo over salt choices: the DLT estimate Σ max(w, τ)
+    averages to the true Σ w (within 4σ of the measured spread)."""
+    import statistics
+
+    rows = [(i, 10 + (i * 13) % 90) for i in range(120)]
+    true = sum(w for _, w in rows)
+    ests = []
+    for t in range(60):
+        ref = _brute_priorities(rows, salt=f"t{t}_")
+        tau = ref[12][0]
+        ests.append(sum(max(w, tau) for _, _, w in ref[:12]))
+    mean, sd = statistics.mean(ests), statistics.stdev(ests)
+    assert abs(mean - true) < 4 * sd / len(ests) ** 0.5
+
+
+def test_coordinated_join_sampling_beats_independent():
+    """40-salt Monte Carlo behind
+    orders_join_size_coordinated_sample's variance claim: both arms
+    are near-unbiased, but the independent-sides arm (match prob p²)
+    carries several times the coordinated arm's RMS error on the same
+    per-key join profile. Pure hashlib/duckdb — no Spark session."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_orderkey AS k, COUNT(*) AS j
+        FROM '{SF_SMOKE_DIR}/lineitem.parquet' l
+        JOIN '{SF_SMOKE_DIR}/orders.parquet' o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 150000
+        GROUP BY 1
+        """
+    ).fetchall()
+    true_j = sum(j for _, j in rows)
+
+    def h(salt, k):
+        return int(hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:15], 16)
+
+    coord_err, indep_err = [], []
+    for t in range(40):
+        js = sum(j for k, j in rows if h(f"cs{t}_", k) % 20 == 0)
+        ji = sum(
+            j
+            for k, j in rows
+            if h(f"csa{t}_", k) % 20 == 0 and h(f"csb{t}_", k) % 20 == 0
+        )
+        coord_err.append(20 * js - true_j)
+        indep_err.append(400 * ji - true_j)
+
+    def rms(xs):
+        return math.sqrt(sum(x * x for x in xs) / len(xs))
+
+    # near-unbiased both arms (means within half an RMS of zero) ...
+    assert abs(sum(coord_err)) / 40 < rms(coord_err) / 2
+    assert abs(sum(indep_err)) / 40 < rms(indep_err) / 2
+    # ... but the independent arm's spread is several times larger
+    # (measured ratio ~5.0; assert a conservative 2x)
+    assert rms(indep_err) > 2 * rms(coord_err)

@@ -519,3 +519,37 @@ def test_manifest_stats_pruning_reader(spark, tmp_path):
     )
     out = read_manifest_parquet(spark, target2, between=(100, 200))
     assert out.columns == ["x"] and out.count() == 0
+
+
+def test_priority_sample_sink_batching_independent(spark, tmp_path):
+    """The streaming DLT reservoir (priority_sample_sink) must land on
+    the SAME k+1 rows whatever the micro-batching: top-m selection is
+    associative, so 1-file-per-batch and everything-in-one-batch runs
+    agree row-for-row (keys, weights, priorities, and hence τ)."""
+    rows = [(i, 1 + (i * 7) % 40) for i in range(300)]
+    src = spark.createDataFrame(rows, "key long, w long")
+
+    def run(n_files: int, tag: str):
+        stage = str(tmp_path / f"src_{tag}")
+        src.withColumn("part", F.col("key") % n_files).repartition(
+            "part"
+        ).write.partitionBy("part").parquet(stage)
+        state = str(tmp_path / f"state_{tag}")
+        stream = (
+            spark.readStream.schema("key long, w long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/part=*")
+        )
+        n = S.priority_sample_sink(stream, state, "key", "w", k=12)
+        out = sorted(
+            (r.key, r.w, r.priority)
+            for r in spark.read.parquet(state).collect()
+        )
+        return n, out
+
+    n_multi, multi = run(5, "multi")
+    n_single, single = run(1, "single")
+    assert n_multi >= 2, "multi-file run must exercise the merge path"
+    assert n_single == 1
+    assert multi == single  # bit-identical reservoir incl. priorities
+    assert len(multi) == 13  # k + 1 (the τ carrier)
