@@ -75,7 +75,7 @@ _MUST_HAVE: list[str] = [
     "layout_manifest_stats_pruning",
     "plan_estimate_contract",
 ]
-# The twenty round-9 queries (corpus_bpe_batched_merges,
+# The twenty-one round-9 queries (corpus_bpe_batched_merges,
 # corpus_wordpiece_trie_crossover, corpus_wordpiece_frozen_apply,
 # doc_quality_classifier_scores, ml_tree_sql_codegen_ceiling,
 # ml_tree_sql_depth15_parity, plus the clustering tier:
@@ -86,7 +86,8 @@ _MUST_HAVE: list[str] = [
 # tier (corpus_priority_sample_estimator,
 # lineitem_neyman_allocation_estimate, lineitem_sample_quantiles_dkw,
 # events_streaming_priority_sample,
-# orders_join_size_coordinated_sample)
+# orders_join_size_coordinated_sample,
+# corpus_priority_sample_subset_panel)
 # are never-attempted → tier 2 seats them
 # right behind this list, well inside the 50-row window.
 

@@ -226,6 +226,7 @@ HEADLINE = [
     "lineitem_sample_quantiles_dkw",
     "events_streaming_priority_sample",
     "orders_join_size_coordinated_sample",
+    "corpus_priority_sample_subset_panel",
 ]
 
 

@@ -5075,3 +5075,95 @@ def q_corpus_priority_sample_estimator(
             ).alias("abs_err_ppm"),
         )
     )
+
+
+@query(
+    "corpus_priority_sample_subset_panel",
+    oracle="""
+    WITH p AS (
+      SELECT lang, doc_id, source, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / (CAST(CAST(concat('0x', substr(md5(concat('ps_', doc_id)), 1, 15))
+                       AS BIGINT) + 1 AS DOUBLE)
+                  / 1152921504606846976.0) AS priority
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      FROM p
+    ),
+    t AS (
+      SELECT lang,
+             COALESCE(MAX(CASE WHEN rn = 21 THEN priority END), 0.0) AS tau
+      FROM r GROUP BY lang
+    ),
+    truth AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS true_sum
+      FROM p GROUP BY source
+    ),
+    est AS (
+      SELECT r.source,
+             COUNT(*) AS n_sampled,
+             CAST(SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                    t.tau)) AS BIGINT))
+                  AS BIGINT) AS est_sum_u
+      FROM r JOIN t USING (lang)
+      WHERE r.rn <= 20
+      GROUP BY r.source
+    )
+    SELECT truth.source, est.n_sampled, truth.true_sum, est.est_sum_u,
+           CAST(abs(est.est_sum_u - 1000000 * truth.true_sum)
+                // truth.true_sum AS BIGINT) AS abs_err_ppm
+    FROM truth JOIN est ON truth.source = est.source
+    """,
+)
+def q_corpus_priority_sample_subset_panel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DLT property that makes priority sampling worth KEEPING:
+    the SAME per-language k=20 sample drawn by
+    corpus_priority_sample_estimator (same salt, same priorities, same
+    τ) here answers a question it was never drawn for — per-SOURCE
+    character mass — by restricting Σ max(w, τ) to each source's
+    sampled rows. Per Duffield-Lund-Thorup every subset sum estimated
+    this way is unbiased, stratified across the per-group samples; no
+    second corpus pass, no new sample. At 100 TB this is the
+    operational pattern: draw the priority sample once per
+    shard/partition at ingest, answer this quarter's slice questions
+    from it forever. True per-source sums are the audit panel (only
+    sources intersecting the sample appear — a subset with no sampled
+    row estimates 0, reported by its absence). Honest error scale: a
+    source intersects the 100-row sample in ~5 rows here, so
+    per-source relative error runs ~1/√5 ≈ 45% (measured 8%-195%
+    across the 20 sources at sf0.01) — unbiased, not magic; slicing
+    finer than the sample supports means sizing k to the slice grain
+    at draw time, which is exactly the knob the estimator exposes."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "source", "n_chars"
+    )
+    truth = docs.filter(F.col("n_chars") > 0).groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("true_sum")
+    )
+    samp = priority_sample(docs, "doc_id", "n_chars", k=20, group_cols=("lang",))
+    est_term = F.floor(
+        1000000 * F.greatest(F.col("n_chars").cast("double"), F.col("tau"))
+    ).cast("long")
+    est = samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(est_term).cast("long").alias("est_sum_u"),
+    )
+    return est.join(F.broadcast(truth), "source").select(
+        "source",
+        "n_sampled",
+        "true_sum",
+        "est_sum_u",
+        F.expr(
+            "CAST(abs(est_sum_u - 1000000 * true_sum) DIV true_sum AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    )

@@ -781,9 +781,17 @@ def priority_sample_sink(
         for row in fresh:
             merged[row[0]] = row
         top = sorted(merged.values(), key=lambda t: (-t[2], t[0]))[: k + 1]
-        batch.sparkSession.createDataFrame(
-            top, "key long, w long, priority double"
-        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+        # single-slice parallelize, NOT createDataFrame(list): the
+        # default local-list path shards 51 rows over
+        # defaultParallelism tasks and each task spawns a Python
+        # worker — measured ~4 s per 51-row write on local[32] vs
+        # ~0.5 s for the one-task form (this was 80% of the sink's
+        # wall time).
+        sess = batch.sparkSession
+        sess.createDataFrame(
+            sess.sparkContext.parallelize(top, 1),
+            "key long, w long, priority double",
+        ).write.mode("overwrite").parquet(state_dir)
 
     (
         stream_df.writeStream.foreachBatch(merge_batch)

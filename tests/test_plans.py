@@ -855,6 +855,9 @@ _R9_ESTIMATION_PLAN_BUDGET = {
     # one full join (broadcast filtered-orders side), both estimator
     # arms as conditional counts in the single final agg
     "orders_join_size_coordinated_sample": (1, 2),
+    # same sampling pass as the estimator (window + per-lang tau) with
+    # a per-source regroup, plus the truth-audit scan
+    "corpus_priority_sample_subset_panel": (3, 2),
 }
 
 
