@@ -227,6 +227,7 @@ HEADLINE = [
     "events_streaming_priority_sample",
     "orders_join_size_coordinated_sample",
     "corpus_priority_sample_subset_panel",
+    "lineitem_bootstrap_ci_mean",
 ]
 
 

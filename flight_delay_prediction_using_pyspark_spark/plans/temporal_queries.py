@@ -2829,3 +2829,184 @@ def q_orders_join_size_coordinated_sample(
             "CAST((1000000 * abs(400 * j_i - true_j)) DIV true_j AS BIGINT)"
         ).alias("err_indep_ppm"),
     )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^32 (floor(CDF(k)·2^32),
+#: k=0..6; draws are truncated at 7, which clips 8.3e-5 of the mass):
+#: a 32-bit md5-uniform u maps to the bootstrap weight
+#: w = Σ_k [u ≥ t_k] — integer compares only, identical both engines.
+_POIS1_T32 = [
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+]
+_BOOT_B = 32  # replicates: 8 md5s/row × 4 32-bit slices each
+
+
+def _bootstrap_oracle() -> str:
+    """The DuckDB oracle is generated from the same constants as the
+    Spark plan (replicate streams, thresholds, order statistics), so
+    the two can never drift apart by hand-editing one side."""
+    u = lambda j, i: (
+        f"CAST(concat('0x', substr(md5(concat_ws('_', 'bs{j}', l_orderkey,"
+        f" l_linenumber)), {1 + 8 * i}, 8)) AS BIGINT)"
+    )
+    w = lambda j, i: "(" + " + ".join(
+        f"CAST({u(j, i)} >= {t} AS BIGINT)" for t in _POIS1_T32
+    ) + ")"
+    cols = []
+    for b in range(_BOOT_B):
+        j, i = divmod(b, 4)
+        cols.append(f"CAST(SUM({w(j, i)}) AS BIGINT) AS n_{b}")
+        cols.append(f"CAST(SUM({w(j, i)} * xc) AS BIGINT) AS s_{b}")
+    rep_rows = " UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS b, s_{b} // n_{b} AS mean_c FROM agg"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH samp AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE CAST(concat('0x', substr(md5(
+              concat_ws('_', 'dkw', l_orderkey, l_linenumber)), 1, 8))
+            AS BIGINT) % 10 = 0
+    ),
+    agg AS MATERIALIZED (
+      SELECT COUNT(*) AS n_sample, CAST(SUM(xc) AS BIGINT) AS s_all,
+             {", ".join(cols)}
+      FROM samp
+    ),
+    pop AS (
+      SELECT COUNT(*) AS n_population,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS s_pop
+      FROM lineitem
+    ),
+    reps AS (
+      SELECT r.b, r.mean_c,
+             ROW_NUMBER() OVER (ORDER BY r.mean_c, r.b) AS rn
+      FROM ({rep_rows}) r
+    )
+    SELECT agg.n_sample, pop.n_population,
+           pop.s_pop // pop.n_population AS true_mean_c,
+           agg.s_all // agg.n_sample AS sample_mean_c,
+           MAX(CASE WHEN reps.rn = 2 THEN reps.mean_c END) AS ci_lo_c,
+           MAX(CASE WHEN reps.rn = {_BOOT_B - 1} THEN reps.mean_c END)
+             AS ci_hi_c,
+           MAX(CASE WHEN reps.rn = 2 THEN reps.mean_c END)
+             <= pop.s_pop // pop.n_population
+           AND pop.s_pop // pop.n_population
+             <= MAX(CASE WHEN reps.rn = {_BOOT_B - 1} THEN reps.mean_c END)
+             AS ci_covers_truth
+    FROM agg, pop, reps
+    GROUP BY agg.n_sample, pop.n_population, pop.s_pop, agg.s_all
+    """
+
+
+@query("lineitem_bootstrap_ci_mean", oracle=_bootstrap_oracle())
+def q_lineitem_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap confidence interval (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', Google 2012;
+    Kleiner et al.'s bag-of-little-bootstraps is the other standard):
+    error bars for an aggregate computed WITHOUT resampling passes.
+    Each row draws B=32 independent Poisson(1) bootstrap weights —
+    derived from md5 bits (8 hashes/row, 4 32-bit slices each) mapped
+    through integer CDF thresholds, so every weight is deterministic
+    and engine-portable — and all 32 replicate (count, sum) pairs
+    partial-aggregate in ONE map-side-combinable pass (64 agg columns,
+    1 exchange; the correlation-matrix shape). Replicate means are
+    truncated integer cents; the interval is the (2nd, 31st) order
+    statistic — a ~93.75% percentile-bootstrap CI at B=32 (production
+    raises B, the plan shape is unchanged). Runs over the same
+    deterministic 10% hash sample as lineitem_sample_quantiles_dkw:
+    sample + uncertainty quantification together, the estimation
+    tier's operating mode. The full-table mean is the audit panel;
+    ci_covers_truth records whether this draw's interval captures it
+    (a ~94% event — the 120-salt Monte Carlo in test_sampling.py pins
+    the coverage rate itself)."""
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("_", F.lit("dkw"), F.col("l_orderkey"), F.col("l_linenumber"))
+    # CollapseProject re-inlines each m_j digest into its 8 consuming
+    # aggregate expressions (64 md5 evaluations/row instead of 8) —
+    # MEASURED as the better trade here: a scratch_persist barrier
+    # that stops the re-inline costs more in materialization than the
+    # recompute (5.3 s vs 4.6 s warm at sf0.1; short-input JVM md5 is
+    # cheap, the simhash lesson's persist cure applies to EXPENSIVE
+    # many-consumer exprs only).
+    samp = li.filter(md5_hash32(key) % 10 == 0).select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(f"bs{j}"),
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                )
+            ).alias(f"m_{j}")
+            for j in range(_BOOT_B // 4)
+        ],
+    )
+
+    def w_col(b: int):
+        j, i = divmod(b, 4)
+        u = F.conv(F.substring(F.col(f"m_{j}"), 1 + 8 * i, 8), 16, 10).cast(
+            "long"
+        )
+        w = None
+        for t in _POIS1_T32:
+            term = (u >= F.lit(t)).cast("long")
+            w = term if w is None else w + term
+        return w
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("xc").cast("long").alias("s_all"),
+    ]
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(w_col(b)).cast("long").alias(f"n_{b}"))
+        aggs.append(F.sum(w_col(b) * F.col("xc")).cast("long").alias(f"s_{b}"))
+    agg = samp.agg(*aggs)
+    pop = li.agg(
+        F.count(F.lit(1)).alias("n_population"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("s_pop"),
+    )
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), s_{b} DIV n_{b}" for b in range(_BOOT_B)
+    )
+    reps = agg.select(
+        "n_sample",
+        "s_all",
+        F.expr(f"stack({_BOOT_B}, {stack_args}) AS (b, mean_c)"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy("mean_c", "b"))
+    ranked = reps.select("n_sample", "s_all", "mean_c", rn.alias("rn"))
+    ci = ranked.groupBy("n_sample", "s_all").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_c"))).alias("ci_lo_c"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_c"))).alias(
+            "ci_hi_c"
+        ),
+    )
+    return ci.crossJoin(F.broadcast(pop)).select(
+        "n_sample",
+        "n_population",
+        F.expr("s_pop DIV n_population").alias("true_mean_c"),
+        F.expr("s_all DIV n_sample").alias("sample_mean_c"),
+        "ci_lo_c",
+        "ci_hi_c",
+        (
+            (F.col("ci_lo_c") <= F.expr("s_pop DIV n_population"))
+            & (F.expr("s_pop DIV n_population") <= F.col("ci_hi_c"))
+        ).alias("ci_covers_truth"),
+    )

@@ -858,6 +858,10 @@ _R9_ESTIMATION_PLAN_BUDGET = {
     # same sampling pass as the estimator (window + per-lang tau) with
     # a per-source regroup, plus the truth-audit scan
     "corpus_priority_sample_subset_panel": (3, 2),
+    # one 64-column bootstrap agg over the hash sample (exchange 1) +
+    # the full-table audit agg (exchange 2); replicate ranking runs on
+    # the 32-row stack residue
+    "lineitem_bootstrap_ci_mean": (2, 2),
 }
 
 

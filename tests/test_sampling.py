@@ -163,3 +163,69 @@ def test_coordinated_join_sampling_beats_independent():
     # ... but the independent arm's spread is several times larger
     # (measured ratio ~5.0; assert a conservative 2x)
     assert rms(indep_err) > 2 * rms(coord_err)
+
+
+def test_poisson_bootstrap_ci_coverage():
+    """120-trial Monte Carlo behind lineitem_bootstrap_ci_mean: the
+    (2nd, 31st)-order-statistic interval of B=32 Poisson-bootstrap
+    replicate means captures the population mean at roughly its
+    nominal ~93.75% rate. Replays the exact integer pipeline
+    (32-bit md5 slices → threshold weights → truncated-cent means)
+    in pure hashlib over the sf0.001 sample."""
+    import hashlib
+
+    import duckdb
+
+    from flight_delay_prediction_using_pyspark_spark.plans.temporal_queries import (
+        _BOOT_B,
+        _POIS1_T32,
+    )
+    from tests.conftest import SF_SMOKE_DIR
+
+    rows = duckdb.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS xc
+        FROM '{SF_SMOKE_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    true_mean = sum(r[2] for r in rows) // len(rows)
+
+    def u32(salt, key, i):
+        return int(
+            hashlib.md5(f"{salt}_{key}".encode()).hexdigest()[8 * i : 8 * i + 8],
+            16,
+        )
+
+    covered = 0
+    trials = 120
+    for t in range(trials):
+        samp = [
+            r
+            for r in rows
+            if int(
+                hashlib.md5(
+                    f"t{t}_{r[0]}_{r[1]}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % 10
+            == 0
+        ]
+        means = []
+        for b in range(_BOOT_B):
+            j, i = divmod(b, 4)
+            n_b = s_b = 0
+            for ok, ln, xc in samp:
+                u = u32(f"t{t}bs{j}", f"{ok}_{ln}", i)
+                w = sum(1 for thr in _POIS1_T32 if u >= thr)
+                n_b += w
+                s_b += w * xc
+            means.append(s_b // n_b)
+        means.sort()
+        if means[1] <= true_mean <= means[_BOOT_B - 2]:
+            covered += 1
+    rate = covered / trials
+    # nominal 93.75%; 120 trials give sd ≈ 2.2%, assert a loose floor
+    # that still catches a broken weight map or interval indexing
+    assert rate >= 0.82, f"bootstrap CI coverage {rate:.2f} < 0.82"
