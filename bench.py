@@ -256,6 +256,10 @@ SCALING_SET = [
     # linear projection + a k-row agg, so the slope should be ≈ the
     # scan's (linear), never superlinear
     "embedding_kmeans_clusters",
+    # sample-based estimation: one 64-column map-side bootstrap agg
+    # over the 10% hash sample + the audit scan — pure linear scans,
+    # replicate work is SF-independent (32-row residue)
+    "lineitem_bootstrap_ci_mean",
 ]
 
 
