@@ -4,9 +4,10 @@ Prints ONE JSON line (the only stdout output, and the last line):
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-The headline set is ~92 queries covering every family (core relational
-incl. all 22 TPC-H shapes, flights-parity, ML, text/dedup, ANN,
-multimodal, streaming, temporal, drift/quality analytics).  The driver
+The headline set is 160 queries covering every family (core relational
+incl. all 22 TPC-H shapes, flights-parity, ML, text/dedup/tokenizer,
+ANN/clustering, multimodal, streaming, temporal, drift/quality
+analytics, and the sample-based estimation tier).  The driver
 captures only the last 2000 chars of stdout, so the contract line
 holds the total + the most expensive per-query entries that fit the
 window; the complete per-query dict is always written to
