@@ -75,7 +75,7 @@ _MUST_HAVE: list[str] = [
     "layout_manifest_stats_pruning",
     "plan_estimate_contract",
 ]
-# The twenty-two round-9 queries (corpus_bpe_batched_merges,
+# The twenty-four round-9 queries (corpus_bpe_batched_merges,
 # corpus_wordpiece_trie_crossover, corpus_wordpiece_frozen_apply,
 # doc_quality_classifier_scores, ml_tree_sql_codegen_ceiling,
 # ml_tree_sql_depth15_parity, plus the clustering tier:
@@ -87,7 +87,9 @@ _MUST_HAVE: list[str] = [
 # lineitem_neyman_allocation_estimate, lineitem_sample_quantiles_dkw,
 # events_streaming_priority_sample,
 # orders_join_size_coordinated_sample,
-# corpus_priority_sample_subset_panel, lineitem_bootstrap_ci_mean)
+# corpus_priority_sample_subset_panel, lineitem_bootstrap_ci_mean,
+# plus the governance audits customer_k_anonymity_census and
+# customer_qi_uniqueness_by_set)
 # are never-attempted → tier 2 seats them
 # right behind this list, well inside the 50-row window.
 

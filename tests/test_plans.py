@@ -862,6 +862,11 @@ _R9_ESTIMATION_PLAN_BUDGET = {
     # the full-table audit agg (exchange 2); replicate ranking runs on
     # the 32-row stack residue
     "lineitem_bootstrap_ci_mean": (2, 2),
+    # one grouped agg over the fact (exchange 1) + the census/global
+    # joins on the 272-row persisted class residue
+    "customer_k_anonymity_census": (4, 1),
+    # single Expand through one scan, grouping-set agg + census agg
+    "customer_qi_uniqueness_by_set": (2, 1),
 }
 
 
