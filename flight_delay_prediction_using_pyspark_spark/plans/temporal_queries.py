@@ -2451,7 +2451,9 @@ def q_layout_manifest_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFra
     a AS (SELECT *, CAST(floor(n_h * sigma_d) AS BIGINT) AS a_h FROM g),
     al AS (
       SELECT *,
-             CAST((3000 * a_h) // (SELECT SUM(a_h) FROM a) AS BIGINT) AS k_alloc
+             GREATEST(CAST((3000 * a_h)
+                 // (SELECT GREATEST(SUM(a_h), 1) FROM a) AS BIGINT),
+                 1) AS k_alloc
       FROM a
     ),
     p AS (SELECT *, CAST(k_alloc AS DOUBLE) / n_h AS p_h FROM al),
@@ -2464,12 +2466,14 @@ def q_layout_manifest_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT p.l_returnflag, p.n_h,
            CAST(floor(p.sigma_d * 100) AS BIGINT) AS sigma_centi,
-           p.k_alloc, smp.n_sampled, p.true_c,
-           CAST(floor(CAST(smp.s_samp AS DOUBLE) / p.p_h) AS BIGINT) AS est_c,
+           p.k_alloc, COALESCE(smp.n_sampled, 0) AS n_sampled, p.true_c,
+           CAST(floor(CAST(COALESCE(smp.s_samp, 0) AS DOUBLE) / p.p_h)
+                AS BIGINT) AS est_c,
            CAST((1000000 * abs(
-                  CAST(floor(CAST(smp.s_samp AS DOUBLE) / p.p_h) AS BIGINT)
+                  CAST(floor(CAST(COALESCE(smp.s_samp, 0) AS DOUBLE) / p.p_h)
+                       AS BIGINT)
                   - p.true_c)) // p.true_c AS BIGINT) AS abs_err_ppm
-    FROM p JOIN smp USING (l_returnflag)
+    FROM p LEFT JOIN smp USING (l_returnflag)
     """,
 )
 def q_lineitem_neyman_allocation_estimate(
@@ -2542,10 +2546,19 @@ def q_lineitem_neyman_allocation_estimate(
     alloc = stats.withColumn("sigma_d", sigma_d).withColumn(
         "a_h", F.floor(F.col("n_h") * F.col("sigma_d")).cast("long")
     )
-    tot = alloc.agg(F.sum("a_h").alias("tot_a"))
+    # GREATEST clamps: k_alloc ≥ 1 per stratum (standard Neyman
+    # practice — an allocation that floors to zero would silently
+    # drop the stratum from the estimate), and tot_a ≥ 1 so an
+    # all-constant-strata input (every σ_h = 0) degrades to the
+    # uniform minimum allocation instead of a division by zero
+    # (round-9 ADVICE).
+    tot = alloc.agg(F.greatest(F.sum("a_h"), F.lit(1)).alias("tot_a"))
     plan = (
         alloc.crossJoin(F.broadcast(tot))
-        .withColumn("k_alloc", F.expr("CAST((3000 * a_h) DIV tot_a AS BIGINT)"))
+        .withColumn(
+            "k_alloc",
+            F.expr("GREATEST(CAST((3000 * a_h) DIV tot_a AS BIGINT), 1)"),
+        )
         .withColumn("p_h", F.col("k_alloc").cast("double") / F.col("n_h"))
     )
     sampled = (
@@ -2559,16 +2572,21 @@ def q_lineitem_neyman_allocation_estimate(
             F.sum("xc").cast("long").alias("s_samp"),
         )
     )
-    est_c = F.floor(F.col("s_samp").cast("double") / F.col("p_h")).cast("long")
+    # LEFT join + zero-coalesce: a stratum whose p_h drew no rows is
+    # VISIBLE (n_sampled=0, est_c=0, abs_err_ppm=1000000) instead of
+    # silently vanishing from the report (round-9 ADVICE).
+    est_c = F.floor(
+        F.coalesce(F.col("s_samp"), F.lit(0)).cast("double") / F.col("p_h")
+    ).cast("long")
     return (
-        plan.join(sampled, "l_returnflag")
+        plan.join(sampled, "l_returnflag", "left")
         .withColumn("est_c", est_c)
         .select(
             "l_returnflag",
             "n_h",
             F.floor(F.col("sigma_d") * 100).cast("long").alias("sigma_centi"),
             "k_alloc",
-            "n_sampled",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
             "true_c",
             "est_c",
             F.expr(

@@ -726,17 +726,31 @@ def priority_sample_sink(
     TakeOrdered, no shuffle of the batch beyond that), the reservoir
     is collected to the driver (bounded by k+1 — the same
     bounded-artifact rule as the tokenizer merge tables) and
-    rewritten atomically; retries are idempotent because priorities
-    are deterministic and the merge dedups on key. On Delta this
-    becomes a MERGE + truncate-beyond-rank; parquet-overwrite is the
-    dependency-free equivalent at k+1-row scale.
+    rewritten via write-temp-then-rename: the new reservoir lands in
+    `<state_dir>.tmp`, the old directory is renamed aside, and the
+    temp is renamed into place, so no crash point loses BOTH copies
+    (a crash exactly between the two renames leaves the full state
+    recoverable at `<state_dir>.old`/`.tmp`, unlike a plain
+    mode-overwrite whose delete-then-write window loses everything).
+    Retries are idempotent because priorities are deterministic and
+    the merge dedups on key. On Delta this becomes a MERGE +
+    truncate-beyond-rank; parquet rename-swap is the dependency-free
+    equivalent at k+1-row scale.
 
-    Returns the number of micro-batches that carried rows — callers
-    assert ≥2 to evidence that the associative merge path actually
-    ran (a single-batch run never exercises it)."""
+    The stored `w` is the SAME double the priority was derived from
+    (one cast, both uses), so the reservoir's Σ max(w, τ) agrees
+    bit-for-bit with the weights that decided membership and τ even
+    for fractional weight columns — matching the batch twin, which
+    also keeps w and priority consistent.
+
+    Returns the number of DISTINCT micro-batch ids that carried rows
+    (a retried batch counts once) — callers assert ≥2 to evidence
+    that the associative merge path actually ran (a single-batch run
+    never exercises it)."""
     import os
+    import shutil
 
-    n_batches = {"n": 0}
+    seen_batches: set[int] = set()
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         u = (
@@ -753,14 +767,20 @@ def priority_sample_sink(
         ).cast("double") / F.lit(1152921504606846976.0)
         # distributed part: TakeOrdered reduces the batch to its own
         # top-(k+1) (per-partition heaps, no shuffle of the batch)
+        w_dbl = F.col(weight_col).cast("double")
         fresh = [
             (r["key"], r["w"], r["priority"])
             for r in (
                 batch.filter(F.col(weight_col) > 0)
                 .select(
                     F.col(key_col).alias("key"),
-                    F.col(weight_col).cast("long").alias("w"),
-                    (F.col(weight_col).cast("double") / u).alias("priority"),
+                    # one cast feeds BOTH the stored w and the
+                    # priority — a fractional weight persists exactly
+                    # the value that decided membership/τ (round-9
+                    # ADVICE: the old cast('long') silently biased
+                    # Σ max(w, τ) for non-integer weights)
+                    w_dbl.alias("w"),
+                    (w_dbl / u).alias("priority"),
                 )
                 .orderBy(F.desc("priority"), F.asc("key"))
                 .limit(k + 1)
@@ -769,7 +789,7 @@ def priority_sample_sink(
         ]
         if not fresh:
             return
-        n_batches["n"] += 1
+        seen_batches.add(batch_id)
         # driver part: merge two ≤(k+1)-row sets — bounded state by
         # construction (the tokenizer merge-table rule). Dedup on key
         # (retry idempotence: priorities are deterministic per key),
@@ -788,10 +808,20 @@ def priority_sample_sink(
         # ~0.5 s for the one-task form (this was 80% of the sink's
         # wall time).
         sess = batch.sparkSession
+        # write-temp-then-rename swap: no crash point loses both the
+        # old and the new reservoir (round-9 ADVICE — plain
+        # mode('overwrite') deletes the directory before rewriting)
+        tmp_dir, old_dir = f"{state_dir}.tmp", f"{state_dir}.old"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         sess.createDataFrame(
             sess.sparkContext.parallelize(top, 1),
-            "key long, w long, priority double",
-        ).write.mode("overwrite").parquet(state_dir)
+            "key long, w double, priority double",
+        ).write.parquet(tmp_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old_dir)
+        os.rename(tmp_dir, state_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -799,4 +829,4 @@ def priority_sample_sink(
         .start()
         .awaitTermination()
     )
-    return n_batches["n"]
+    return len(seen_batches)

@@ -553,3 +553,32 @@ def test_priority_sample_sink_batching_independent(spark, tmp_path):
     assert n_single == 1
     assert multi == single  # bit-identical reservoir incl. priorities
     assert len(multi) == 13  # k + 1 (the τ carrier)
+
+
+def test_priority_sample_sink_fractional_weights(spark, tmp_path):
+    """Round-9 ADVICE regression: the persisted reservoir's w must be
+    the SAME value the priority was derived from — for a fractional
+    weight column the old cast('long') stored a truncated w that
+    disagreed with the membership/τ decision. Assert w survives as
+    the exact fractional double and priority == w / u for that w."""
+    rows = [(i, (i % 7) + 0.25) for i in range(1, 121)]
+    src = spark.createDataFrame(rows, "key long, w double")
+    stage = str(tmp_path / "frac_src")
+    src.withColumn("part", F.col("key") % 3).repartition(
+        "part"
+    ).write.partitionBy("part").parquet(stage)
+    state = str(tmp_path / "frac_state")
+    stream = (
+        spark.readStream.schema("key long, w double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/part=*")
+    )
+    n = S.priority_sample_sink(stream, state, "key", "w", k=10)
+    assert n >= 2
+    got = spark.read.parquet(state).collect()
+    assert len(got) == 11
+    expect_w = dict(rows)
+    for r in got:
+        assert r.w == expect_w[r.key]  # exact fractional double kept
+        # priority was derived from the SAME w (w/u with u in (0,1])
+        assert r.priority >= r.w
