@@ -84,14 +84,116 @@ def attach_media(
     )
 
 
-def decode_with_codec(payload: bytes, media_type: str) -> object:
-    """The real-codec integration point. Raises: PIL/torchaudio/ffmpeg
-    are not available in this environment. Swap in
+def _make_ppm_decoder():
+    """Factory so the decoder's __qualname__ contains ``<locals>``:
+    cloudpickle then serializes it BY VALUE into UDF closures instead
+    of by (module, name) reference — executor Python workers never
+    need this package importable (the self-contained-closure rule the
+    driver-sim from a foreign cwd enforces)."""
+
+    def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+        """A REAL, spec-correct binary-PPM (P6) decoder in pure
+        Python — the dependency-free executable codec (netpbm format,
+        public spec: https://netpbm.sourceforge.net/doc/ppm.html).
+        Parses the magic, whitespace-separated width/height/maxval
+        header tokens with `#`-comment skipping, the single
+        whitespace byte terminating the header, and the raw RGB
+        raster. Returns (width, height, maxval, raster_bytes) and
+        raises ValueError on malformed input (wrong magic, short
+        raster, maxval out of range) — decode errors must surface,
+        not zero-fill."""
+        if payload[:2] != b"P6":
+            raise ValueError(f"not a P6 PPM (magic {payload[:2]!r})")
+        pos, tokens = 2, []
+        n = len(payload)
+        while len(tokens) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < n and payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated PPM header")
+            tokens.append(payload[start:pos])
+        pos += 1  # exactly ONE whitespace byte after maxval, per spec
+        w, h, maxval = (int(t) for t in tokens)
+        if not (0 < maxval < 65536):
+            raise ValueError(f"maxval {maxval} out of range")
+        depth = 3 * (2 if maxval > 255 else 1)
+        need = w * h * depth
+        raster = payload[pos : pos + need]
+        if len(raster) < need:
+            raise ValueError(f"short raster: {len(raster)} < {need}")
+        return w, h, maxval, raster
+
+    return decode_ppm
+
+
+decode_ppm = _make_ppm_decoder()
+
+
+def decode_with_codec(payload: bytes, media_type: str) -> tuple[int, int, int, bytes]:
+    """The codec dispatch point. PPM (P6) decodes for real — pure
+    Python, no binary deps. Other media types raise: PIL/torchaudio/
+    ffmpeg are not available in this environment; swap in
     `PIL.Image.open(io.BytesIO(payload))` (or the audio/video
-    equivalent) when the runtime ships codecs."""
+    equivalent) here when the runtime ships codecs."""
+    if media_type == "image/x-portable-pixmap":
+        return decode_ppm(payload)
     raise NotImplementedError(
         f"no codec available for {media_type}; install PIL/ffmpeg and "
         "wire it here — downstream plumbing is codec-agnostic"
+    )
+
+
+#: media_type of the executable PPM codec path.
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+
+
+def attach_ppm_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Derive a REAL binary P6 PPM payload per document: a spec-
+    correct netpbm header (magic, a `#` comment line — so every
+    decode exercises the parser's comment handling — width/height,
+    maxval 255) followed by an RGB raster of the document's bytes
+    tiled to exactly 3·w·h. Dimensions are deterministic functions of
+    the text length (w = 1 + n mod 13, h = 1 + n mod 11), so a SQL
+    oracle can compute the decoded-pixel truth from the text alone.
+
+    The encoder is PURE CATALYST — format_string/repeat/substring/
+    encode, no Python — because ingest-side synthesis belongs on the
+    JVM fast path; only the decode (a codec by nature) drops to
+    Arrow-batched Python. ASCII corpus ⇒ character arithmetic ==
+    byte arithmetic (asserted in tests)."""
+    n = F.length(F.col(text_col))
+    w = (n % 13 + 1).cast("int")
+    h = (n % 11 + 1).cast("int")
+    header = F.format_string("P6\n# spark-graft synthetic\n%d %d\n255\n", w, h)
+    raster = F.expr(
+        f"substring(repeat({text_col}, CAST(3 * ((length({text_col}) % 13) + 1)"
+        f" * ((length({text_col}) % 11) + 1) / length({text_col}) AS INT) + 1),"
+        f" 1, 3 * ((length({text_col}) % 13) + 1)"
+        f" * ((length({text_col}) % 11) + 1))"
+    )
+    payload = F.encode(F.concat(header, raster), "UTF-8")
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(PPM_MEDIA_TYPE).alias("media_type"),
+            w.alias("width"),
+            h.alias("height"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -100,10 +202,13 @@ def decode_features(
 ) -> DataFrame:
     """Per-media byte-level features via mapInPandas (Arrow batches).
 
-    `use_codec=True` routes through the codec stub (raises until a
-    codec library is installed); the default path computes
-    deterministic byte statistics with vectorized numpy — the real
-    batch shape, schema, and partitioning of a production decode.
+    `use_codec=True` routes each payload through the REAL codec —
+    PPM payloads decode (header parsed, raster extracted) and the
+    features are computed over the DECODED PIXEL BYTES; other media
+    types raise NotImplementedError (the documented PIL/ffmpeg
+    boundary). The default path computes the same statistics over the
+    raw payload bytes — identical batch shape, schema, and
+    partitioning either way.
 
     `carry_cols` (e.g. `("source",)`) are echoed per row from input
     batch to output batch, so grouping dimensions ride the extractor
@@ -111,23 +216,49 @@ def decode_features(
     shape a 100 TB media pipeline needs (the alternative reattaches a
     doc-id projection of the whole fact table per query).
 
-    The UDF closure is self-contained (captures only local values,
-    no module globals): executor Python workers must not need this
-    package importable."""
+    The UDF closure is self-contained (captures only local values and
+    the factory-made by-value decoder, no module globals): executor
+    Python workers must not need this package importable."""
     carry = list(carry_cols)
     schema = T.StructType(list(FEATURE_SCHEMA.fields) + [df.schema[c] for c in carry])
     out_cols = [f.name for f in schema.fields]
+    if use_codec:
+        df = df.withColumn("__media_type", F.col("media_meta.media_type"))
+    ppm = decode_ppm  # `<locals>` qualname ⇒ cloudpickled by value
+    ppm_type = PPM_MEDIA_TYPE
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # local import: runs on executors
 
+        def feature_row(doc_id, buf: bytes, extra) -> tuple:
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            n = int(arr.size)
+            if n == 0:
+                return (int(doc_id), 0, 0, 0.0, 0.0, *extra)
+            counts = np.bincount(arr, minlength=256)
+            probs = counts[counts > 0] / n
+            entropy = float(-(probs * np.log2(probs)).sum())
+            s = int(arr.sum(dtype=np.int64))
+            return (int(doc_id), n, s, float(s) / n, entropy, *extra)
+
         for pdf in batches:
-            if use_codec:
-                raise NotImplementedError(
-                    "no codec available; install PIL/ffmpeg and wire "
-                    "decode_with_codec into this batch loop"
-                )
             rows = []
+            if use_codec:
+                for doc_id, payload, mt, *extra in zip(
+                    pdf["doc_id"],
+                    pdf["payload"],
+                    pdf["__media_type"],
+                    *[pdf[c] for c in carry],
+                ):
+                    if mt != ppm_type:
+                        raise NotImplementedError(
+                            f"no codec available for {mt}; install "
+                            "PIL/ffmpeg and wire it into this loop"
+                        )
+                    _w, _h, _maxval, raster = ppm(bytes(payload))
+                    rows.append(feature_row(doc_id, raster, extra))
+                yield pd.DataFrame(rows, columns=out_cols)
+                continue
             for doc_id, payload, *extra in zip(
                 pdf["doc_id"], pdf["payload"], *[pdf[c] for c in carry]
             ):

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cpus))
+        # Pin ANSI mode ON explicitly (round-10 hardening sweep): it is
+        # the Spark 4 default and the whole catalog is verified green
+        # under it (ANSI_SWEEP.md), but a Spark 3.5 cluster defaults it
+        # OFF — pinning keeps error semantics (cast overflow,
+        # div-by-zero, element_at misses throw instead of silently
+        # nulling) identical across deployments. Queries use the
+        # try_* / guarded idioms wherever a null is the intent.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

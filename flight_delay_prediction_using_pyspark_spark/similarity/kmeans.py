@@ -288,6 +288,26 @@ def kmeans_fit_grouped(
             1,
             [int(x) for x in r[qv_col]],
         )
+    return grouped_fit_from_seeds(
+        df, per_group, iters=iters, d=d, group_col=group_col, qv_col=qv_col
+    )
+
+
+def grouped_fit_from_seeds(
+    df: DataFrame,
+    per_group: dict[int, dict[int, tuple[int, list[int]]]],
+    *,
+    iters: int,
+    d: int,
+    group_col: str,
+    qv_col: str = "qv",
+) -> dict[int, dict[int, tuple[int, list[int]]]]:
+    """The shared grouped-Lloyd's loop: one projection (a CASE over
+    the group column, each branch that group's inlined-literal argmin)
+    feeding ONE (group, cid) groupBy with map-side combine per
+    iteration — whether the groups are PQ subspaces (every vid in all
+    m groups) or IVF coarse cells (each vid in exactly one group), the
+    job shape and the exact-integer state are identical."""
     sums = [F.sum(F.col(qv_col)[j]).alias(f"s{j}") for j in range(d)]
     for _ in range(iters):
         assign = _grouped_nearest_expr(F.col(group_col), F.col(qv_col), per_group)
@@ -326,6 +346,110 @@ def _grouped_nearest_expr(
             else expr.when(group_col == F.lit(g), branch)
         )
     return expr
+
+
+# --- two-level (hierarchical) IVF: coarse cells, per-cell fine lists -----------
+#
+# At production k ≈ √n a FLAT quantizer is the wrong shape twice over:
+# the assignment expression carries k·d literals (the plan-size
+# ceiling assign_cells gates on), and every query's probe selection
+# ranks all k centroids. The IVF answer (Jégou et al., TPAMI 2011 §V;
+# FAISS's IVF over a coarse quantizer) is hierarchical: a small coarse
+# level (e.g. 256 cells) assigned via inlined literals, then an
+# independent small codebook PER CELL — total lists kc·kf ≈ √n while
+# every expression the plan carries stays kc·d or kf·d sized, and a
+# query touches only the probed cells' codebooks.
+
+
+def fine_seeds_per_cell(
+    df: DataFrame,
+    kf: int,
+    *,
+    group_col: str = "gid",
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+) -> dict[int, dict[int, tuple[int, list[int]]]]:
+    """Per-cell deterministic seeding: within each coarse cell, the kf
+    rows of smallest md5(id) seed fine cids 0..kf-1 (cells smaller
+    than kf get what they have). One window-ranked scan collecting a
+    bounded kc·kf-row artifact — the per-cell twin of init_centroids,
+    replayed in SQL by two_level_cte_sql's fseed CTE."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("__h")
+    rows = (
+        df.select(
+            group_col,
+            qv_col,
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("__h"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kf)
+        .collect()
+    )
+    per_group: dict[int, dict[int, tuple[int, list[int]]]] = {}
+    for r in rows:
+        per_group.setdefault(int(r[group_col]), {})[int(r["__rn"]) - 1] = (
+            1,
+            [int(x) for x in r[qv_col]],
+        )
+    return per_group
+
+
+def two_level_fit(
+    df: DataFrame,
+    *,
+    kc: int,
+    kf: int,
+    coarse_iters: int,
+    fine_iters: int,
+    d: int,
+    qv_col: str = "qv",
+    id_col: str = "vec_id",
+) -> tuple[
+    dict[int, tuple[int, list[int]]],
+    dict[int, dict[int, tuple[int, list[int]]]],
+]:
+    """Train the hierarchical quantizer: flat k-means for the kc
+    coarse cells, then ONE grouped-Lloyd's run training all kc fine
+    codebooks simultaneously (grouped_fit_from_seeds keyed on the
+    coarse assignment — the same shared-iteration economics as the PQ
+    trainer: kc codebooks for the job cost of one). Returns
+    (coarse_centroids, fine_books[gid][cid])."""
+    coarse = kmeans_fit(df, k=kc, iters=coarse_iters, d=d, qv_col=qv_col, id_col=id_col)
+    with_g = df.withColumn("__gid", nearest_expr(F.col(qv_col), coarse))
+    seeds = fine_seeds_per_cell(
+        with_g, kf, group_col="__gid", qv_col=qv_col, id_col=id_col
+    )
+    books = grouped_fit_from_seeds(
+        with_g, seeds, iters=fine_iters, d=d, group_col="__gid", qv_col=qv_col
+    )
+    return coarse, books
+
+
+def two_level_assign(
+    df: DataFrame,
+    coarse: dict[int, tuple[int, list[int]]],
+    books: dict[int, dict[int, tuple[int, list[int]]]],
+    *,
+    qv_col: str = "qv",
+    coarse_out: str = "gid",
+    fine_out: str = "fid",
+    cells: list[int] | None = None,
+) -> DataFrame:
+    """Hierarchical assignment as two projections: coarse cell via the
+    kc-literal argmin, fine list via the per-cell CASE — restricted to
+    `cells` when given (a query probes 2-8 cells, so its fine
+    expression carries only those cells' kf·d literals, NOT the full
+    kc·kf·d codebook; that restriction is what keeps the plan bounded
+    at production k). Rows outside `cells` are filtered out."""
+    out = df.withColumn(coarse_out, nearest_expr(F.col(qv_col), coarse))
+    if cells is not None:
+        out = out.filter(F.col(coarse_out).isin([int(c) for c in cells]))
+        books = {g: books[g] for g in cells}
+    return out.withColumn(
+        fine_out, _grouped_nearest_expr(F.col(coarse_out), F.col(qv_col), books)
+    )
 
 
 # --- oracle SQL generation ------------------------------------------------------
@@ -459,6 +583,79 @@ def grouped_kmeans_cte_sql(
             f" SELECT c.sub, c.cid, c.n, c.s FROM cent{p} c"
             f" WHERE NOT EXISTS (SELECT 1 FROM n{t} x"
             f" WHERE x.sub = c.sub AND x.cid = c.cid))"
+        )
+    return ",\n    ".join(parts)
+
+
+def two_level_cte_sql(
+    *,
+    kc: int,
+    kf: int,
+    coarse_iters: int,
+    fine_iters: int,
+    d: int,
+    scale: int = DEFAULT_SCALE,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB replay of two_level_fit + the final fine assignment:
+    the coarse chain (kmeans_cte_sql with one extra assignment
+    iteration — ``b{coarse_iters+1}`` is the cell assignment under
+    the trained ``cent{coarse_iters}``), then ``qc`` (vid, qv, gid),
+    per-cell seeds ``fseed``/``fcent0`` (kf smallest md5(id) WITHIN
+    each cell), the fine grouped-Lloyd's chain ``fa/fb/fn/fcent{t}``
+    keyed on (gid, cid), and the final fine assignment
+    ``fb{fine_iters+1}`` under ``fcent{fine_iters}``."""
+    parts = [
+        kmeans_cte_sql(
+            k=kc,
+            iters=coarse_iters + 1,
+            d=d,
+            scale=scale,
+            table=table,
+            vec_col=vec_col,
+            id_col=id_col,
+        ),
+        f"qc AS MATERIALIZED (SELECT vid, qv, cid AS gid"
+        f" FROM b{coarse_iters + 1})",
+        f"fseed AS MATERIALIZED (SELECT vid, gid, CAST(rn AS INT) - 1 AS cid"
+        f" FROM (SELECT vid, gid, row_number() OVER (PARTITION BY gid"
+        f" ORDER BY md5(CAST(vid AS VARCHAR))) AS rn FROM qc)"
+        f" WHERE rn <= {kf})",
+        "fcent0 AS MATERIALIZED (SELECT fseed.gid, fseed.cid,"
+        " CAST(1 AS BIGINT) AS n, qc.qv AS s"
+        " FROM qc JOIN fseed ON qc.vid = fseed.vid)",
+    ]
+    sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(d))
+    slist = "list_value(" + ", ".join(f"s{j}" for j in range(d)) + ")"
+    dist = _sq_dist_sql("qc.qv", "c.c", d)
+    for t in range(1, fine_iters + 2):
+        p = t - 1
+        parts.append(
+            f"fa{t} AS MATERIALIZED (SELECT qc.vid, qc.gid, qc.qv, c.cid,"
+            f" {dist} AS dist FROM qc JOIN (SELECT gid, cid,"
+            f" list_transform(s, x -> CAST(x AS DOUBLE) / n) AS c"
+            f" FROM fcent{p}) c ON qc.gid = c.gid)"
+        )
+        parts.append(
+            f"fb{t} AS MATERIALIZED (SELECT vid, gid, qv, cid FROM"
+            f" (SELECT vid, gid, qv, cid, row_number() OVER"
+            f" (PARTITION BY vid ORDER BY dist, cid) AS rn FROM fa{t})"
+            f" WHERE rn = 1)"
+        )
+        if t == fine_iters + 1:
+            break  # last iteration is the assignment pass only
+        parts.append(
+            f"fn{t} AS MATERIALIZED (SELECT gid, cid, n, {slist} AS s FROM"
+            f" (SELECT gid, cid, COUNT(*) AS n, {sums} FROM fb{t}"
+            f" GROUP BY gid, cid))"
+        )
+        parts.append(
+            f"fcent{t} AS MATERIALIZED (SELECT gid, cid, n, s FROM fn{t}"
+            f" UNION ALL SELECT c.gid, c.cid, c.n, c.s FROM fcent{p} c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM fn{t} x"
+            f" WHERE x.gid = c.gid AND x.cid = c.cid))"
         )
     return ",\n    ".join(parts)
 

@@ -100,3 +100,83 @@ def test_decode_resize_skips_empty_payloads(spark):
     docs = spark.createDataFrame([(1, ""), (2, "xyz")], ["doc_id", "text"])
     out = M.decode_resize_stats(M.attach_media(docs)).collect()
     assert [r.doc_id for r in out] == [2]
+
+
+# --- the executable PPM codec (round-10) --------------------------------------
+
+
+def test_decode_ppm_spec_correct():
+    """The pure-Python P6 parser handles the header grammar the spec
+    allows: comments anywhere between tokens, arbitrary whitespace
+    runs, and exactly ONE whitespace byte before the raster (a raster
+    starting with whitespace-valued bytes must not be eaten)."""
+    raster = bytes(range(12))  # 2x2 RGB
+    assert M.decode_ppm(b"P6\n2 2\n255\n" + raster) == (2, 2, 255, raster)
+    # comment lines + CR/space/tab runs between tokens
+    fancy = b"P6\n# c1\n  2\t\n# c2\n2\r\n255\n" + raster
+    assert M.decode_ppm(fancy) == (2, 2, 255, raster)
+    # raster whose first byte is 0x0A (newline): must survive intact
+    tricky_raster = b"\n" * 12
+    assert M.decode_ppm(b"P6 2 2 255\n" + tricky_raster) == (
+        2, 2, 255, tricky_raster,
+    )
+    # trailing junk after the raster is ignored (spec: rest of file)
+    assert M.decode_ppm(b"P6\n1 1\n255\nRGBjunk")[3] == b"RGB"
+
+
+def test_decode_ppm_rejects_malformed():
+    import pytest as _pytest
+
+    raster = bytes(12)
+    with _pytest.raises(ValueError, match="magic"):
+        M.decode_ppm(b"P5\n2 2\n255\n" + raster)
+    with _pytest.raises(ValueError, match="short raster"):
+        M.decode_ppm(b"P6\n2 2\n255\n" + raster[:-1])
+    with _pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(b"P6\n2 2\n0\n" + raster)
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_ppm(b"P6\n2 2")
+
+
+def test_decode_with_codec_dispatch():
+    import pytest as _pytest
+
+    raster = bytes(range(3))
+    assert M.decode_with_codec(b"P6\n1 1\n255\n" + raster,
+                               "image/x-portable-pixmap")[3] == raster
+    with _pytest.raises(NotImplementedError):
+        M.decode_with_codec(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_ppm_pipeline_decodes_real_payloads(spark):
+    """attach_ppm_media emits REAL P6 files (JVM-encoded) that the
+    Python parser decodes to the exact tiled raster; the mapInPandas
+    features are computed over the DECODED raster, not the payload
+    (header bytes must not leak into the stats)."""
+    text = "hello world!"  # n=12 -> w=13, h=2, npx=78
+    docs = spark.createDataFrame([(7, text, "sA")], ["doc_id", "text", "source"])
+    media = M.attach_ppm_media(docs, carry_cols=("source",))
+    row = media.first()
+    w, h, mv, raster = M.decode_ppm(bytes(row.payload))
+    n = len(text)
+    assert (w, h, mv) == (n % 13 + 1, n % 11 + 1, 255)
+    tb = text.encode()
+    expect = (tb * (3 * w * h // n + 1))[: 3 * w * h]
+    assert raster == expect
+    assert row.media_meta.media_type == "image/x-portable-pixmap"
+    assert row.media_meta.n_bytes == len(bytes(row.payload))
+    feats = M.decode_features(media, use_codec=True, carry_cols=("source",))
+    out = feats.first()
+    assert out.n_bytes == 3 * w * h
+    assert out.byte_sum == sum(expect)
+    assert out.source == "sA"
+
+
+def test_ppm_codec_raises_on_foreign_media_type(spark):
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = M.attach_media(docs)  # media_type image/fake
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((Py4JJavaError, Exception)):
+        M.decode_features(media, use_codec=True).collect()
