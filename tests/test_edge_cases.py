@@ -223,3 +223,39 @@ def test_plan_multiply_guard_shapes(spark):
         )
     finally:
         cached.unpersist()
+
+
+def test_session_pins_ansi_mode(spark):
+    """Round-10 hardening: get_spark PINS spark.sql.ansi.enabled=true
+    (Spark 4's default, but Spark 3.5 clusters default OFF — the pin
+    keeps error semantics identical across deployments; the full
+    catalog is swept green under it, see ANSI_SWEEP.md). The throwing
+    classes behave as ANSI demands under the engine's session."""
+    import pytest as _pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    one = spark.range(1)
+    # div-by-zero throws (non-ANSI: null)
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        one.select(F.expr("1 / 0")).collect()
+    # overflowing cast throws (non-ANSI: null/wrap)
+    with _pytest.raises(Exception, match="CAST_OVERFLOW|ARITHMETIC"):
+        one.select(F.lit(300).cast("tinyint")).collect()
+    # element_at on an out-of-bounds ARRAY index throws (Spark 4.0
+    # relaxed MAP misses to NULL — probed, not assumed); try_element_at
+    # nulls both — the idiom catalog queries use when a miss is
+    # expected
+    m = F.create_map(F.lit("a"), F.lit(1))
+    arr = F.array(F.lit(1), F.lit(2))
+    with _pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        one.select(F.element_at(arr, F.lit(9))).collect()
+    assert one.select(F.element_at(m, F.lit("zz")).alias("v")).first()[
+        "v"
+    ] is None
+    assert one.select(
+        F.try_element_at(arr, F.lit(9)).alias("v")
+    ).first()["v"] is None
+    # try_divide is the sanctioned null-on-zero escape hatch
+    assert one.select(F.try_divide(F.lit(1), F.lit(0)).alias("v")).first()[
+        "v"
+    ] is None
