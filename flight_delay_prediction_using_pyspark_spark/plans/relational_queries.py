@@ -3813,6 +3813,146 @@ def q_customer_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "customer_k_anon_generalization",
+    oracle="""
+    WITH rungs AS (
+      SELECT * FROM (VALUES (0, 500, TRUE), (1, 1000, TRUE),
+                            (2, 2000, TRUE), (3, 4000, TRUE),
+                            (4, 8000, TRUE), (5, 16000, TRUE),
+                            (6, 8000, FALSE), (7, 16000, FALSE))
+        AS t(rung, width, keep_nation)
+    ),
+    cls AS (
+      SELECT r.rung, r.width, r.keep_nation,
+             CASE WHEN r.keep_nation THEN c_nationkey ELSE -1 END AS nat_g,
+             CAST(floor(c_acctbal / r.width) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM customer CROSS JOIN rungs r
+      GROUP BY r.rung, r.width, r.keep_nation, nat_g, bucket
+    ),
+    per AS (
+      SELECT CAST(rung AS BIGINT) AS rung, CAST(width AS BIGINT) AS width,
+             keep_nation,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(n) AS BIGINT) AS min_class_n,
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+             CAST((1000000 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END))
+                  // SUM(n) AS BIGINT) AS risk_ppm,
+             MIN(n) >= 5 AS achieves_k
+      FROM cls GROUP BY rung, width, keep_nation
+    ),
+    m AS (SELECT MIN(CASE WHEN achieves_k THEN rung END) AS min_rung FROM per)
+    SELECT per.*, COALESCE(per.rung = m.min_rung, FALSE) AS is_minimal_k
+    FROM per, m
+    ORDER BY rung
+    """,
+)
+def q_customer_k_anon_generalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity GENERALIZATION SEARCH (round-9 verdict item #6, on
+    top of the census): walk Sweeney's domain-generalization ladder
+    for the (nation, bal_bucket) quasi-identifier — six balance-bucket
+    coarsenings, then two rungs that also SUPPRESS the nation column
+    (generalize to *) — and mark the least-general rung achieving
+    k=5 anonymity. All eight rungs are evaluated in ONE scan: the
+    rung table explodes to an Expand (rows x 8, the same bounded
+    multiply as GROUPING SETS in customer_qi_uniqueness_by_set)
+    feeding a single (rung, nation_g, bucket) grouped agg with
+    map-side combine; the per-rung census and the argmin over
+    achieving rungs run on the metadata-sized class residue.
+
+    The ladder's shape IS the finding: balance coarsening alone
+    plateaus at rows_at_risk = the singleton-nation population
+    (nations with < 5 customers are unfixable by generalizing the
+    OTHER attribute), so the minimal achieving rung is the first
+    nation-suppressed one — the privacy/utility frontier (n_classes
+    is the utility axis) an analyst reads before release. If NO rung
+    achieved k, is_minimal_k is false everywhere (COALESCE), visible
+    rather than dropped."""
+    customer = load_table(spark, sf_dir, "customer")
+    rungs = [
+        (0, 500, True), (1, 1000, True), (2, 2000, True), (3, 4000, True),
+        (4, 8000, True), (5, 16000, True), (6, 8000, False),
+        (7, 16000, False),
+    ]
+    rung_struct = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rung"),
+                    F.lit(w).alias("width"),
+                    F.lit(k).alias("keep_nation"),
+                )
+                for r, w, k in rungs
+            ]
+        )
+    )
+    cls = (
+        customer.select("c_nationkey", "c_acctbal")
+        .withColumn("r", rung_struct)
+        .select(
+            F.col("r.rung").alias("rung"),
+            F.col("r.width").alias("width"),
+            F.col("r.keep_nation").alias("keep_nation"),
+            F.when(F.col("r.keep_nation"), F.col("c_nationkey"))
+            .otherwise(F.lit(-1))
+            .alias("nat_g"),
+            F.floor(F.col("c_acctbal") / F.col("r.width"))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("rung", "width", "keep_nation", "nat_g", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = scratch_persist(
+        cls.groupBy(
+            F.col("rung").cast("long").alias("rung"),
+            F.col("width").cast("long").alias("width"),
+            "keep_nation",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("min_class_n"),
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below"),
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END))"
+                " DIV SUM(n) AS BIGINT)"
+            ).alias("risk_ppm"),
+            (F.min("n") >= 5).alias("achieves_k"),
+        )
+    )
+    m = per.agg(
+        F.min(F.when(F.col("achieves_k"), F.col("rung"))).alias("min_rung")
+    )
+    return (
+        per.crossJoin(F.broadcast(m))
+        .select(
+            "rung",
+            "width",
+            "keep_nation",
+            "n_classes",
+            "min_class_n",
+            "n_classes_below",
+            "rows_at_risk",
+            "risk_ppm",
+            "achieves_k",
+            F.coalesce(F.col("rung") == F.col("min_rung"), F.lit(False)).alias(
+                "is_minimal_k"
+            ),
+        )
+        .orderBy("rung")
+    )
+
+
+@query(
     "customer_qi_uniqueness_by_set",
     oracle="""
     WITH cls AS (

@@ -1685,3 +1685,190 @@ def q_ann_pq_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_queries long, mean_recall_adc_ppm long, mean_recall_rerank_ppm long",
     )
+
+
+@query("ann_ivf_drift_refit")
+def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered IVF re-fit verdict (round-9 verdict item #7):
+    the streaming ingest holds its coarse quantizer FROZEN
+    (ann_ivf_streaming_ingest), so the index silently degrades if the
+    arriving distribution moves — the monitor that catches it is the
+    events_changepoint_scan CUSUM wired to the PER-CELL ASSIGNMENT-
+    SHARE series the ingest job appends as it runs.
+
+    Fixture with planted drift: vectors stream in four phases
+    (phase = vec_id mod 4); phases 2-3 arrive SHIFTED (+1.5 on every
+    component — the covariate-shift a stale embedding model shows
+    after retraining upstream). The quantizer is trained on the
+    pre-drift phases only (production trains on history), each
+    micro-batch assigns with the frozen centroids and appends BOTH
+    the index layout (partitionBy list_id) and a (phase, list_id, n)
+    census row — the census is the metadata-sized monitoring stream,
+    k rows per batch, free at any scale. Post-ingest, the integer-
+    exact CUSUM G_t = |T·S_t − t·S| runs per cell over the phase
+    series (the changepoint scan's statistic on the aggregated
+    residue), normalized per cell to ppm; the verdict compares the
+    max drifted score against the same statistic on the NO-DRIFT
+    control census (original vectors, same quantizer, computed batch-
+    side in one grouped agg) — a measured verdict, not a bare
+    threshold. contract_ok pins: 4 phases seen, all vectors ingested,
+    the argmax split lands at the planted boundary (t=2), the drifted
+    score strictly dominates the control, and refit fires.
+
+    Scale shape: assignment is the inlined-literal projection (no
+    shuffle in the hot path); the census append is k rows/batch; the
+    CUSUM runs on a (phases × cells) frame — bytes. Batching-
+    independent: census keys come from the DATA (phase), not the
+    micro-batch id, so any chop of the stream lands on the same
+    series."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    shifted = F.transform("embedding", lambda x: x + F.lit(1.5))
+    staged = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 4).cast("int").alias("phase"),
+        F.when(F.col("vec_id") % 4 >= 2, shifted)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    # frozen quantizer: trained on pre-drift history only
+    hist = staged.filter(F.col("phase") < 2).select(
+        "vec_id", km.quantize_expr("embedding").alias("qv")
+    )
+    cent = km.kmeans_fit(hist, k=_KM_K, iters=_IVF_ITERS, d=_KM_D)
+
+    stage = tempfile.mkdtemp(prefix="ivf_drift_src_")
+    staged.repartition("phase").write.mode("overwrite").partitionBy(
+        "phase"
+    ).parquet(stage)
+    target = tempfile.mkdtemp(prefix="ivf_drift_index_")
+    census_dir = tempfile.mkdtemp(prefix="ivf_drift_census_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_drift_ckpt_")
+    # basePath keeps the phase partition column visible to the reader
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", stage)
+        .parquet(f"{stage}/phase=*")
+    )
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        assigned = batch_df.withColumn(
+            "list_id",
+            km.nearest_expr(km.quantize_expr("embedding"), cent).cast("long"),
+        )
+        assigned.write.mode("append").partitionBy("list_id").parquet(target)
+        (
+            assigned.groupBy("phase", "list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(census_dir)
+        )
+
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+        def cusum_max(census: DataFrame):
+            """Max per-cell CUSUM over the 4-phase series: returns a
+            one-row frame (cell, split_t, score_ppm)."""
+            per = census.groupBy("list_id", "phase").agg(
+                F.sum("n").cast("long").alias("x")
+            )
+            tot = per.groupBy("list_id").agg(
+                F.count(F.lit(1)).cast("long").alias("t_n"),
+                F.sum("x").cast("long").alias("s"),
+            )
+            w = (
+                W.partitionBy("list_id")
+                .orderBy("phase")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            c = per.select(
+                "list_id",
+                F.row_number()
+                .over(W.partitionBy("list_id").orderBy("phase"))
+                .cast("long")
+                .alias("t"),
+                F.sum("x").over(w).cast("long").alias("st"),
+            )
+            scored = (
+                c.join(F.broadcast(tot), "list_id")
+                .filter((F.col("t") < F.col("t_n")) & (F.col("s") > 0))
+                .select(
+                    "list_id",
+                    "t",
+                    F.abs(
+                        F.col("t_n") * F.col("st") - F.col("t") * F.col("s")
+                    ).alias("g"),
+                    (F.col("t_n") * F.col("s")).alias("norm"),
+                )
+                .select(
+                    "list_id",
+                    "t",
+                    F.expr(
+                        "CAST((1000000 * CAST(g AS DECIMAL(38,0)))"
+                        " DIV norm AS BIGINT)"
+                    ).alias("score_ppm"),
+                )
+            )
+            return scored.orderBy(
+                F.desc("score_ppm"), F.asc("list_id"), F.asc("t")
+            ).limit(1)
+
+        drift_row = cusum_max(spark.read.parquet(census_dir)).first()
+        # no-drift control: the ORIGINAL vectors through the same
+        # frozen quantizer, one batch-side grouped agg
+        control_census = (
+            emb.select(
+                (F.col("vec_id") % 4).cast("int").alias("phase"),
+                km.nearest_expr(
+                    km.quantize_expr("embedding"), cent
+                ).cast("long").alias("list_id"),
+            )
+            .groupBy("phase", "list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        control_row = cusum_max(control_census).first()
+        n_ingested = spark.read.parquet(target).count()
+        n_phases = spark.read.parquet(census_dir).select("phase").distinct().count()
+    finally:
+        for d in (stage, target, census_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    n_vectors = emb.count()
+    score = int(drift_row["score_ppm"])
+    control = int(control_row["score_ppm"]) if control_row else 0
+    refit_needed = score > max(100_000, 3 * control)
+    contract_ok = (
+        n_phases == 4
+        and n_ingested == n_vectors
+        and int(drift_row["t"]) == 2
+        and score > control
+        and refit_needed
+    )
+    row = (
+        n_phases,
+        n_ingested,
+        int(drift_row["list_id"]),
+        int(drift_row["t"]),
+        score,
+        control,
+        refit_needed,
+        contract_ok,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_phases long, n_ingested long, drift_cell long, split_t long, "
+        "score_ppm long, control_ppm long, refit_needed boolean, "
+        "contract_ok boolean",
+    )

@@ -229,3 +229,80 @@ def test_poisson_bootstrap_ci_coverage():
     # nominal 93.75%; 120 trials give sd ≈ 2.2%, assert a loose floor
     # that still catches a broken weight map or interval indexing
     assert rate >= 0.82, f"bootstrap CI coverage {rate:.2f} < 0.82"
+
+
+def test_poisson_bootstrap_grouped_ci_coverage():
+    """Grouped-CI Monte Carlo behind lineitem_bootstrap_ci_grouped
+    (40 trials × 3 l_returnflag groups = 120 group-intervals): the
+    (B/32+1, B−B/32)-rank interval at B=64 captures each GROUP's
+    population mean at roughly the same ~93.75% nominal rate as the
+    flagship's B=32 interval — the rank rule holds the level while B
+    changes. Pure-hashlib replay of the exact integer pipeline over
+    sf0.001, including the GREATEST(n_b, 1) degenerate-replicate
+    guard."""
+    import hashlib
+
+    import duckdb
+
+    from flight_delay_prediction_using_pyspark_spark.plans.temporal_queries import (
+        _BOOT_B_GROUPED,
+        _POIS1_T32,
+        _boot_ranks,
+    )
+    from tests.conftest import SF_SMOKE_DIR
+
+    assert _boot_ranks(32) == (2, 31)  # flagship ranks reproduced
+    lo_rank, hi_rank = _boot_ranks(_BOOT_B_GROUPED)
+    rows = duckdb.sql(
+        f"""
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS xc
+        FROM '{SF_SMOKE_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    groups = sorted({r[0] for r in rows})
+    true_mean = {
+        g: sum(r[3] for r in rows if r[0] == g)
+        // sum(1 for r in rows if r[0] == g)
+        for g in groups
+    }
+
+    covered = total = 0
+    for t in range(40):
+        samp = [
+            r
+            for r in rows
+            if int(
+                hashlib.md5(f"t{t}_{r[1]}_{r[2]}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 10
+            == 0
+        ]
+        for g in groups:
+            gs = [r for r in samp if r[0] == g]
+            if not gs:
+                continue
+            means = []
+            for b in range(_BOOT_B_GROUPED):
+                j, i = divmod(b, 4)
+                n_b = s_b = 0
+                for _g, ok, ln, xc in gs:
+                    u = int(
+                        hashlib.md5(f"t{t}bg{j}_{ok}_{ln}".encode())
+                        .hexdigest()[8 * i : 8 * i + 8],
+                        16,
+                    )
+                    w = sum(1 for thr in _POIS1_T32 if u >= thr)
+                    n_b += w
+                    s_b += w * xc
+                means.append(s_b // max(n_b, 1))
+            means.sort()
+            total += 1
+            if means[lo_rank - 1] <= true_mean[g] <= means[hi_rank - 1]:
+                covered += 1
+    rate = covered / total
+    # nominal 93.75%; 120 group-intervals give sd ≈ 2.2% but group
+    # samples are ~3x smaller than the flagship's, so allow the same
+    # loose floor that still catches broken ranks or weight maps
+    assert rate >= 0.80, f"grouped bootstrap CI coverage {rate:.2f} < 0.80"

@@ -299,3 +299,19 @@ def test_assignment_join_path_matches_literal_path(spark, km_rows):
     finally:
         km.INLINE_CENTROID_DOUBLES_MAX = old
     assert switched == lit_path
+
+
+def test_ivf_drift_refit_planted_fixture(spark):
+    """Planted-drift fixture behind ann_ivf_drift_refit: phases 2-3
+    arrive shifted, the frozen-quantizer census must localize the
+    changepoint at the planted boundary (t=2), strictly dominate the
+    no-drift control score, and fire the re-fit verdict."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    row = QUERIES["ann_ivf_drift_refit"](spark, SF_SMOKE_DIR).first()
+    assert row.contract_ok
+    assert row.n_phases == 4
+    assert row.split_t == 2
+    assert row.score_ppm > row.control_ppm
+    assert row.refit_needed
