@@ -49,49 +49,33 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 9:
-#   - ml_tree_sql_scoring_parity: the transpiler now emits bare
-#     D-suffix double literals instead of CAST('…' AS DOUBLE) —
-#     bit-identical values, different generated SQL text, so the r8
-#     row attests to deleted emission code.
-#   - corpus_unigram_lm_vocab: the Viterbi candidate bound moved to
-#     the exact max(0, i-ML) form and cost lookups to try_element_at
-#     (round-8 ADVICE; ANSI-mode safety) — output-invariant on the
-#     shipped corpus, lineage changed.
-#   - layout_manifest_time_travel / layout_schema_evolution_read /
-#     layout_manifest_stats_pruning: the manifest stats read-back now
-#     runs under parquet aggregate pushdown (round-8 ADVICE — footer
-#     stats instead of a second column scan); envelope values are
-#     invariant, the read path changed.
-#   - plan_estimate_contract: the exploding-lineage guard now also
-#     detects Expand (rollup/cube) and cached/local self-joins via
-#     Catalyst sameResult (round-8 ADVICE) — the oracle booleans are
-#     unchanged but the guard they attest to is wider.
+# Round 10:
+#   - events_streaming_priority_sample: the sink now persists w as
+#     the SAME double the priority derives from, swaps state via
+#     write-temp-then-rename, and counts distinct batch ids (round-9
+#     ADVICE ×3) — envelope values invariant, lineage changed.
+#   - lineitem_neyman_allocation_estimate: k_alloc/tot_a GREATEST
+#     clamps + LEFT-join visibility for zero-draw strata (round-9
+#     ADVICE); oracle mirrored, values invariant on this data.
+#   - embedding_kmeans_clusters / semdedup_kmeans_cells: the
+#     assign_via_join keying moved to id_col + first() carry (round-9
+#     judge nit). At sf0.01 these take the literal path so outputs
+#     are invariant, but the shared assign_cells lineage changed —
+#     re-attest the cheapest two of the family (the local crossover
+#     test covers the join path bit-parity itself).
 _MUST_HAVE: list[str] = [
-    "ml_tree_sql_scoring_parity",
-    "corpus_unigram_lm_vocab",
-    "layout_manifest_time_travel",
-    "layout_schema_evolution_read",
-    "layout_manifest_stats_pruning",
-    "plan_estimate_contract",
+    "events_streaming_priority_sample",
+    "lineitem_neyman_allocation_estimate",
+    "embedding_kmeans_clusters",
+    "semdedup_kmeans_cells",
 ]
-# The twenty-four round-9 queries (corpus_bpe_batched_merges,
-# corpus_wordpiece_trie_crossover, corpus_wordpiece_frozen_apply,
-# doc_quality_classifier_scores, ml_tree_sql_codegen_ceiling,
-# ml_tree_sql_depth15_parity, plus the clustering tier:
-# embedding_kmeans_clusters, ann_ivf_kmeans_topk, ann_pq_adc_topk,
-# ann_pq_recall_eval, semdedup_kmeans_cells,
-# embedding_kmeans_pp_candidates, embedding_kmeans_init_quality,
-# ann_ivf_streaming_ingest, ann_pq_recall_panel) plus the estimation
-# tier (corpus_priority_sample_estimator,
-# lineitem_neyman_allocation_estimate, lineitem_sample_quantiles_dkw,
-# events_streaming_priority_sample,
-# orders_join_size_coordinated_sample,
-# corpus_priority_sample_subset_panel, lineitem_bootstrap_ci_mean,
-# plus the governance audits customer_k_anonymity_census and
-# customer_qi_uniqueness_by_set)
-# are never-attempted → tier 2 seats them
-# right behind this list, well inside the 50-row window.
+# The five round-10 queries (ann_ivf_two_level_topk,
+# media_ppm_decode_stats, lineitem_bootstrap_ci_grouped,
+# customer_k_anon_generalization oracle-backed; ann_ivf_drift_refit
+# rows-only with a contract_ok self-check) are never-attempted →
+# tiers 2-3 seat them right behind this list, well inside the 50-row
+# window; the ~41 remaining slots re-attest the already-attested
+# tail cheapest-first.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

@@ -4,10 +4,12 @@ Prints ONE JSON line (the only stdout output, and the last line):
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-The headline set is 160 queries covering every family (core relational
+The headline set is 167 queries covering every family (core relational
 incl. all 22 TPC-H shapes, flights-parity, ML, text/dedup/tokenizer,
-ANN/clustering, multimodal, streaming, temporal, drift/quality
-analytics, and the sample-based estimation tier).  The driver
+ANN/clustering incl. two-level IVF and drift re-fit, multimodal incl.
+the executable PPM codec, streaming, temporal, drift/quality
+analytics, the sample-based estimation tier, and the governance
+audits).  The driver
 captures only the last 2000 chars of stdout, so the contract line
 holds the total + the most expensive per-query entries that fit the
 window; the complete per-query dict is always written to
@@ -232,6 +234,15 @@ HEADLINE = [
     # round-9 governance audits
     "customer_k_anonymity_census",
     "customer_qi_uniqueness_by_set",
+    # round-10 additions: hierarchical IVF, the executable PPM codec
+    # path, grouped bootstrap CIs, the generalization ladder, and the
+    # drift-triggered re-fit verdict (each trains/streams in-query,
+    # no cross-call caches — min-of-reps honest)
+    "ann_ivf_two_level_topk",
+    "media_ppm_decode_stats",
+    "lineitem_bootstrap_ci_grouped",
+    "customer_k_anon_generalization",
+    "ann_ivf_drift_refit",
 ]
 
 

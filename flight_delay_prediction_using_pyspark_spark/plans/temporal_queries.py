@@ -2578,8 +2578,11 @@ def q_lineitem_neyman_allocation_estimate(
     est_c = F.floor(
         F.coalesce(F.col("s_samp"), F.lit(0)).cast("double") / F.col("p_h")
     ).cast("long")
+    # broadcast the ≤|strata|-row sampled side explicitly: the LEFT
+    # join (zero-draw visibility) would otherwise plan as SMJ and add
+    # an exchange the inner form didn't have
     return (
-        plan.join(sampled, "l_returnflag", "left")
+        plan.join(F.broadcast(sampled), "l_returnflag", "left")
         .withColumn("est_c", est_c)
         .select(
             "l_returnflag",
