@@ -4,7 +4,7 @@ Prints ONE JSON line (the only stdout output, and the last line):
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-The headline set is 167 queries covering every family (core relational
+The headline set is 170 queries covering every family (core relational
 incl. all 22 TPC-H shapes, flights-parity, ML, text/dedup/tokenizer,
 ANN/clustering incl. two-level IVF and drift re-fit, multimodal incl.
 the executable PPM codec, streaming, temporal, drift/quality
@@ -243,6 +243,9 @@ HEADLINE = [
     "lineitem_bootstrap_ci_grouped",
     "customer_k_anon_generalization",
     "ann_ivf_drift_refit",
+    "ann_ivf_two_level_layout_probe",
+    "ann_ivfadc_topk",
+    "media_mixed_codec_stats",
 ]
 
 

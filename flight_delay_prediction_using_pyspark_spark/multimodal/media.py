@@ -136,14 +136,94 @@ def _make_ppm_decoder():
 decode_ppm = _make_ppm_decoder()
 
 
+def _make_bmp_codec():
+    """Factory (by-value cloudpickle, like _make_ppm_decoder) for the
+    second real codec: uncompressed 24-bit Windows BMP — a genuinely
+    different container than PPM (little-endian binary headers,
+    BOTTOM-UP row order, BGR channel order, 4-byte row padding), so
+    the dispatch matrix is exercised by two formats with different
+    parsing disciplines, not two text-header cousins."""
+    import struct
+
+    def encode_bmp(width: int, height: int, rgb_topdown: bytes) -> bytes:
+        """Spec-correct BITMAPFILEHEADER + BITMAPINFOHEADER + raster:
+        rows stored bottom-up, channels BGR, each row zero-padded to a
+        4-byte boundary (the format every image library writes)."""
+        if len(rgb_topdown) != 3 * width * height:
+            raise ValueError("raster length != 3*w*h")
+        stride = (3 * width + 3) & ~3
+        pad = b"\x00" * (stride - 3 * width)
+        rows = []
+        for r in range(height - 1, -1, -1):  # bottom-up
+            row = rgb_topdown[r * 3 * width : (r + 1) * 3 * width]
+            bgr = bytearray()
+            for c in range(width):
+                px = row[3 * c : 3 * c + 3]
+                bgr += px[::-1]  # RGB → BGR
+            rows.append(bytes(bgr) + pad)
+        raster = b"".join(rows)
+        off = 14 + 40
+        header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+            2835, 2835, 0, 0,
+        )
+        return header + info + raster
+
+    def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+        """Inverse: validates magic/offset/depth/compression, strips
+        padding, flips bottom-up back to top-down, swaps BGR back to
+        RGB. Returns (width, height, 255, rgb_topdown) — the same
+        shape as decode_ppm so downstream feature code is
+        codec-agnostic. Raises ValueError on malformed input."""
+        if payload[:2] != b"BM":
+            raise ValueError(f"not a BMP (magic {payload[:2]!r})")
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        planes, depth = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if hdr_size < 40 or planes != 1:
+            raise ValueError("unsupported BMP header")
+        if depth != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP variant (depth={depth}, "
+                f"compression={compression}); only uncompressed 24-bit"
+            )
+        flip = height > 0  # positive height = bottom-up storage
+        height = abs(height)
+        stride = (3 * width + 3) & ~3
+        need = off + stride * height
+        if len(payload) < need:
+            raise ValueError(f"short raster: {len(payload)} < {need}")
+        out = bytearray()
+        row_order = range(height - 1, -1, -1) if flip else range(height)
+        for r in row_order:
+            row = payload[off + r * stride : off + r * stride + 3 * width]
+            for c in range(width):
+                out += row[3 * c : 3 * c + 3][::-1]  # BGR → RGB
+        return width, height, 255, bytes(out)
+
+    return encode_bmp, decode_bmp
+
+
+encode_bmp, decode_bmp = _make_bmp_codec()
+
+#: media_type of the BMP codec path.
+BMP_MEDIA_TYPE = "image/bmp"
+
+
 def decode_with_codec(payload: bytes, media_type: str) -> tuple[int, int, int, bytes]:
-    """The codec dispatch point. PPM (P6) decodes for real — pure
-    Python, no binary deps. Other media types raise: PIL/torchaudio/
-    ffmpeg are not available in this environment; swap in
-    `PIL.Image.open(io.BytesIO(payload))` (or the audio/video
-    equivalent) here when the runtime ships codecs."""
+    """The codec dispatch point. PPM (P6) and uncompressed 24-bit BMP
+    decode for real — pure Python, no binary deps. Other media types
+    raise: PIL/torchaudio/ffmpeg are not available in this
+    environment; swap in `PIL.Image.open(io.BytesIO(payload))` (or
+    the audio/video equivalent) here when the runtime ships codecs."""
     if media_type == "image/x-portable-pixmap":
         return decode_ppm(payload)
+    if media_type == BMP_MEDIA_TYPE:
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"no codec available for {media_type}; install PIL/ffmpeg and "
         "wire it here — downstream plumbing is codec-agnostic"
@@ -197,6 +277,70 @@ def attach_ppm_media(
     )
 
 
+def attach_bmp_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The BMP twin of attach_ppm_media, deliberately built as the
+    PYTHON encode arm (mapInPandas + struct.pack) where the PPM arm
+    is pure Catalyst: real pipelines mix JVM-synthesized and
+    upstream-Python-produced payloads, and the mixed-codec query
+    unions both arms through one decode dispatch. Same deterministic
+    dimensions (w = 1 + n mod 13, h = 1 + n mod 11) and the same
+    text-byte tiling for the RGB raster, so the decoded-pixel truth
+    is the same SQL tile arithmetic — but the bytes on the wire are a
+    genuine little-endian binary BMP (bottom-up rows, BGR, 4-byte row
+    padding) the decoder must actually invert."""
+    carry = list(carry_cols)
+    meta_type = T.StructType(
+        [
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", meta_type),
+        ]
+        + [df.schema[c] for c in carry]
+    )
+    out_cols = [f.name for f in schema.fields]
+    enc = encode_bmp  # by-value (factory `<locals>` qualname)
+    mt = BMP_MEDIA_TYPE
+    tcol, icol = text_col, id_col
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, *extra in zip(
+                pdf[icol], pdf[tcol], *[pdf[c] for c in carry]
+            ):
+                tb = str(text).encode("utf-8")
+                n = len(tb)
+                if n == 0:
+                    continue
+                w, h = n % 13 + 1, n % 11 + 1
+                npx = 3 * w * h
+                rgb = (tb * (npx // n + 1))[:npx]
+                payload = enc(w, h, rgb)
+                meta = {
+                    "media_type": mt,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": len(payload),
+                }
+                rows.append((int(doc_id), payload, meta, *extra))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(build, schema=schema)
+
+
 def decode_features(
     df: DataFrame, use_codec: bool = False, carry_cols: Sequence[str] = ()
 ) -> DataFrame:
@@ -224,8 +368,10 @@ def decode_features(
     out_cols = [f.name for f in schema.fields]
     if use_codec:
         df = df.withColumn("__media_type", F.col("media_meta.media_type"))
-    ppm = decode_ppm  # `<locals>` qualname ⇒ cloudpickled by value
+    ppm = decode_ppm  # `<locals>` qualnames ⇒ cloudpickled by value
+    bmp = decode_bmp
     ppm_type = PPM_MEDIA_TYPE
+    bmp_type = BMP_MEDIA_TYPE
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # local import: runs on executors
@@ -250,12 +396,15 @@ def decode_features(
                     pdf["__media_type"],
                     *[pdf[c] for c in carry],
                 ):
-                    if mt != ppm_type:
+                    if mt == ppm_type:
+                        _w, _h, _maxval, raster = ppm(bytes(payload))
+                    elif mt == bmp_type:
+                        _w, _h, _maxval, raster = bmp(bytes(payload))
+                    else:
                         raise NotImplementedError(
                             f"no codec available for {mt}; install "
                             "PIL/ffmpeg and wire it into this loop"
                         )
-                    _w, _h, _maxval, raster = ppm(bytes(payload))
                     rows.append(feature_row(doc_id, raster, extra))
                 yield pd.DataFrame(rows, columns=out_cols)
                 continue

@@ -312,3 +312,75 @@ def q_media_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_px_bytes"),
         F.sum("byte_sum").alias("total_px_sum"),
     )
+
+
+@query(
+    "media_mixed_codec_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             (length(text) % 13) + 1 AS w,
+             (length(text) % 11) + 1 AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    p AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+                  ELSE 'image/bmp' END AS media_type,
+             text, n,
+             3 * w * h AS npx,
+             (3 * w * h) // n AS cyc,
+             (3 * w * h) % n AS rem,
+             {_ASCII_SUM} AS tsum
+      FROM d
+    ),
+    q AS (
+      SELECT media_type, npx,
+             cyc * tsum + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, rem),
+                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
+                          AS BIGINT))),
+                 (a, b) -> a + b) AS px_sum
+      FROM p
+    )
+    SELECT media_type, COUNT(*) AS n_docs,
+           CAST(SUM(npx) AS BIGINT) AS total_px_bytes,
+           CAST(SUM(px_sum) AS BIGINT) AS total_px_sum
+    FROM q
+    GROUP BY media_type
+    """,
+)
+def q_media_mixed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HETEROGENEOUS codec pipeline: even doc_ids arrive as P6 PPMs
+    synthesized by the pure-Catalyst encoder, odd doc_ids as
+    little-endian binary BMPs built by the Python (mapInPandas +
+    struct.pack) arm — the two arms union into ONE frame and ONE
+    decode_features(use_codec=True) stage whose per-row dispatch
+    picks the right parser by media_type. The BMP decoder must
+    genuinely invert the container (strip 4-byte row padding, flip
+    bottom-up storage, swap BGR back to RGB) for its rows to match:
+    the decoded raster equals the same tiled text bytes as the PPM
+    arm, so one oracle formula pins both codecs. (Sums are
+    order-invariant, so this query pins dispatch + raster length +
+    byte content; exact positional inversion — padding stripped, rows
+    flipped, channels swapped — is pinned byte-for-byte by the
+    roundtrip and hand-layout unit tests in test_multimodal.py.)
+
+    Scale shape: the PPM arm is whole-stage codegen; the BMP arm is
+    one Arrow-batched Python stage (the honest cost of
+    upstream-Python payload synthesis); decode is one mapInPandas
+    stage over the union; the only shuffle is the final 2-group
+    agg."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ppm_arm = M.attach_ppm_media(docs.filter(F.col("doc_id") % 2 == 0))
+    bmp_arm = M.attach_bmp_media(docs.filter(F.col("doc_id") % 2 == 1))
+    media = ppm_arm.unionByName(bmp_arm).withColumn(
+        "media_type", F.col("media_meta.media_type")
+    )
+    feats = M.decode_features(
+        media, use_codec=True, carry_cols=("media_type",)
+    )
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_px_bytes"),
+        F.sum("byte_sum").alias("total_px_sum"),
+    )

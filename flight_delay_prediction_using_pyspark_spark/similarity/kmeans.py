@@ -452,6 +452,53 @@ def two_level_assign(
     )
 
 
+def residual_expr(
+    qv_col: Column,
+    gid_col: Column,
+    centroids: dict[int, tuple[int, list[int]]],
+) -> Column:
+    """Quantized residual w.r.t. the row's assigned coarse centroid:
+    r_j = floor(double(qv_j) − c_j) — one IEEE subtraction of an
+    exactly-representable integer and a deterministic centroid double,
+    floored back to BIGINT, so residual-PQ training stays inside the
+    exact-integer contract (IVFADC, Jégou et al. TPAMI 2011 §V). CASE
+    over the cell id, each branch a zip_with over that cell's inlined
+    centroid — the same k·d literal budget as nearest_expr."""
+    expr = None
+    for cid in sorted(centroids):
+        comp = centroid_components(*centroids[cid])
+        c_lit = F.array(*[F.lit(float(c)) for c in comp])
+        branch = F.zip_with(
+            qv_col,
+            c_lit,
+            lambda x, c: F.floor(x.cast("double") - c).cast("long"),
+        )
+        expr = (
+            F.when(gid_col == F.lit(cid), branch)
+            if expr is None
+            else expr.when(gid_col == F.lit(cid), branch)
+        )
+    return expr
+
+
+def residual_sql(qv_expr: str, c_expr: str, d: int) -> str:
+    """DuckDB twin of residual_expr for one row/centroid pair."""
+    return (
+        f"list_transform(generate_series(1, {d}), j -> "
+        f"CAST(floor(CAST({qv_expr}[j] AS DOUBLE) - {c_expr}[j]) AS BIGINT))"
+    )
+
+
+def py_residual(q: list[int], c: list[float]) -> list[int]:
+    """Driver-side twin (query-vector residuals for the LUT build):
+    the SAME subtraction+floor per component as residual_expr/
+    residual_sql — Python floats are IEEE doubles, so all three agree
+    bit-for-bit."""
+    import math
+
+    return [int(math.floor(float(x) - cj)) for x, cj in zip(q, c)]
+
+
 # --- oracle SQL generation ------------------------------------------------------
 
 
@@ -536,52 +583,68 @@ def grouped_kmeans_cte_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    q0_body: str | None = None,
+    prefix: str = "",
 ) -> str:
     """The PQ-trainer twin of kmeans_cte_sql: m per-subspace codebooks
-    trained in one shared iteration chain. Emits CTEs ``q0`` (flat
-    quantized), ``r`` (reshaped vid/sub/qv), ``cent0`` … ``cent{T}``
-    keyed by (sub, cid). Same init (k smallest-md5 ids, reused across
-    subspaces), fold distance, tie-break, and empty-cluster
-    carry-forward as kmeans_fit_grouped."""
+    trained in one shared iteration chain. Emits CTEs ``{p}q0`` (flat
+    quantized), ``{p}r`` (reshaped vid/sub/qv), ``{p}cent0`` …
+    ``{p}cent{T}`` keyed by (sub, cid). Same init (k smallest-md5 ids,
+    reused across subspaces), fold distance, tie-break, and
+    empty-cluster carry-forward as kmeans_fit_grouped.
+
+    ``q0_body`` overrides the quantized-input CTE with an arbitrary
+    ``SELECT ... AS vid, ... AS qv`` (must emit BIGINT-list vectors of
+    m·sub_d components) — the IVFADC residual trainer feeds the chain
+    from a residual CTE. ``prefix`` namespaces every emitted CTE so
+    the chain can coexist with a coarse kmeans_cte_sql chain in one
+    WITH."""
+    p = prefix
     sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(sub_d))
     slist = "list_value(" + ", ".join(f"s{j}" for j in range(sub_d)) + ")"
     slices = " UNION ALL ".join(
         f"SELECT vid, {s} AS sub,"
-        f" list_slice(qv, {s * sub_d + 1}, {(s + 1) * sub_d}) AS qv FROM q0"
+        f" list_slice(qv, {s * sub_d + 1}, {(s + 1) * sub_d}) AS qv"
+        f" FROM {p}q0"
         for s in range(m)
     )
+    q0_sql = (
+        q0_body
+        if q0_body is not None
+        else f"SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
+        f" FROM {table}"
+    )
     parts = [
-        f"q0 AS MATERIALIZED (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
-        f" FROM {table})",
-        f"r AS ({slices})",
-        f"seed AS MATERIALIZED (SELECT vid, CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
-        f" AS cid FROM (SELECT vid, md5(CAST(vid AS VARCHAR)) AS h FROM q0"
+        f"{p}q0 AS MATERIALIZED ({q0_sql})",
+        f"{p}r AS ({slices})",
+        f"{p}seed AS MATERIALIZED (SELECT vid, CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
+        f" AS cid FROM (SELECT vid, md5(CAST(vid AS VARCHAR)) AS h FROM {p}q0"
         f" ORDER BY h LIMIT {k}))",
-        "cent0 AS MATERIALIZED (SELECT r.sub, seed.cid, CAST(1 AS BIGINT) AS n,"
-        " r.qv AS s FROM r JOIN seed USING (vid))",
+        f"{p}cent0 AS MATERIALIZED (SELECT {p}r.sub, {p}seed.cid, CAST(1 AS BIGINT) AS n,"
+        f" {p}r.qv AS s FROM {p}r JOIN {p}seed USING (vid))",
     ]
-    dist = _sq_dist_sql("r.qv", "c.c", sub_d)
+    dist = _sq_dist_sql(f"{p}r.qv", "c.c", sub_d)
     for t in range(1, iters + 1):
-        p = t - 1
+        pv = t - 1
         parts.append(
-            f"a{t} AS MATERIALIZED (SELECT r.vid, r.sub, r.qv, c.cid, {dist} AS dist"
-            f" FROM r JOIN (SELECT sub, cid, list_transform(s, x ->"
-            f" CAST(x AS DOUBLE) / n) AS c FROM cent{p}) c ON r.sub = c.sub)"
+            f"{p}a{t} AS MATERIALIZED (SELECT {p}r.vid, {p}r.sub, {p}r.qv, c.cid, {dist} AS dist"
+            f" FROM {p}r JOIN (SELECT sub, cid, list_transform(s, x ->"
+            f" CAST(x AS DOUBLE) / n) AS c FROM {p}cent{pv}) c ON {p}r.sub = c.sub)"
         )
         parts.append(
-            f"b{t} AS MATERIALIZED (SELECT vid, sub, qv, cid FROM (SELECT vid, sub, qv,"
+            f"{p}b{t} AS MATERIALIZED (SELECT vid, sub, qv, cid FROM (SELECT vid, sub, qv,"
             f" cid, row_number() OVER (PARTITION BY vid, sub"
-            f" ORDER BY dist, cid) AS rn FROM a{t}) WHERE rn = 1)"
+            f" ORDER BY dist, cid) AS rn FROM {p}a{t}) WHERE rn = 1)"
         )
         parts.append(
-            f"n{t} AS MATERIALIZED (SELECT sub, cid, n, {slist} AS s FROM"
-            f" (SELECT sub, cid, COUNT(*) AS n, {sums} FROM b{t}"
+            f"{p}n{t} AS MATERIALIZED (SELECT sub, cid, n, {slist} AS s FROM"
+            f" (SELECT sub, cid, COUNT(*) AS n, {sums} FROM {p}b{t}"
             f" GROUP BY sub, cid))"
         )
         parts.append(
-            f"cent{t} AS MATERIALIZED (SELECT sub, cid, n, s FROM n{t} UNION ALL"
-            f" SELECT c.sub, c.cid, c.n, c.s FROM cent{p} c"
-            f" WHERE NOT EXISTS (SELECT 1 FROM n{t} x"
+            f"{p}cent{t} AS MATERIALIZED (SELECT sub, cid, n, s FROM {p}n{t} UNION ALL"
+            f" SELECT c.sub, c.cid, c.n, c.s FROM {p}cent{pv} c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM {p}n{t} x"
             f" WHERE x.sub = c.sub AND x.cid = c.cid))"
         )
     return ",\n    ".join(parts)

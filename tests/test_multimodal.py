@@ -180,3 +180,73 @@ def test_ppm_codec_raises_on_foreign_media_type(spark):
 
     with _pytest.raises((Py4JJavaError, Exception)):
         M.decode_features(media, use_codec=True).collect()
+
+
+def test_bmp_codec_roundtrip_and_layout():
+    """encode_bmp writes the REAL container (LE headers, bottom-up
+    rows, BGR channels, 4-byte row padding) and decode_bmp inverts it
+    byte-for-byte — verified against a hand-computed layout, not just
+    encode⁻¹(encode(x)) == x."""
+    import struct
+
+    # w=2, h=2 → stride 8 (3*2=6 data + 2 pad). Rows top-down RGB:
+    # row0 = px(1,2,3) px(4,5,6); row1 = px(7,8,9) px(10,11,12)
+    rgb = bytes(range(1, 13))
+    payload = M.encode_bmp(2, 2, rgb)
+    off = struct.unpack_from("<I", payload, 10)[0]
+    assert payload[:2] == b"BM" and off == 54
+    # bottom-up: file row 0 is image row 1, channels BGR, 2 pad bytes
+    assert payload[54:62] == bytes([9, 8, 7, 12, 11, 10, 0, 0])
+    assert payload[62:70] == bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    assert M.decode_bmp(payload) == (2, 2, 255, rgb)
+    # a foreign-authored (hand-written) minimal BMP decodes too:
+    # w=1, h=1, single blue-ish pixel BGR=(200, 100, 50) + 1 pad byte
+    hand = (
+        struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+        + bytes([200, 100, 50, 0])
+    )
+    assert M.decode_bmp(hand) == (1, 1, 255, bytes([50, 100, 200]))
+
+
+def test_bmp_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    good = M.encode_bmp(2, 1, bytes(6))
+    with _pytest.raises(ValueError, match="magic"):
+        M.decode_bmp(b"PX" + good[2:])
+    with _pytest.raises(ValueError, match="short raster"):
+        M.decode_bmp(good[:-3])
+    import struct
+
+    bad_depth = bytearray(good)
+    struct.pack_into("<H", bad_depth, 28, 8)  # 8-bit palette BMP
+    with _pytest.raises(ValueError, match="unsupported BMP variant"):
+        M.decode_bmp(bytes(bad_depth))
+    bad_comp = bytearray(good)
+    struct.pack_into("<I", bad_comp, 30, 1)  # RLE compression
+    with _pytest.raises(ValueError, match="unsupported BMP variant"):
+        M.decode_bmp(bytes(bad_comp))
+
+
+def test_bmp_pipeline_and_dispatch(spark):
+    """attach_bmp_media (the Python encode arm) emits real BMPs whose
+    decoded features match the text-byte tiling; decode_with_codec
+    dispatches both codecs and still raises for library types."""
+    import pytest as _pytest
+
+    text = "mixed codec!"  # n=12 -> w=13, h=2
+    docs = spark.createDataFrame([(3, text)], ["doc_id", "text"])
+    media = M.attach_bmp_media(docs)
+    row = media.first()
+    w, h, mv, raster = M.decode_bmp(bytes(row.payload))
+    n = len(text)
+    assert (w, h) == (n % 13 + 1, n % 11 + 1)
+    tb = text.encode()
+    assert raster == (tb * (3 * w * h // n + 1))[: 3 * w * h]
+    assert row.media_meta.media_type == "image/bmp"
+    out = M.decode_features(media, use_codec=True).first()
+    assert out.n_bytes == 3 * w * h and out.byte_sum == sum(raster)
+    assert M.decode_with_codec(bytes(row.payload), "image/bmp")[3] == raster
+    with _pytest.raises(NotImplementedError):
+        M.decode_with_codec(b"\x89PNG", "image/png")
