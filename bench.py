@@ -4,7 +4,7 @@ Prints ONE JSON line (the only stdout output, and the last line):
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-The headline set is 170 queries covering every family (core relational
+The headline set is 171 queries covering every family (core relational
 incl. all 22 TPC-H shapes, flights-parity, ML, text/dedup/tokenizer,
 ANN/clustering incl. two-level IVF and drift re-fit, multimodal incl.
 the executable PPM codec, streaming, temporal, drift/quality
@@ -246,6 +246,7 @@ HEADLINE = [
     "ann_ivf_two_level_layout_probe",
     "ann_ivfadc_topk",
     "media_mixed_codec_stats",
+    "customer_dp_release_census",
 ]
 
 
@@ -278,6 +279,12 @@ SCALING_SET = [
     # over the 10% hash sample + the audit scan — pure linear scans,
     # replicate work is SF-independent (32-row residue)
     "lineitem_bootstrap_ci_mean",
+    # hierarchical trainers (round 10): per-iteration cost is a linear
+    # projection + a bounded-row agg for BOTH levels / the residual PQ,
+    # so the slope should track the scan — the composition must not
+    # introduce a superlinear stage
+    "ann_ivf_two_level_topk",
+    "ann_ivfadc_topk",
 ]
 
 

@@ -3812,6 +3812,99 @@ def q_customer_k_anonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Two-sided-geometric (discrete Laplace) inverse-CDF thresholds for
+#: the DP release census, alpha = 1/2 (=> epsilon = ln 2 per count):
+#: P(k) = (1-a)/(1+a) * a^|k|, k truncated to [-16, 16] (clipped mass
+#: 2^-16 per tail). threshold_j = floor(CDF(k <= j-17) * 2^32) for
+#: j = 1..32, computed in EXACT rational arithmetic (Fraction), so a
+#: 32-bit md5-uniform u maps to noise = SUM_j [u >= t_j] - 16 with
+#: integer compares only — the same engine-portable mechanism shape
+#: as the Poisson-bootstrap weight map (_POIS1_T32).
+def _geo_thresholds() -> list[int]:
+    from fractions import Fraction
+
+    a = Fraction(1, 2)
+    norm = (1 - a) / (1 + a)
+    acc, out = Fraction(0), []
+    for k in range(-16, 16):
+        acc += norm * a ** abs(k)
+        out.append(int(acc * (1 << 32)))
+    return out
+
+
+_GEO_T32 = _geo_thresholds()
+
+
+def _dp_census_oracle() -> str:
+    """Oracle generated from the same threshold constants as the
+    Spark plan (the bootstrap-generator discipline)."""
+    u = ("CAST(concat('0x', substr(md5(concat('dp1_', c_mktsegment)), 1, 8))"
+         " AS BIGINT)")
+    noise = "(" + " + ".join(
+        f"CAST({u} >= {t} AS BIGINT)" for t in _GEO_T32
+    ) + ") - 16"
+    return f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) + ({noise}) AS BIGINT) AS noisy_n,
+           CAST({noise} AS BIGINT) AS noise_audit,
+           CAST(COUNT(*) AS BIGINT) AS true_n_audit,
+           CAST(693147 AS BIGINT) AS epsilon_ppm
+    FROM customer
+    GROUP BY c_mktsegment
+    """
+
+
+@query("customer_dp_release_census", oracle=_dp_census_oracle())
+def q_customer_dp_release_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Differentially-private release census (Dwork et al. 2006; the
+    geometric mechanism of Ghosh-Roughgarden-Sundararajan SIAM'12 —
+    the DISCRETE Laplace, utility-optimal for counts): per-segment
+    customer counts released with two-sided-geometric noise at
+    alpha = 1/2, i.e. epsilon = ln 2 per count for sensitivity-1
+    queries. This is the third leg of the governance tier: the
+    k-anonymity census asks "can rows be re-identified", the
+    generalization ladder asks "how much coarsening fixes it", the DP
+    release asks "what can leave the boundary with a PROVABLE privacy
+    budget".
+
+    Noise is drawn by inverse CDF over a 32-entry integer threshold
+    table computed in exact rational arithmetic — noise =
+    SUM_j [u >= t_j] - 16 with integer compares on the deterministic
+    md5-uniform, so both engines draw the identical value (the
+    Poisson-bootstrap weight-map pattern). DETERMINISM CAVEAT, stated
+    plainly: a keyed hash is test-harness pseudo-randomness that makes
+    the mechanism oracle-replayable; a production release MUST use
+    fresh entropy per query or the noise is a constant an adversary
+    subtracts. noise_audit/true_n_audit are the harness's audit
+    columns, never part of a real release.
+
+    Scale shape: one grouped count (map-side combinable) + a
+    metadata-sized noise projection on the segment residue; the
+    mechanism costs nothing at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
+
+    u = md5_hash32(F.concat(F.lit("dp1_"), F.col("c_mktsegment")))
+    noise = None
+    for t in _GEO_T32:
+        term = (u >= F.lit(t)).cast("long")
+        noise = term if noise is None else noise + term
+    noise = noise - F.lit(16)
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "c_mktsegment",
+            (F.col("n") + noise).cast("long").alias("noisy_n"),
+            noise.cast("long").alias("noise_audit"),
+            F.col("n").alias("true_n_audit"),
+            F.lit(693147).cast("long").alias("epsilon_ppm"),
+        )
+    )
+
+
 @query(
     "customer_k_anon_generalization",
     oracle="""

@@ -908,3 +908,37 @@ def test_bpe_batched_selection_plan_budget(spark):
     n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_ex <= 4, f"selection plan: {n_ex} exchanges > 4"
     assert n_scan <= 1, f"selection plan: {n_scan} scans > 1"
+
+
+def test_dp_geometric_threshold_table():
+    """The DP census threshold table is the exact rational CDF of the
+    two-sided geometric at alpha=1/2 (floor-quantized to 2^32), and
+    the resulting noise map is symmetric, mean-~0, with P(noise=0)
+    ~= 1/3 — checked by replaying the integer inverse-CDF over a
+    hashlib-uniform stream, exactly as both engines draw it."""
+    import hashlib
+    from fractions import Fraction
+
+    from flight_delay_prediction_using_pyspark_spark.plans.relational_queries import (
+        _GEO_T32,
+    )
+
+    a = Fraction(1, 2)
+    norm = (1 - a) / (1 + a)
+    acc = Fraction(0)
+    for j, t in enumerate(_GEO_T32):
+        acc += norm * a ** abs(j - 16)
+        assert t == int(acc * (1 << 32))
+    assert len(_GEO_T32) == 32 and sorted(_GEO_T32) == list(_GEO_T32)
+
+    draws = []
+    for i in range(4000):
+        u = int(hashlib.md5(f"dp_mc_{i}".encode()).hexdigest()[:8], 16)
+        draws.append(sum(1 for t in _GEO_T32 if u >= t) - 16)
+    n = len(draws)
+    assert abs(sum(draws)) / n < 0.1          # mean ~ 0 (sd ~ 2.8/sqrt(n))
+    p0 = draws.count(0) / n
+    assert abs(p0 - 1 / 3) < 0.03             # P(0) = 1/3
+    p1 = (draws.count(1) + draws.count(-1)) / n
+    assert abs(p1 - 1 / 3) < 0.03             # P(|1|) = 2 * 1/6
+    assert min(draws) >= -16 and max(draws) <= 16
