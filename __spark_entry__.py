@@ -69,14 +69,14 @@ _MUST_HAVE: list[str] = [
     "embedding_kmeans_clusters",
     "semdedup_kmeans_cells",
 ]
-# The nine round-10 queries (ann_ivf_two_level_topk,
+# The ten round-10 queries (ann_ivf_two_level_topk,
 # ann_ivf_two_level_layout_probe, ann_ivfadc_topk,
 # media_ppm_decode_stats, media_mixed_codec_stats,
 # lineitem_bootstrap_ci_grouped, customer_k_anon_generalization,
-# customer_dp_release_census
+# customer_dp_release_census, corpus_source_kl_mixture_drift
 # oracle-backed; ann_ivf_drift_refit rows-only with a contract_ok
 # self-check) are never-attempted → tiers 2-3 seat them right behind
-# this list, well inside the 50-row window; the ~37 remaining slots
+# this list, well inside the 50-row window; the ~36 remaining slots
 # re-attest the already-attested tail cheapest-first.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a

@@ -247,6 +247,9 @@ HEADLINE = [
     "ann_ivfadc_topk",
     "media_mixed_codec_stats",
     "customer_dp_release_census",
+    # corpus_source_kl_mixture_drift (round-10 final addition) joins
+    # HEADLINE next round with a properly dual-run baseline — the
+    # round-3/4 precedent for late additions.
 ]
 
 

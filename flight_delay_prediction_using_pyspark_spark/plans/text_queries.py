@@ -5167,3 +5167,110 @@ def q_corpus_priority_sample_subset_panel(
             "CAST(abs(est_sum_u - 1000000 * true_sum) DIV true_sum AS BIGINT)"
         ).alias("abs_err_ppm"),
     )
+
+
+@query(
+    "corpus_source_kl_mixture_drift",
+    oracle="""
+    WITH d AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    occ AS (SELECT source, unnest(t) AS token FROM d),
+    st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_sw
+           FROM occ GROUP BY source, token),
+    tok AS (SELECT token, CAST(SUM(c_sw) AS BIGINT) AS c_w
+            FROM st GROUP BY token),
+    src AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM st GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM src),
+    terms AS (
+      SELECT st.source,
+             st.c_sw * CAST(floor(100000 * ln(
+                 (CAST(st.c_sw AS DOUBLE) / tok.c_w)
+                 * (CAST(tot.n AS DOUBLE) / src.n_s))) AS BIGINT) AS q
+      FROM st
+      JOIN tok USING (token)
+      JOIN src USING (source)
+      CROSS JOIN tot
+    )
+    SELECT src.source, src.n_s AS n_tokens, src.n_distinct,
+           CAST((1000000 * src.n_s) // tot.n AS BIGINT) AS share_ppm,
+           CAST(SUM(t.q) // src.n_s AS BIGINT) AS kl_q100k
+    FROM terms t
+    JOIN src USING (source)
+    CROSS JOIN tot
+    GROUP BY src.source, src.n_s, src.n_distinct, tot.n
+    """,
+)
+def q_corpus_source_kl_mixture_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source mixture-drift audit: KL(source ‖ corpus) over the
+    unigram token distribution — the number a data-refresh review
+    reads to see WHICH source's language moved away from the mixture
+    the model was trained on (the divergence side of the DSIR
+    coin: DSIR reweights docs toward a target, this ranks sources by
+    how far each sits from the blend). KL(p_s ‖ q) =
+    Σ_w p_s(w)·ln(p_s(w)/q(w)), emitted 1e-5-quantized
+    (kl_q100k = Σ c_sw·floor(1e5·ln(ratio)) DIV N_s) with the ln
+    argument computed as (c_sw/c_w)·(N/N_s) — two exact-integer
+    divisions and one multiply in fixed order, overflow-free at any
+    scale (the naive (c_sw·N)/(c_w·N_s) overflows BIGINT at
+    warehouse token counts), and floor-quantized ln on BOTH engines
+    (the TF-IDF/PMI portability pattern).
+
+    Scale shape: ONE corpus scan (explode → (source, token) grouped
+    count with map-side combine); the token totals, per-source
+    totals, corpus total, and every KL term all derive from that
+    vocabulary-sized residue — three more grouped aggs and two
+    residue joins, no second scan. Per-term floors bias each summand
+    down ~½·1e-5 nat, so near-uniform sources can read slightly
+    negative — it is a drift RANKING, not an entropy estimate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    occ = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    st = scratch_persist(
+        occ.groupBy("source", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("c_sw")
+        )
+    )
+    tok = st.groupBy("token").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    src = st.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    tot = src.agg(F.sum("n_s").cast("long").alias("n"))
+    lnq = F.floor(
+        F.lit(100000)
+        * F.log(
+            (F.col("c_sw").cast("double") / F.col("c_w"))
+            * (F.col("n").cast("double") / F.col("n_s"))
+        )
+    ).cast("long")
+    terms = (
+        st.join(tok, "token")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", (F.col("c_sw") * lnq).alias("q"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("q").cast("long").alias("sq"))
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_distinct",
+            F.expr("CAST((1000000 * n_s) DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(sq DIV n_s AS BIGINT)").alias("kl_q100k"),
+        )
+    )
