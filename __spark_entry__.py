@@ -49,34 +49,35 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 10:
-#   - events_streaming_priority_sample: the sink now persists w as
-#     the SAME double the priority derives from, swaps state via
-#     write-temp-then-rename, and counts distinct batch ids (round-9
-#     ADVICE ×3) — envelope values invariant, lineage changed.
-#   - lineitem_neyman_allocation_estimate: k_alloc/tot_a GREATEST
-#     clamps + LEFT-join visibility for zero-draw strata (round-9
-#     ADVICE); oracle mirrored, values invariant on this data.
-#   - embedding_kmeans_clusters / semdedup_kmeans_cells: the
-#     assign_via_join keying moved to id_col + first() carry (round-9
-#     judge nit). At sf0.01 these take the literal path so outputs
-#     are invariant, but the shared assign_cells lineage changed —
-#     re-attest the cheapest two of the family (the local crossover
-#     test covers the join path bit-parity itself).
+# Round 11 (every entry's lineage changed this round):
+#   - events_streaming_priority_sample: the sink now RECOVERS a
+#     surviving reservoir from <state>.old / a complete <state>.tmp
+#     at start (round-10 ADVICE, medium) — values invariant on a
+#     crash-free run, lineage changed.
+#   - ann_ivf_two_level_topk / ann_ivf_two_level_layout_probe:
+#     two_level_assign + _two_level_probe now skip probed cells with
+#     no fine codebook (round-10 ADVICE) — outputs invariant on this
+#     corpus (no empty cells at these k), shared lineage changed.
+#   - ann_ivf_drift_refit: drift_row None-guard (round-10 ADVICE) +
+#     the CUSUM extracted to the shared _census_cusum_max helper —
+#     values invariant, lineage changed.
+#   - media_ppm_decode_stats / media_mixed_codec_stats: decoders
+#     gained dimension validation; the mixed query now routes THREE
+#     codecs (doc_id mod 3: PPM/BMP/PNG), so its rows CHANGED.
 _MUST_HAVE: list[str] = [
     "events_streaming_priority_sample",
-    "lineitem_neyman_allocation_estimate",
-    "embedding_kmeans_clusters",
-    "semdedup_kmeans_cells",
+    "ann_ivf_two_level_topk",
+    "ann_ivf_two_level_layout_probe",
+    "ann_ivf_drift_refit",
+    "media_ppm_decode_stats",
+    "media_mixed_codec_stats",
 ]
-# The ten round-10 queries (ann_ivf_two_level_topk,
-# ann_ivf_two_level_layout_probe, ann_ivfadc_topk,
-# media_ppm_decode_stats, media_mixed_codec_stats,
-# lineitem_bootstrap_ci_grouped, customer_k_anon_generalization,
-# customer_dp_release_census, corpus_source_kl_mixture_drift
-# oracle-backed; ann_ivf_drift_refit rows-only with a contract_ok
+# The four round-11 additions (ann_ivfadc_recall_panel,
+# customer_kl_diversity_generalization,
+# ann_ivf_two_level_streaming_ingest oracle-backed;
+# ann_ivf_two_level_drift_refit rows-only with a contract_ok
 # self-check) are never-attempted → tiers 2-3 seat them right behind
-# this list, well inside the 50-row window; the ~36 remaining slots
+# this list, well inside the 50-row window; the ~40 remaining slots
 # re-attest the already-attested tail cheapest-first.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a

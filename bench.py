@@ -247,9 +247,16 @@ HEADLINE = [
     "ann_ivfadc_topk",
     "media_mixed_codec_stats",
     "customer_dp_release_census",
-    # corpus_source_kl_mixture_drift (round-10 final addition) joins
-    # HEADLINE next round with a properly dual-run baseline — the
-    # round-3/4 precedent for late additions.
+    # round-11 additions, each seated with a same-round dual-run
+    # committed baseline: the round-10 late addition (as promised),
+    # the IVFADC recall audit, the l-diversity ladder, and the
+    # two-level maintenance pair (ingest oracle-backed, drift verdict
+    # contract-backed). All train/stream in-query — min-of-reps honest.
+    "corpus_source_kl_mixture_drift",
+    "ann_ivfadc_recall_panel",
+    "customer_kl_diversity_generalization",
+    "ann_ivf_two_level_streaming_ingest",
+    "ann_ivf_two_level_drift_refit",
 ]
 
 

@@ -121,6 +121,8 @@ def _make_ppm_decoder():
             tokens.append(payload[start:pos])
         pos += 1  # exactly ONE whitespace byte after maxval, per spec
         w, h, maxval = (int(t) for t in tokens)
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad PPM dimensions {w}x{h}")
         if not (0 < maxval < 65536):
             raise ValueError(f"maxval {maxval} out of range")
         depth = 3 * (2 if maxval > 255 else 1)
@@ -193,6 +195,13 @@ def _make_bmp_codec():
             )
         flip = height > 0  # positive height = bottom-up storage
         height = abs(height)
+        # width is a SIGNED int32 in the spec but a negative or zero
+        # dimension is always malformed — without this check a
+        # negative width makes stride/need nonsensical and can return
+        # an empty raster instead of raising (round-10 ADVICE: decode
+        # errors must surface, never zero-fill)
+        if width <= 0 or height == 0:
+            raise ValueError(f"bad BMP dimensions {width}x{height}")
         stride = (3 * width + 3) & ~3
         need = off + stride * height
         if len(payload) < need:
@@ -214,16 +223,186 @@ encode_bmp, decode_bmp = _make_bmp_codec()
 BMP_MEDIA_TYPE = "image/bmp"
 
 
+def _make_png_codec():
+    """Factory (by-value cloudpickle, like the PPM/BMP factories) for
+    the third real codec — and the first COMPRESSED one: 8-bit RGB
+    PNG, pure stdlib (zlib inflate + the five scanline filters
+    including Paeth). A genuinely different parsing discipline from
+    PPM (text header) and BMP (flat binary): chunked container with
+    per-chunk CRC32 integrity, DEFLATE-compressed scanlines, and a
+    per-row predictive filter the decoder must invert byte-serially
+    (PNG spec, W3C: https://www.w3.org/TR/png-3/)."""
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def encode_png(width: int, height: int, rgb_topdown: bytes) -> bytes:
+        """Spec-correct 8-bit RGB (color type 2) PNG. The row filter
+        CYCLES through all five types (r mod 5: None, Sub, Up,
+        Average, Paeth), so any payload taller than 4 rows forces the
+        decoder through every unfilter branch — the encoder is also
+        the fixture generator for the decode contract."""
+        if len(rgb_topdown) != 3 * width * height:
+            raise ValueError("raster length != 3*w*h")
+        stride = 3 * width
+        raw = bytearray()
+        zero = bytes(stride)
+        for r in range(height):
+            row = rgb_topdown[r * stride : (r + 1) * stride]
+            prior = rgb_topdown[(r - 1) * stride : r * stride] if r else zero
+            f = r % 5
+            raw.append(f)
+            for i in range(stride):
+                x = row[i]
+                a = row[i - 3] if i >= 3 else 0
+                b = prior[i]
+                c = prior[i - 3] if i >= 3 else 0
+                if f == 0:
+                    raw.append(x)
+                elif f == 1:
+                    raw.append((x - a) & 0xFF)
+                elif f == 2:
+                    raw.append((x - b) & 0xFF)
+                elif f == 3:
+                    raw.append((x - (a + b) // 2) & 0xFF)
+                else:
+                    raw.append((x - _paeth(a, b, c)) & 0xFF)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+        """Inverse: validates the signature, walks the chunk stream
+        verifying each CRC32, parses IHDR (8-bit RGB, non-interlaced
+        only — the subset the encoder writes), inflates the
+        concatenated IDAT stream, and inverts the per-row filter.
+        Returns (width, height, 255, rgb_topdown) — the same shape as
+        decode_ppm/decode_bmp so downstream feature code stays
+        codec-agnostic. Raises ValueError on ANY malformation (bad
+        magic, CRC mismatch, truncated chunk, bad dims, unsupported
+        variant, short/corrupt inflate) — decode errors must surface,
+        never zero-fill."""
+        if payload[:8] != SIG:
+            raise ValueError(f"not a PNG (magic {payload[:8]!r})")
+        pos, n = 8, len(payload)
+        width = height = None
+        idat = bytearray()
+        seen_end = False
+        while pos < n:
+            if pos + 8 > n:
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data_end = pos + 8 + length
+            if data_end + 4 > n:
+                raise ValueError(f"truncated {ctype!r} chunk")
+            data = payload[pos + 8 : data_end]
+            (crc,) = struct.unpack_from(">I", payload, data_end)
+            if crc != zlib.crc32(ctype + data):
+                raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+            if ctype == b"IHDR":
+                width, height, depth, color, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if width <= 0 or height <= 0:
+                    raise ValueError(f"bad PNG dimensions {width}x{height}")
+                if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        f"unsupported PNG variant (depth={depth}, "
+                        f"color={color}, interlace={interlace}); only "
+                        "8-bit non-interlaced RGB"
+                    )
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                seen_end = True
+                break
+            pos = data_end + 4
+        if width is None:
+            raise ValueError("missing IHDR")
+        if not seen_end:
+            raise ValueError("missing IEND")
+        if not idat:
+            raise ValueError("missing IDAT")
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise ValueError(f"corrupt IDAT stream: {e}") from e
+        stride = 3 * width
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"short raster: {len(raw)} != {height * (stride + 1)}"
+            )
+        out = bytearray()
+        prior = bytes(stride)
+        for r in range(height):
+            f = raw[r * (stride + 1)]
+            row = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+            cur = bytearray(stride)
+            for i in range(stride):
+                x = row[i]
+                a = cur[i - 3] if i >= 3 else 0
+                b = prior[i]
+                c = prior[i - 3] if i >= 3 else 0
+                if f == 0:
+                    cur[i] = x
+                elif f == 1:
+                    cur[i] = (x + a) & 0xFF
+                elif f == 2:
+                    cur[i] = (x + b) & 0xFF
+                elif f == 3:
+                    cur[i] = (x + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    cur[i] = (x + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise ValueError(f"bad filter type {f} on row {r}")
+            out += cur
+            prior = bytes(cur)
+        return width, height, 255, bytes(out)
+
+    return encode_png, decode_png
+
+
+encode_png, decode_png = _make_png_codec()
+
+#: media_type of the PNG codec path.
+PNG_MEDIA_TYPE = "image/png"
+
+
 def decode_with_codec(payload: bytes, media_type: str) -> tuple[int, int, int, bytes]:
-    """The codec dispatch point. PPM (P6) and uncompressed 24-bit BMP
+    """The codec dispatch point. PPM (P6), uncompressed 24-bit BMP,
+    and 8-bit RGB PNG (zlib-compressed, all five scanline filters)
     decode for real — pure Python, no binary deps. Other media types
-    raise: PIL/torchaudio/ffmpeg are not available in this
-    environment; swap in `PIL.Image.open(io.BytesIO(payload))` (or
-    the audio/video equivalent) here when the runtime ships codecs."""
+    (JPEG, audio, video) raise: PIL/torchaudio/ffmpeg are not
+    available in this environment; swap in
+    `PIL.Image.open(io.BytesIO(payload))` (or the audio/video
+    equivalent) here when the runtime ships codecs."""
     if media_type == "image/x-portable-pixmap":
         return decode_ppm(payload)
     if media_type == BMP_MEDIA_TYPE:
         return decode_bmp(payload)
+    if media_type == PNG_MEDIA_TYPE:
+        return decode_png(payload)
     raise NotImplementedError(
         f"no codec available for {media_type}; install PIL/ffmpeg and "
         "wire it here — downstream plumbing is codec-agnostic"
@@ -341,6 +520,68 @@ def attach_bmp_media(
     return df.mapInPandas(build, schema=schema)
 
 
+def attach_png_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The PNG arm of the synthetic media builders (mapInPandas +
+    stdlib zlib, like the BMP arm): same deterministic dimensions
+    (w = 1 + n mod 13, h = 1 + n mod 11) and the same text-byte
+    tiling for the RGB raster, so the decoded-pixel truth is the
+    same SQL tile arithmetic — but the bytes on the wire are a real
+    chunked, CRC-guarded, DEFLATE-compressed PNG whose row filters
+    cycle through all five types, so the decoder must inflate and
+    invert Sub/Up/Average/Paeth prediction to recover the raster."""
+    carry = list(carry_cols)
+    meta_type = T.StructType(
+        [
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", meta_type),
+        ]
+        + [df.schema[c] for c in carry]
+    )
+    out_cols = [f.name for f in schema.fields]
+    enc = encode_png  # by-value (factory `<locals>` qualname)
+    mt = PNG_MEDIA_TYPE
+    tcol, icol = text_col, id_col
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, *extra in zip(
+                pdf[icol], pdf[tcol], *[pdf[c] for c in carry]
+            ):
+                tb = str(text).encode("utf-8")
+                n = len(tb)
+                if n == 0:
+                    continue
+                w, h = n % 13 + 1, n % 11 + 1
+                npx = 3 * w * h
+                rgb = (tb * (npx // n + 1))[:npx]
+                payload = enc(w, h, rgb)
+                meta = {
+                    "media_type": mt,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": len(payload),
+                }
+                rows.append((int(doc_id), payload, meta, *extra))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(build, schema=schema)
+
+
 def decode_features(
     df: DataFrame, use_codec: bool = False, carry_cols: Sequence[str] = ()
 ) -> DataFrame:
@@ -370,8 +611,10 @@ def decode_features(
         df = df.withColumn("__media_type", F.col("media_meta.media_type"))
     ppm = decode_ppm  # `<locals>` qualnames ⇒ cloudpickled by value
     bmp = decode_bmp
+    png = decode_png
     ppm_type = PPM_MEDIA_TYPE
     bmp_type = BMP_MEDIA_TYPE
+    png_type = PNG_MEDIA_TYPE
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # local import: runs on executors
@@ -400,6 +643,8 @@ def decode_features(
                         _w, _h, _maxval, raster = ppm(bytes(payload))
                     elif mt == bmp_type:
                         _w, _h, _maxval, raster = bmp(bytes(payload))
+                    elif mt == png_type:
+                        _w, _h, _maxval, raster = png(bytes(payload))
                     else:
                         raise NotImplementedError(
                             f"no codec available for {mt}; install "

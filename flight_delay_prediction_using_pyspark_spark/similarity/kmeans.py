@@ -442,11 +442,22 @@ def two_level_assign(
     `cells` when given (a query probes 2-8 cells, so its fine
     expression carries only those cells' kf·d literals, NOT the full
     kc·kf·d codebook; that restriction is what keeps the plan bounded
-    at production k). Rows outside `cells` are filtered out."""
+    at production k). Rows outside `cells` are filtered out.
+
+    A coarse centroid that ended training with zero members survives
+    in `coarse` (frozen-quantizer contract) but has NO entry in
+    `books` — probing it must yield no fine lists, not a KeyError,
+    mirroring the DuckDB oracle whose fine-seed CTE simply produces
+    no rows for an empty cell (round-10 ADVICE)."""
     out = df.withColumn(coarse_out, nearest_expr(F.col(qv_col), coarse))
     if cells is not None:
-        out = out.filter(F.col(coarse_out).isin([int(c) for c in cells]))
+        cells = [int(c) for c in cells if c in books]
+        out = out.filter(F.col(coarse_out).isin(cells))
         books = {g: books[g] for g in cells}
+    if not books:  # every probed cell bookless → empty frame, schema kept
+        return out.filter(F.lit(False)).withColumn(
+            fine_out, F.lit(None).cast("int")
+        )
     return out.withColumn(
         fine_out, _grouped_nearest_expr(F.col(coarse_out), F.col(qv_col), books)
     )

@@ -730,8 +730,10 @@ def priority_sample_sink(
     `<state_dir>.tmp`, the old directory is renamed aside, and the
     temp is renamed into place, so no crash point loses BOTH copies
     (a crash exactly between the two renames leaves the full state
-    recoverable at `<state_dir>.old`/`.tmp`, unlike a plain
-    mode-overwrite whose delete-then-write window loses everything).
+    at `<state_dir>.old`/`.tmp`, and sink start RECOVERS it —
+    renaming the survivor back before any batch can read-or-delete —
+    unlike a plain mode-overwrite whose delete-then-write window
+    loses everything).
     Retries are idempotent because priorities are deterministic and
     the merge dedups on key. On Delta this becomes a MERGE +
     truncate-beyond-rank; parquet rename-swap is the dependency-free
@@ -749,6 +751,27 @@ def priority_sample_sink(
     never exercises it)."""
     import os
     import shutil
+
+    # Crash recovery BEFORE any batch reads or deletes state: a crash
+    # exactly between rename(state->old) and rename(tmp->state) leaves
+    # state_dir absent with the surviving reservoir in `.old` (always
+    # complete — it WAS the committed state) and possibly a COMPLETE
+    # `.tmp` (its parquet write finished before the swap began, proven
+    # by the _SUCCESS marker).  Without this step the next run's
+    # merge_batch would read the absent state_dir as "empty reservoir"
+    # and then rmtree both survivors — silently resetting the sample
+    # and contradicting the no-crash-point-loses-both-copies guarantee
+    # (round-10 ADVICE, medium).  Preference order: a complete tmp is
+    # the NEWER reservoir (the crash happened mid-swap, after the new
+    # state was durably written), else the old copy.
+    tmp0, old0 = f"{state_dir}.tmp", f"{state_dir}.old"
+    if not os.path.isdir(state_dir):
+        if os.path.exists(os.path.join(tmp0, "_SUCCESS")):
+            os.rename(tmp0, state_dir)
+            shutil.rmtree(old0, ignore_errors=True)
+        elif os.path.isdir(old0):
+            os.rename(old0, state_dir)
+            shutil.rmtree(tmp0, ignore_errors=True)
 
     seen_batches: set[int] = set()
 

@@ -315,3 +315,48 @@ def test_ivf_drift_refit_planted_fixture(spark):
     assert row.split_t == 2
     assert row.score_ppm > row.control_ppm
     assert row.refit_needed
+
+
+def test_two_level_assign_skips_bookless_probed_cell(spark, km_rows):
+    """Round-10 ADVICE: a coarse centroid that ended training with
+    zero members survives in `coarse` (frozen-quantizer contract) but
+    has no entry in `books`; probing it must yield no fine lists —
+    the DuckDB oracle's fine-seed CTE behavior — not a KeyError."""
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    df = spark.createDataFrame(km_rows, "vec_id long, qv array<long>")
+    coarse, books = km.two_level_fit(
+        df, kc=3, kf=2, coarse_iters=2, fine_iters=2, d=64
+    )
+    # plant the empty-cell condition: a far-away coarse centroid with
+    # no fine codebook (id 99 can never win the argmin on this data,
+    # exactly like a cell that lost all members during training)
+    coarse = dict(coarse)
+    coarse[99] = (1, [10**6] * 64)
+    assert 99 not in books
+    got = km.two_level_assign(df, coarse, books, cells=[99] + sorted(books))
+    rows = got.collect()
+    assert len(rows) == len(km_rows)  # nothing lost, nothing crashed
+    assert all(r["gid"] in books and r["fid"] is not None for r in rows)
+    # probing ONLY the bookless cell → zero candidates, still no crash
+    assert km.two_level_assign(df, coarse, books, cells=[99]).count() == 0
+
+
+def test_two_level_drift_refit_planted_fixture(spark):
+    """Hierarchical twin of the flat planted-drift fixture: the
+    (gid, fid)-keyed census under the frozen two-level quantizer must
+    localize the changepoint at the planted boundary, dominate the
+    MATCHED-CELL no-drift control, and fire the re-fit verdict."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_SMOKE_DIR
+
+    row = QUERIES["ann_ivf_two_level_drift_refit"](spark, SF_SMOKE_DIR).first()
+    assert row.contract_ok
+    assert row.n_phases == 4
+    assert row.split_t == 2
+    assert row.score_ppm > row.control_ppm
+    assert row.refit_needed
+    from flight_delay_prediction_using_pyspark_spark.plans import similarity_queries as SQ
+
+    assert 0 <= row.drift_gid < SQ._TL_KC
+    assert 0 <= row.drift_fid < SQ._TL_KF

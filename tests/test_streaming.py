@@ -582,3 +582,66 @@ def test_priority_sample_sink_fractional_weights(spark, tmp_path):
         assert r.w == expect_w[r.key]  # exact fractional double kept
         # priority was derived from the SAME w (w/u with u in (0,1])
         assert r.priority >= r.w
+
+
+def test_priority_sample_sink_crash_recovery(spark, tmp_path):
+    """Round-10 ADVICE (medium): a crash exactly between
+    rename(state->old) and rename(tmp->state) leaves state_dir absent
+    with the survivors in `.old` / a complete `.tmp`. The next sink
+    run must RECOVER the survivor instead of reading "no state" and
+    rmtree-ing both copies (which silently reset the reservoir).
+    Simulates both crash points and asserts the recovered reservoir
+    equals the uninterrupted run's."""
+    import os
+    import shutil
+
+    rows = [(i, 1 + (i * 7) % 40) for i in range(300)]
+    src = spark.createDataFrame(rows, "key long, w long")
+
+    def stage_stream(tag: str, part_filter=None):
+        stage = str(tmp_path / f"crash_src_{tag}")
+        df = src
+        if part_filter is not None:
+            df = df.filter(part_filter)
+        df.withColumn("part", F.col("key") % 3).repartition(
+            "part"
+        ).write.partitionBy("part").parquet(stage)
+        return (
+            spark.readStream.schema("key long, w long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stage}/part=*")
+        )
+
+    # ground truth: uninterrupted run over the full stream
+    truth_state = str(tmp_path / "truth_state")
+    S.priority_sample_sink(stage_stream("truth"), truth_state, "key", "w", k=12)
+    truth = sorted(
+        (r.key, r.w, r.priority) for r in spark.read.parquet(truth_state).collect()
+    )
+
+    for crash in ("old_only", "tmp_complete"):
+        # phase 1: first half of the stream establishes state
+        state = str(tmp_path / f"crash_state_{crash}")
+        S.priority_sample_sink(
+            stage_stream(f"{crash}_p1", F.col("key") < 150), state, "key", "w", k=12
+        )
+        assert os.path.isdir(state)
+        if crash == "old_only":
+            # crash after rename(state->old), before tmp was written
+            os.rename(state, f"{state}.old")
+        else:
+            # crash between the two renames: complete tmp + old both
+            # present, state absent — recovery must prefer tmp (newer)
+            shutil.copytree(state, f"{state}.tmp")
+            os.rename(state, f"{state}.old")
+        # phase 2: rest of the stream — must merge with the RECOVERED
+        # reservoir, not start from empty
+        S.priority_sample_sink(
+            stage_stream(f"{crash}_p2", F.col("key") >= 150), state, "key", "w", k=12
+        )
+        got = sorted(
+            (r.key, r.w, r.priority) for r in spark.read.parquet(state).collect()
+        )
+        assert got == truth, f"crash point {crash}: reservoir reset"
+        assert not os.path.exists(f"{state}.old")
+        assert not os.path.exists(f"{state}.tmp")
