@@ -3036,10 +3036,30 @@ def q_lineitem_bootstrap_ci_grouped(
     mean 0 via GREATEST(n_b, 1) instead of an ANSI division error —
     the Neyman clamp lesson applied ex ante. Per-group coverage of
     the group's full-table mean is the audit panel; the grouped
-    Monte-Carlo in test_sampling.py pins the coverage rate."""
+    Monte-Carlo in test_sampling.py pins the coverage rate.
+
+    The md5-recompute-vs-persist trade (CollapseProject re-inlines
+    the sample's digests into every agg column) was re-measured at
+    B=64/128/256 this round — see _grouped_bootstrap_ci and the
+    SCALE.md crossover table."""
+    return _grouped_bootstrap_ci(spark, sf_dir, _BOOT_B_GROUPED)
+
+
+def _grouped_bootstrap_ci(
+    spark: SparkSession,
+    sf_dir: str,
+    b_reps: int,
+    persist_sample: bool = False,
+) -> DataFrame:
+    """The grouped-CI pipeline at parameterized B. ``persist_sample``
+    materializes the hashed sample behind a persist barrier before
+    the 2+2B-column agg — the alternative arm of the md5-recompute
+    trade (without it, CollapseProject re-inlines the B/4 digests
+    into every weight expression). The catalog query runs the
+    measured-cheaper arm at its B; the crossover experiment times
+    both arms at B=64/128/256 (results in SCALE.md)."""
     from flight_delay_prediction_using_pyspark_spark.text.analysis import md5_hash32
 
-    b_reps = _BOOT_B_GROUPED
     lo_rank, hi_rank = _boot_ranks(b_reps)
     li = load_table(spark, sf_dir, "lineitem")
     key = F.concat_ws("_", F.lit("dkw"), F.col("l_orderkey"), F.col("l_linenumber"))
@@ -3058,6 +3078,8 @@ def q_lineitem_bootstrap_ci_grouped(
             for j in range(b_reps // 4)
         ],
     )
+    if persist_sample:
+        samp = scratch_persist(samp)
 
     def w_col(b: int):
         j, i = divmod(b, 4)

@@ -251,8 +251,12 @@ def test_bmp_pipeline_and_dispatch(spark):
     out = M.decode_features(media, use_codec=True).first()
     assert out.n_bytes == 3 * w * h and out.byte_sum == sum(raster)
     assert M.decode_with_codec(bytes(row.payload), "image/bmp")[3] == raster
-    with _pytest.raises(NotImplementedError):
+    # PNG dispatches to the real decoder now (a truncated payload is a
+    # ValueError, not a missing-codec error); JPEG stays the boundary
+    with _pytest.raises(ValueError, match="magic"):
         M.decode_with_codec(b"\x89PNG", "image/png")
+    with _pytest.raises(NotImplementedError):
+        M.decode_with_codec(b"\xff\xd8\xff", "image/jpeg")
 
 
 def test_codecs_reject_nonpositive_dimensions():

@@ -306,3 +306,30 @@ def test_poisson_bootstrap_grouped_ci_coverage():
     # samples are ~3x smaller than the flagship's, so allow the same
     # loose floor that still catches broken ranks or weight maps
     assert rate >= 0.80, f"grouped bootstrap CI coverage {rate:.2f} < 0.80"
+
+
+def test_grouped_bootstrap_arms_agree_at_higher_b(spark):
+    """The persist-barrier arm of the md5-recompute trade changes the
+    PLAN, never the values: at B=128 both arms of
+    _grouped_bootstrap_ci are row-identical (same weights, same
+    ranks, same intervals), so the crossover experiment in SCALE.md
+    is timing two implementations of one function."""
+    from flight_delay_prediction_using_pyspark_spark.plans.temporal_queries import (
+        _grouped_bootstrap_ci,
+    )
+    from tests.conftest import SF_SMOKE_DIR
+
+    a = (
+        _grouped_bootstrap_ci(spark, SF_SMOKE_DIR, 128)
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    b = (
+        _grouped_bootstrap_ci(spark, SF_SMOKE_DIR, 128, persist_sample=True)
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert a == b
+    assert len(a) == 3
+    for r in a:
+        assert r.ci_lo_c <= r.ci_hi_c
