@@ -71,14 +71,20 @@ _MUST_HAVE: list[str] = [
     "ann_ivf_drift_refit",
     "media_ppm_decode_stats",
     "media_mixed_codec_stats",
+    # lineitem_bootstrap_ci_grouped: body extracted into the
+    # parameterized _grouped_bootstrap_ci (B + persist-barrier arms
+    # for the crossover measurement) — values invariant (oracle
+    # re-verified in-session), lineage changed.
+    "lineitem_bootstrap_ci_grouped",
 ]
-# The four round-11 additions (ann_ivfadc_recall_panel,
+# The seven round-11 additions (ann_ivfadc_recall_panel,
 # customer_kl_diversity_generalization,
-# ann_ivf_two_level_streaming_ingest oracle-backed;
-# ann_ivf_two_level_drift_refit rows-only with a contract_ok
-# self-check) are never-attempted → tiers 2-3 seat them right behind
-# this list, well inside the 50-row window; the ~40 remaining slots
-# re-attest the already-attested tail cheapest-first.
+# ann_ivf_two_level_streaming_ingest, customer_t_closeness_census,
+# corpus_priority_sample_hajek_mean, ann_ivfadc_two_level_topk
+# oracle-backed; ann_ivf_two_level_drift_refit rows-only with a
+# contract_ok self-check) are never-attempted → tiers 2-3 seat them
+# right behind this list, well inside the 50-row window; the ~36
+# remaining slots re-attest the already-attested tail cheapest-first.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

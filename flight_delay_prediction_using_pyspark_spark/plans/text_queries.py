@@ -5274,3 +5274,117 @@ def q_corpus_source_kl_mixture_drift(
             F.expr("CAST(sq DIV n_s AS BIGINT)").alias("kl_q100k"),
         )
     )
+
+
+@query(
+    "corpus_priority_sample_hajek_mean",
+    oracle="""
+    WITH p AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(n_chars AS DOUBLE)
+               / (CAST(CAST(concat('0x', substr(md5(concat('ps_', doc_id)), 1, 15))
+                       AS BIGINT) + 1 AS DOUBLE)
+                  / 1152921504606846976.0) AS priority
+      FROM documents
+      WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      FROM p
+    ),
+    t AS (
+      SELECT lang,
+             COALESCE(MAX(CASE WHEN rn = 21 THEN priority END), 0.0) AS tau,
+             CAST(COUNT(*) AS BIGINT) AS true_count,
+             CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS true_mean
+      FROM r GROUP BY lang
+    )
+    SELECT r.lang,
+           t.true_count,
+           CAST(COUNT(*) AS BIGINT) AS k_eff,
+           CAST(SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                  t.tau)
+                               / CAST(r.n_chars AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS est_count_u,
+           t.true_mean,
+           CAST(SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                  t.tau)) AS BIGINT))
+                // SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                     t.tau)
+                                  / CAST(r.n_chars AS DOUBLE)) AS BIGINT))
+             AS BIGINT) AS hajek_mean,
+           CAST(abs(SUM(CAST(floor(1000000 * greatest(CAST(r.n_chars AS DOUBLE),
+                                                      t.tau)
+                                   / CAST(r.n_chars AS DOUBLE)) AS BIGINT))
+                    - 1000000 * t.true_count) // t.true_count AS BIGINT)
+             AS count_err_ppm
+    FROM r JOIN t USING (lang)
+    WHERE r.rn <= 20
+    GROUP BY r.lang, t.true_count, t.true_mean
+    """,
+)
+def q_corpus_priority_sample_hajek_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The estimator the DLT subset-SUM query cannot answer by itself:
+    per-group COUNTS and MEANS from the same kept k=20 priority
+    sample. Each sampled row's Horvitz-Thompson weight for a COUNT is
+    max(w, τ)/w (its inclusion probability is min(1, w/τ)), so
+    N̂ = Σ max(w,τ)/w estimates the group population, and the HÁJEK
+    ratio estimator (Hájek 1971; Särndal et al. §5.7 — the standard
+    survey-sampling mean) divides the two sample-estimated totals:
+    mean ≈ Σ max(w,τ) / Σ max(w,τ)/w. Ratio estimators trade exact
+    unbiasedness for bounded relative error on BOTH axes — the
+    production question ("average doc length in this slice?") is a
+    ratio, and answering it from the standing sample costs zero new
+    passes.
+
+    Portability: max(w,τ)/w is one IEEE division of bit-identical
+    doubles (same operand order both engines); each term is
+    floor-quantized to integer micro-units BEFORE summing so the
+    per-group Σ is order-free, and the final ratio is integer
+    division of the two micro-sums. Groups with ≤ k docs have τ=0 →
+    every HT weight is exactly 1.0 and count/mean are EXACT
+    (count_err_ppm = 0 — the live degenerate check, same as the
+    estimator twin). One scan + the same per-group top-(k+1)."""
+    from flight_delay_prediction_using_pyspark_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    totals = docs.filter(F.col("n_chars") > 0).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count"),
+        F.expr("CAST(SUM(n_chars) DIV COUNT(*) AS BIGINT)").alias(
+            "true_mean"
+        ),
+    )
+    samp = priority_sample(docs, "doc_id", "n_chars", k=20, group_cols=("lang",))
+    w_dbl = F.col("n_chars").cast("double")
+    ht = F.greatest(w_dbl, F.col("tau"))
+    sum_term = F.floor(1000000 * ht).cast("long")
+    cnt_term = F.floor(1000000 * ht / w_dbl).cast("long")
+    est = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("k_eff"),
+        F.sum(sum_term).cast("long").alias("est_sum_u"),
+        F.sum(cnt_term).cast("long").alias("est_count_u"),
+    )
+    return (
+        est.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "true_count",
+            "k_eff",
+            "est_count_u",
+            "true_mean",
+            F.expr("CAST(est_sum_u DIV est_count_u AS BIGINT)").alias(
+                "hajek_mean"
+            ),
+            F.expr(
+                "CAST(abs(est_count_u - 1000000 * true_count)"
+                " DIV true_count AS BIGINT)"
+            ).alias("count_err_ppm"),
+        )
+    )

@@ -360,3 +360,25 @@ def test_two_level_drift_refit_planted_fixture(spark):
 
     assert 0 <= row.drift_gid < SQ._TL_KC
     assert 0 <= row.drift_fid < SQ._TL_KF
+
+
+def test_two_level_ivfadc_scoring_plan_is_shuffle_free(spark):
+    """The two-level IVFADC scale rationale: after training +
+    residual encode (broadcast-join residual, probed-pair
+    confinement, scratch-persisted codes), scoring is a pure
+    projection + TakeOrderedAndProject — no SHUFFLE exchange
+    anywhere. A BroadcastExchange IS expected: the kc·kf-row
+    fine-centroid table rides a broadcast join by design (that join
+    replaces the kc·kf·d-literal CASE that would break at 32k
+    lists)."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from tests.conftest import SF_CORRECTNESS_DIR
+
+    df = QUERIES["ann_ivfadc_two_level_topk"](spark, SF_CORRECTNESS_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in plan and "hashpartitioning" not in plan, (
+        plan
+    )
+    # the self-query must rank first: residual ADC of the query's own
+    # row scores its own quantization error, the panel's sanity pin
+    assert df.first()["vec_id"] == 0
