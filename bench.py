@@ -264,6 +264,9 @@ HEADLINE = [
     "customer_t_closeness_census",
     "corpus_priority_sample_hajek_mean",
     "ann_ivfadc_two_level_topk",
+    # encode-on-ingest: the operational half of two-level IVFADC
+    # (production stores codes at add(), search() never recomputes)
+    "ann_ivfadc_two_level_streaming_encode",
 ]
 
 
@@ -302,6 +305,10 @@ SCALING_SET = [
     # introduce a superlinear stage
     "ann_ivf_two_level_topk",
     "ann_ivfadc_topk",
+    # round 11: the full composition (hierarchical lists + residual
+    # codes via broadcast-join residuals) — the broadcast join must
+    # not change the linear shape
+    "ann_ivfadc_two_level_topk",
 ]
 
 
@@ -446,6 +453,13 @@ def _one_rep_names(names: list[str]) -> set[str]:
 CANARY = "ml_decision_tree_metrics"
 CANARY_QUIET_REF_SEC = 9.0
 
+#: Quiet-window HEADLINE total at sf0.1 (round-11 measurement: two
+#: clean runs landed 353-379 s over 179-180 queries). The host's
+#: external load arrives in MID-RUN bursts the early-battery canary
+#: cannot see (observed round 11: canary 8-9 s quiet while the back
+#: half ran 2-5x hot), so the retry guard also checks the TOTAL.
+TOTAL_QUIET_REF_SEC = 380.0
+
 
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
@@ -502,20 +516,28 @@ def main() -> None:
         timings[name] = round(min(reps), 2)
         all_reps[name] = reps
 
-    # Canary auto-retry (round-8 verdict, process item): when the
-    # contention canary reads >1.3× its quiet-window reference, the
-    # whole run is inflated by host load and per-query numbers are
-    # unadjudicatable. Rather than record a contaminated artifact,
-    # sleep out the load window and RE-EXEC the battery in a fresh
-    # process — a same-session rerun would hit every memoized fit and
-    # persisted cache and record warm numbers as cold. One retry only;
-    # if the retry is still hot, the artifact carries
+    # Auto-retry on contamination (round-8 verdict, process item;
+    # widened round 11): per-query numbers are unadjudicatable when
+    # the run is inflated by host load. TWO signals, because the load
+    # arrives in bursts: the early-battery contention canary (>1.3x
+    # its quiet reference) catches a hot START, and the battery TOTAL
+    # (>1.25x its quiet reference) catches the MID-RUN bursts the
+    # canary provably misses (round 11: two runs with quiet canaries
+    # carried back halves at 2-5x). Rather than record a contaminated
+    # artifact, sleep out the load window and RE-EXEC the battery in
+    # a fresh process — a same-session rerun would hit every memoized
+    # fit and persisted cache and record warm numbers as cold. One
+    # retry only; if the retry is still hot, the artifact carries
     # `contaminated: true` so adjudication knows to discount it.
     canary_val = timings.get(CANARY)
+    total_val = sum(t for n, t in timings.items() if n in set(HEADLINE))
     contaminated = bool(
         sf == 0.1
-        and canary_val is not None
-        and canary_val > 1.3 * CANARY_QUIET_REF_SEC
+        and (
+            (canary_val is not None
+             and canary_val > 1.3 * CANARY_QUIET_REF_SEC)
+            or total_val > 1.25 * TOTAL_QUIET_REF_SEC
+        )
     )
     if contaminated and not os.environ.get("SPARK_GRAFT_BENCH_RETRIED"):
         spark.stop()
@@ -539,6 +561,7 @@ def main() -> None:
         "name": CANARY,
         "sec": canary_val,
         "quiet_ref_sec": CANARY_QUIET_REF_SEC if sf == 0.1 else None,
+        "total_quiet_ref_sec": TOTAL_QUIET_REF_SEC if sf == 0.1 else None,
         "contaminated": contaminated,
         "retried": bool(os.environ.get("SPARK_GRAFT_BENCH_RETRIED")),
     }

@@ -3065,3 +3065,189 @@ def q_ann_ivfadc_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pq_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "ann_ivfadc_two_level_streaming_encode",
+    oracle=f"""
+    WITH {km.two_level_cte_sql(kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC,
+                               fine_iters=_TL_TF, d=_KM_D)},
+    fc AS MATERIALIZED (SELECT gid, cid, list_transform(s, x ->
+          CAST(x AS DOUBLE) / n) AS c FROM fcent{_TL_TF}),
+    qc2 AS MATERIALIZED (SELECT vid, gid, cid AS fid, qv
+                         FROM fb{_TL_TF + 1}),
+    rq0 AS MATERIALIZED (SELECT qc2.vid, qc2.gid, qc2.fid,
+        {km.residual_sql('qc2.qv', 'fc.c', _KM_D)} AS qv
+        FROM qc2 JOIN fc ON qc2.gid = fc.gid AND qc2.fid = fc.cid),
+    {km.grouped_kmeans_cte_sql(k=_PQ_K, iters=_PQ_ITERS + 1, m=_PQ_M,
+                               sub_d=_PQ_SUBD, prefix='p',
+                               q0_body='SELECT vid, qv FROM rq0')}
+    SELECT CAST(g.gid AS BIGINT) AS gid, CAST(g.fid AS BIGINT) AS fid,
+           CAST(COUNT(DISTINCT cd.vid) AS BIGINT) AS n_vectors,
+           CAST(SUM(cd.cid * (cd.sub + 1)) AS BIGINT) AS code_checksum,
+           CAST(MIN(cd.vid) AS BIGINT) AS min_vec_id,
+           CAST(MAX(cd.vid) AS BIGINT) AS max_vec_id
+    FROM pb{_PQ_ITERS + 1} cd
+    JOIN rq0 g ON cd.vid = g.vid
+    GROUP BY g.gid, g.fid
+    ORDER BY gid, fid
+    """,
+)
+def q_ann_ivfadc_two_level_streaming_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENCODE-ON-INGEST — the missing operational half of
+    ann_ivfadc_two_level_topk: production IVFADC indexes store each
+    vector's codes AT INGEST (the query path reads codes, it never
+    recomputes them — FAISS's add() vs search() split). All three
+    frozen artifacts ship to the ingest job: the hierarchical
+    quantizer (kc·d + kc·kf·d), the fine-centroid table, and the
+    residual-PQ codebooks (m·k·sub_d). Each micro-batch assigns
+    (gid, fid) with inlined literals, computes the residual via the
+    broadcast fine-centroid join, derives the m codes as small-
+    literal argmins, and APPENDS (vec_id, codes…) partitionBy(gid,
+    fid) — so the search path's pruned read gets codes for free and
+    the only per-batch state is the layout itself.
+
+    The result is the per-(gid, fid) census of the encoded index
+    read BACK from the files, with an order-free integer
+    code checksum (Σ cid·(sub+1)) that pins every stored code —
+    a wrong code anywhere moves it. Batch/stream symmetry: the
+    oracle replays training, assignment, residuals, the residual-PQ
+    chain, and encoding entirely in SQL; assignment and codes are
+    per-row deterministic under the frozen artifacts, so any stream
+    chop lands on the same index."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_persist_if_large(
+        emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
+    )
+    coarse, books = km.two_level_fit(
+        base, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC, fine_iters=_TL_TF,
+        d=_KM_D,
+    )
+    fcomps = {
+        (g, f): km.centroid_components(n, s)
+        for g, book in books.items()
+        for f, (n, s) in book.items()
+    }
+    fc_df = spark.createDataFrame(
+        [(g, f, list(c)) for (g, f), c in sorted(fcomps.items())],
+        "gid int, fid int, fc array<double>",
+    )
+    res_all = scratch_persist(
+        km.two_level_assign(base, coarse, books)
+        .join(F.broadcast(fc_df), ["gid", "fid"])
+        .select(
+            "vec_id",
+            F.zip_with(
+                "qv",
+                "fc",
+                lambda x, c: F.floor(x.cast("double") - c).cast("long"),
+            ).alias("rq"),
+        )
+    )
+    rbooks = km.kmeans_fit_grouped(
+        res_all.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD)
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "qv"),
+        ),
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        d=_PQ_SUBD,
+        group_col="sub",
+        n_groups=_PQ_M,
+    )
+
+    stage = tempfile.mkdtemp(prefix="ivfadc2_src_")
+    os.symlink(f"{sf_dir}/embeddings.parquet", f"{stage}/embeddings.parquet")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(stage)
+    target = tempfile.mkdtemp(prefix="ivfadc2_index_")
+    ckpt = tempfile.mkdtemp(prefix="ivfadc2_ckpt_")
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        assigned = km.two_level_assign(
+            batch_df.select(
+                "vec_id", km.quantize_expr("embedding").alias("qv")
+            ),
+            coarse,
+            books,
+        ).join(F.broadcast(fc_df), ["gid", "fid"])
+        rq = F.zip_with(
+            "qv", "fc", lambda x, c: F.floor(x.cast("double") - c).cast("long")
+        )
+        (
+            assigned.select(
+                "vec_id",
+                F.col("gid").cast("long").alias("gid"),
+                F.col("fid").cast("long").alias("fid"),
+                rq.alias("rq"),
+            )
+            .select(
+                "vec_id",
+                "gid",
+                "fid",
+                *[
+                    km.nearest_expr(
+                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), rbooks[s]
+                    ).alias(f"code_{s}")
+                    for s in range(_PQ_M)
+                ],
+            )
+            .write.mode("append")
+            .partitionBy("gid", "fid")
+            .parquet(target)
+        )
+
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        checksum = None
+        for s in range(_PQ_M):
+            term = F.col(f"code_{s}").cast("long") * F.lit(s + 1)
+            checksum = term if checksum is None else checksum + term
+        rows = [
+            tuple(int(r[c]) for c in (
+                "gid", "fid", "n_vectors", "code_checksum",
+                "min_vec_id", "max_vec_id",
+            ))
+            for r in (
+                spark.read.parquet(target)
+                .groupBy("gid", "fid")
+                .agg(
+                    F.count(F.lit(1)).alias("n_vectors"),
+                    F.sum(checksum).alias("code_checksum"),
+                    F.min("vec_id").alias("min_vec_id"),
+                    F.max("vec_id").alias("max_vec_id"),
+                )
+                .collect()
+            )
+        ]
+    finally:
+        for d in (stage, target, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows,
+            "gid long, fid long, n_vectors long, code_checksum long, "
+            "min_vec_id long, max_vec_id long",
+        )
+        .orderBy("gid", "fid")
+    )

@@ -386,3 +386,67 @@ def test_png_pipeline_decodes_real_payloads(spark):
     assert out.n_bytes == 3 * w * h
     assert out.byte_sum == sum(expect)
     assert out.source == "sA"
+
+
+def test_codec_roundtrips_property_based():
+    """Hypothesis sweep over all three codecs: encode→decode is the
+    identity for ANY dims/content (PNG's cycling filters mean taller
+    images exercise every unfilter branch with arbitrary data, not
+    just the fixtures' text tilings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=3 * w * h,
+                    max_size=3 * w * h,
+                )
+            )
+        )
+        assert M.decode_png(M.encode_png(w, h, rgb)) == (w, h, 255, rgb)
+        assert M.decode_bmp(M.encode_bmp(w, h, rgb)) == (w, h, 255, rgb)
+        ppm = b"P6\n%d %d\n255\n" % (w, h) + rgb
+        assert M.decode_ppm(ppm) == (w, h, 255, rgb)
+
+    check()
+
+
+def test_png_decode_never_zero_fills_on_corruption():
+    """Hypothesis: flipping any single byte of a valid PNG either
+    still decodes to the ORIGINAL raster (the flip hit trailing
+    padding — impossible here — or was masked) or raises ValueError;
+    it must never return a DIFFERENT raster (zero-fill/corruption
+    leaking through as data). CRC32 per chunk is what makes this
+    hold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    w, h = 3, 6
+    rgb = bytes((7 * i + 3) % 256 for i in range(3 * w * h))
+    payload = M.encode_png(w, h, rgb)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(payload) - 1),
+        bit=st.integers(min_value=0, max_value=7),
+    )
+    def check(pos, bit):
+        mutated = bytearray(payload)
+        mutated[pos] ^= 1 << bit
+        try:
+            got = M.decode_png(bytes(mutated))
+        except (ValueError, Exception) as e:
+            assert isinstance(e, ValueError) or "struct" in type(e).__module__
+            return
+        assert got == (w, h, 255, rgb)
+
+    check()
