@@ -453,12 +453,46 @@ def _one_rep_names(names: list[str]) -> set[str]:
 CANARY = "ml_decision_tree_metrics"
 CANARY_QUIET_REF_SEC = 9.0
 
-#: Quiet-window HEADLINE total at sf0.1 (round-11 measurement: two
-#: clean runs landed 353-379 s over 179-180 queries). The host's
-#: external load arrives in MID-RUN bursts the early-battery canary
-#: cannot see (observed round 11: canary 8-9 s quiet while the back
-#: half ran 2-5x hot), so the retry guard also checks the TOTAL.
-TOTAL_QUIET_REF_SEC = 380.0
+#: Quiet-total model: per-query baselines are committed as the MAX of
+#: two canary-verified runs, so their sum over-states any single quiet
+#: run's total — round-11 quiet runs landed at 0.69-0.74x the baseline
+#: sum. 0.75 is the measured upper envelope of that ratio; deriving
+#: the reference from the committed baselines (instead of the old
+#: hand-pinned 380 s constant) keeps the contamination gate calibrated
+#: automatically as HEADLINE grows (round-11 ADVICE: the pinned
+#: constant had ~0.3% headroom left).
+TOTAL_QUIET_RATIO = 0.75
+#: Fallback when bench_baseline.json is absent (fresh checkout).
+TOTAL_QUIET_REF_FALLBACK_SEC = 380.0
+
+#: Micro-batch streaming queries inflate disproportionately under
+#: transient host load (scheduling latency per micro-batch, not data
+#: volume — round-11 closing run: 2-3.6x on these while batch
+#: neighbors held ~1x), so the events-streaming family always gets a
+#: third rep to keep one load burst from stamping a phantom
+#: regression. The ann_*_ingest streams are excluded: they are
+#: first-consumer cache builders (one-rep by construction).
+STREAMING_MIN3 = {
+    "events_streaming_dedup",
+    "events_streaming_dedup_builtin",
+    "events_stream_stream_join",
+    "events_stream_static_join",
+    "events_streaming_cms",
+    "events_streaming_totals",
+    "events_streaming_sessionize",
+    "events_streaming_priority_sample",
+    "custom_pysource_stream_stats",
+}
+
+
+def _baseline_queries() -> dict[str, float]:
+    path = os.environ.get(
+        "SPARK_GRAFT_BASELINE", os.path.join(REPO_ROOT, "bench_baseline.json")
+    )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f).get("queries", {})
 
 
 def main() -> None:
@@ -500,7 +534,7 @@ def main() -> None:
     one_rep = _one_rep_names(names)
     for name in names:
         reps: list[float] = []
-        n_reps = 1 if name in one_rep else 2
+        n_reps = 1 if name in one_rep else (3 if name in STREAMING_MIN3 else 2)
         while len(reps) < n_reps:
             start = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
@@ -530,13 +564,23 @@ def main() -> None:
     # retry only; if the retry is still hot, the artifact carries
     # `contaminated: true` so adjudication knows to discount it.
     canary_val = timings.get(CANARY)
-    total_val = sum(t for n, t in timings.items() if n in set(HEADLINE))
+    # Compare run-total vs quiet-reference over BASELINED headline
+    # queries only, so newly added (not-yet-baselined) queries can
+    # never tip a genuinely quiet run over the threshold.
+    baseline_q = _baseline_queries()
+    adjudicated = set(HEADLINE) & set(baseline_q)
+    total_val = sum(t for n, t in timings.items() if n in adjudicated)
+    total_quiet_ref = (
+        TOTAL_QUIET_RATIO * sum(baseline_q[n] for n in adjudicated)
+        if adjudicated
+        else TOTAL_QUIET_REF_FALLBACK_SEC
+    )
     contaminated = bool(
         sf == 0.1
         and (
             (canary_val is not None
              and canary_val > 1.3 * CANARY_QUIET_REF_SEC)
-            or total_val > 1.25 * TOTAL_QUIET_REF_SEC
+            or total_val > 1.25 * total_quiet_ref
         )
     )
     if contaminated and not os.environ.get("SPARK_GRAFT_BENCH_RETRIED"):
@@ -561,7 +605,7 @@ def main() -> None:
         "name": CANARY,
         "sec": canary_val,
         "quiet_ref_sec": CANARY_QUIET_REF_SEC if sf == 0.1 else None,
-        "total_quiet_ref_sec": TOTAL_QUIET_REF_SEC if sf == 0.1 else None,
+        "total_quiet_ref_sec": round(total_quiet_ref, 1) if sf == 0.1 else None,
         "contaminated": contaminated,
         "retried": bool(os.environ.get("SPARK_GRAFT_BENCH_RETRIED")),
     }

@@ -321,6 +321,10 @@ def _make_png_codec():
             if crc != zlib.crc32(ctype + data):
                 raise ValueError(f"CRC mismatch in {ctype!r} chunk")
             if ctype == b"IHDR":
+                # A CRC-valid IHDR of the wrong LENGTH must still be a
+                # ValueError, not a struct.error escaping the contract.
+                if len(data) != 13:
+                    raise ValueError(f"bad IHDR length {len(data)} != 13")
                 width, height, depth, color, comp, filt, interlace = (
                     struct.unpack(">IIBBBBB", data)
                 )
@@ -344,14 +348,24 @@ def _make_png_codec():
             raise ValueError("missing IEND")
         if not idat:
             raise ValueError("missing IDAT")
+        stride = 3 * width
+        expected = height * (stride + 1)
+        # Bounded inflate: a tiny crafted IDAT (deflate bomb) must not
+        # allocate beyond the raster the validated IHDR promises, so
+        # cap decompression at expected+1 and reject overflow instead
+        # of zlib.decompress()-ing an unbounded stream.
         try:
-            raw = zlib.decompress(bytes(idat))
+            dec = zlib.decompressobj()
+            raw = dec.decompress(bytes(idat), expected + 1)
         except zlib.error as e:
             raise ValueError(f"corrupt IDAT stream: {e}") from e
-        stride = 3 * width
-        if len(raw) != height * (stride + 1):
+        if len(raw) > expected or dec.unconsumed_tail:
             raise ValueError(
-                f"short raster: {len(raw)} != {height * (stride + 1)}"
+                f"oversized raster: IDAT inflates past {expected} bytes"
+            )
+        if not dec.eof or len(raw) != expected:
+            raise ValueError(
+                f"short raster: {len(raw)} != {expected}"
             )
         out = bytearray()
         prior = bytes(stride)

@@ -1778,7 +1778,103 @@ def _census_cusum_max(
     ).limit(1)
 
 
-@query("ann_ivf_drift_refit")
+def _cusum_sql_ctes(census_cte: str, sfx: str, min_mass: int = 0) -> str:
+    """DuckDB replay of _census_cusum_max as a CTE chain suffixed
+    `sfx`: per{sfx}/tot{sfx}/cc{sfx}/scored{sfx} over a census CTE
+    with columns (list_id, phase, n). Same integer-exact statistic,
+    same HUGEINT//-vs-DECIMAL-DIV discipline (round-9 lesson), same
+    (score DESC, list_id, t) argmax order — callers LIMIT 1 off
+    scored{sfx} themselves (the matched-cell control filters it
+    first)."""
+    mass = f" WHERE s >= {int(min_mass)}" if min_mass > 0 else ""
+    return f"""
+    per{sfx} AS MATERIALIZED (SELECT list_id, phase, CAST(SUM(n) AS BIGINT) AS x
+        FROM {census_cte} GROUP BY list_id, phase),
+    tot{sfx} AS (SELECT * FROM (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS t_n,
+        CAST(SUM(x) AS BIGINT) AS s FROM per{sfx} GROUP BY list_id){mass}),
+    cc{sfx} AS (SELECT list_id,
+        CAST(row_number() OVER (PARTITION BY list_id ORDER BY phase) AS BIGINT) AS t,
+        CAST(SUM(x) OVER (PARTITION BY list_id ORDER BY phase
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st
+        FROM per{sfx}),
+    scored{sfx} AS (SELECT cc{sfx}.list_id, cc{sfx}.t,
+        CAST((1000000 * CAST(abs(t_n * st - t * s) AS HUGEINT))
+             // CAST(t_n * s AS HUGEINT) AS BIGINT) AS score_ppm
+        FROM cc{sfx} JOIN tot{sfx} ON cc{sfx}.list_id = tot{sfx}.list_id
+        WHERE cc{sfx}.t < tot{sfx}.t_n AND tot{sfx}.s > 0)"""
+
+
+#: Shared drift-fixture CTEs: `hist` (the unshifted pre-drift phases
+#: the frozen quantizer trains on — phases 0-1 of `staged` are the
+#: original vectors, so reading them straight from `embeddings` skips
+#: materializing the shift) and `qall` (every vector, phases 2-3
+#: +1.5-shifted BEFORE quantization, exactly quantize_expr's IEEE
+#: order: widen float→double, +1.5, ×scale, floor).
+_DRIFT_FIXTURE_SQL = f"""
+    hist AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 4 < 2),
+    qall AS MATERIALIZED (SELECT vec_id AS vid,
+        CAST(vec_id % 4 AS INT) AS phase,
+        CASE WHEN vec_id % 4 >= 2
+             THEN list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(floor((x + 1.5) * 100000.0) AS BIGINT))
+             ELSE {km.quantize_sql('embedding')} END AS qv
+        FROM embeddings)"""
+
+
+_DRIFT_VERDICT_SELECT = """
+    SELECT CAST((SELECT COUNT(DISTINCT phase) FROM census) AS BIGINT) AS n_phases,
+           CAST((SELECT COUNT(*) FROM asg) AS BIGINT) AS n_ingested,
+           {cell_cols}
+           CAST(d.t AS BIGINT) AS split_t,
+           d.score_ppm AS score_ppm,
+           c.score_ppm AS control_ppm,
+           d.score_ppm > GREATEST(100000, 3 * c.score_ppm) AS refit_needed,
+           ((SELECT COUNT(DISTINCT phase) FROM census) = 4
+            AND (SELECT COUNT(*) FROM asg) = (SELECT COUNT(*) FROM embeddings)
+            AND d.t = 2 AND d.score_ppm > c.score_ppm
+            AND d.score_ppm > GREATEST(100000, 3 * c.score_ppm)) AS contract_ok
+    FROM drift d CROSS JOIN ctl c"""
+
+
+_IVF_DRIFT_ORACLE = f"""
+    WITH {_DRIFT_FIXTURE_SQL},
+    {km.kmeans_cte_sql(k=_KM_K, iters=_IVF_ITERS, d=_KM_D, table="hist")},
+    cfin AS MATERIALIZED (SELECT cid, list_transform(s, x ->
+        CAST(x AS DOUBLE) / n) AS c FROM cent{_IVF_ITERS}),
+    asg_d AS (SELECT qall.vid, qall.phase, c.cid,
+        {km._sq_dist_sql('qall.qv', 'c.c', _KM_D)} AS dist
+        FROM qall CROSS JOIN cfin c),
+    asg AS MATERIALIZED (SELECT vid, phase, cid AS list_id FROM
+        (SELECT vid, phase, cid, row_number() OVER
+         (PARTITION BY vid ORDER BY dist, cid) AS rn FROM asg_d)
+        WHERE rn = 1),
+    census AS (SELECT list_id, phase, COUNT(*) AS n FROM asg
+        GROUP BY list_id, phase),
+    {_cusum_sql_ctes('census', '')},
+    drift AS (SELECT list_id, t, score_ppm FROM scored
+        ORDER BY score_ppm DESC, list_id, t LIMIT 1),
+    qorig AS MATERIALIZED (SELECT vec_id AS vid,
+        CAST(vec_id % 4 AS INT) AS phase,
+        {km.quantize_sql('embedding')} AS qv FROM embeddings),
+    asg0_d AS (SELECT qorig.vid, qorig.phase, c.cid,
+        {km._sq_dist_sql('qorig.qv', 'c.c', _KM_D)} AS dist
+        FROM qorig CROSS JOIN cfin c),
+    census0 AS (SELECT list_id, phase, COUNT(*) AS n FROM
+        (SELECT vid, phase, cid AS list_id FROM
+         (SELECT vid, phase, cid, row_number() OVER
+          (PARTITION BY vid ORDER BY dist, cid) AS rn FROM asg0_d)
+         WHERE rn = 1)
+        GROUP BY list_id, phase),
+    {_cusum_sql_ctes('census0', '0')},
+    ctl AS (SELECT score_ppm FROM scored0
+        ORDER BY score_ppm DESC, list_id, t LIMIT 1)
+    {_DRIFT_VERDICT_SELECT.format(
+        cell_cols="CAST(d.list_id AS BIGINT) AS drift_cell,")}
+"""
+
+
+@query("ann_ivf_drift_refit", oracle=_IVF_DRIFT_ORACLE)
 def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift-triggered IVF re-fit verdict (round-9 verdict item #7):
     the streaming ingest holds its coarse quantizer FROZEN
@@ -2241,6 +2337,13 @@ _IVFADC_PANEL_SLICES = " UNION ALL ".join(
     for s in range(_PQ_M)
 )
 
+_IVFADC_TL_PANEL_SLICES = " UNION ALL ".join(
+    f"SELECT query_id, gid, fid, {s} AS sub,"
+    f" list_slice(qv, {s * _PQ_SUBD + 1}, {(s + 1) * _PQ_SUBD}) AS qv"
+    f" FROM tqres"
+    for s in range(_PQ_M)
+)
+
 
 @query(
     "ann_ivfadc_recall_panel",
@@ -2321,6 +2424,61 @@ _IVFADC_PANEL_SLICES = " UNION ALL ".join(
               (PARTITION BY r.query_id ORDER BY r.adist, r.vid) AS rk
               FROM rscored r JOIN cprobes p
                 ON r.query_id = p.query_id AND r.gid = p.gid)
+             WHERE rk <= 10),
+    -- two-level IVFADC arm: hierarchical lists (prefix t) + residual-
+    -- vs-FINE-centroid PQ (prefix t2) at the same m*log2(k) budget
+    {{tl_train}},
+    tfc AS MATERIALIZED (SELECT gid, cid, list_transform(s, x ->
+          CAST(x AS DOUBLE) / n) AS c FROM tfcent{_TL_TF}),
+    trq0 AS MATERIALIZED (SELECT tqc2.vid, tqc2.gid, tqc2.fid,
+        {km.residual_sql('tqc2.qv', 'tfc.c', _KM_D)} AS qv
+        FROM (SELECT vid, gid, cid AS fid, qv FROM tfb{_TL_TF + 1}) tqc2
+        JOIN tfc ON tqc2.gid = tfc.gid AND tqc2.fid = tfc.cid),
+    {{tl_pq_train}},
+    tqres AS MATERIALIZED (SELECT qp.query_id, tfc.gid, tfc.cid AS fid,
+        {km.residual_sql('qp.qv', 'tfc.c', _KM_D)} AS qv
+        FROM qp CROSS JOIN tfc),
+    tqrs AS ({{tl_panel_slices}}),
+    t2cfin AS (SELECT sub, cid, list_transform(s, x -> CAST(x AS DOUBLE) / n)
+               AS c FROM t2cent{_PQ_ITERS}),
+    tlut AS MATERIALIZED (SELECT tqrs.query_id, tqrs.gid, tqrs.fid,
+            c.sub, c.cid,
+            {km._sq_dist_sql('tqrs.qv', 'c.c', _PQ_SUBD)} AS dist
+            FROM t2cfin c JOIN tqrs ON c.sub = tqrs.sub),
+    tscored AS MATERIALIZED (SELECT tlut.query_id, cd.vid, g.gid, g.fid,
+               list_reduce(list_prepend(0.0,
+                   list(tlut.dist ORDER BY cd.sub)), (a, b) -> a + b)
+               AS adist
+               FROM t2b{_PQ_ITERS + 1} cd
+               JOIN trq0 g ON cd.vid = g.vid
+               JOIN tlut ON tlut.gid = g.gid AND tlut.fid = g.fid
+                        AND tlut.sub = cd.sub AND tlut.cid = cd.cid
+               GROUP BY tlut.query_id, cd.vid, g.gid, g.fid),
+    tcprobes AS MATERIALIZED (SELECT query_id, gid FROM (
+        SELECT qp.query_id, c.cid AS gid,
+               row_number() OVER (PARTITION BY qp.query_id
+                   ORDER BY {km._sq_dist_sql('qp.qv', 'c.c', _KM_D)}, c.cid)
+               AS rn
+        FROM (SELECT cid, list_transform(s, x -> CAST(x AS DOUBLE) / n) AS c
+              FROM tcent{_TL_TC}) c CROSS JOIN qp) WHERE rn <= {_TL_PC}),
+    tfprobes AS MATERIALIZED (SELECT query_id, gid, fid FROM (
+        SELECT qp.query_id, tfc.gid, tfc.cid AS fid,
+               row_number() OVER (PARTITION BY qp.query_id, tfc.gid
+                   ORDER BY {km._sq_dist_sql('qp.qv', 'tfc.c', _KM_D)},
+                            tfc.cid) AS rn
+        FROM tfc CROSS JOIN qp
+        JOIN tcprobes p ON p.query_id = qp.query_id AND p.gid = tfc.gid)
+        WHERE rn <= {_TL_PF}),
+    tl_all10 AS (SELECT query_id, vid FROM
+             (SELECT query_id, vid, row_number() OVER
+              (PARTITION BY query_id ORDER BY adist, vid) AS rk
+              FROM tscored) WHERE rk <= 10),
+    tl_probe10 AS (SELECT query_id, vid FROM
+             (SELECT t.query_id, t.vid, row_number() OVER
+              (PARTITION BY t.query_id ORDER BY t.adist, t.vid) AS rk
+              FROM tscored t JOIN tfprobes p
+                ON t.query_id = p.query_id AND t.gid = p.gid
+               AND t.fid = p.fid)
              WHERE rk <= 10)
     SELECT CAST((SELECT COUNT(*) FROM qp) AS BIGINT) AS n_queries,
            CAST((SELECT COUNT(*) FROM flat10 JOIN exact10
@@ -2334,15 +2492,30 @@ _IVFADC_PANEL_SLICES = " UNION ALL ".join(
            CAST((SELECT COUNT(*) FROM ivf_probe10 JOIN exact10
                  USING (query_id, vid)) * 1000000
                 // (10 * (SELECT COUNT(*) FROM qp)) AS BIGINT)
-               AS recall_ivfadc_probe_ppm
-    """.replace("{panel_slices}", _IVFADC_PANEL_SLICES),
+               AS recall_ivfadc_probe_ppm,
+           CAST((SELECT COUNT(*) FROM tl_all10 JOIN exact10
+                 USING (query_id, vid)) * 1000000
+                // (10 * (SELECT COUNT(*) FROM qp)) AS BIGINT)
+               AS recall_tl_all_ppm,
+           CAST((SELECT COUNT(*) FROM tl_probe10 JOIN exact10
+                 USING (query_id, vid)) * 1000000
+                // (10 * (SELECT COUNT(*) FROM qp)) AS BIGINT)
+               AS recall_tl_probe_ppm
+    """.replace("{panel_slices}", _IVFADC_PANEL_SLICES)
+       .replace("{tl_panel_slices}", _IVFADC_TL_PANEL_SLICES)
+       .replace("{tl_train}", km.two_level_cte_sql(
+           kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC, fine_iters=_TL_TF,
+           d=_KM_D, prefix="t"))
+       .replace("{tl_pq_train}", km.grouped_kmeans_cte_sql(
+           k=_PQ_K, iters=_PQ_ITERS + 1, m=_PQ_M, sub_d=_PQ_SUBD,
+           prefix="t2", q0_body="SELECT vid, qv FROM trq0")),
 )
 def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURE the residual-PQ advantage the IVFADC docstring asserts
-    from Jégou et al. TPAMI 2011 §V (round-10 verdict item 2): mean
-    recall@10 over the same {_PANEL_N}-query panel as
-    ann_pq_recall_panel, for three arms at EQUAL code budget
-    (m·log2(k) bits/vector identical):
+    from Jégou et al. TPAMI 2011 §V (round-10 verdict item 2; two-
+    level arms added per round-11 verdict item 3): mean recall@10
+    over the same {_PANEL_N}-query panel as ann_pq_recall_panel, for
+    five arms at EQUAL code budget (m·log2(k) bits/vector identical):
 
       * flat PQ ADC — codes trained on raw vectors,
       * IVFADC scoring ALL cells — residual codes, no confinement, so
@@ -2350,7 +2523,12 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (they concentrate near zero, spending the same bits on what
         the coarse cell didn't explain),
       * IVFADC with n_probe={_IVF_PROBES} confinement — the production
-        operating point, where cell-miss loss stacks on coding gain.
+        operating point, where cell-miss loss stacks on coding gain,
+      * TWO-LEVEL IVFADC scoring all kc·kf lists — residuals vs each
+        row's FINE centroid (the ann_ivfadc_two_level_topk
+        composition), isolating the finer-residual coding gain,
+      * two-level IVFADC confined to the {_TL_PC}×{_TL_PF} probed
+        lists — the hierarchical production operating point.
 
     All three vs the pure-integer exact-L2 top-10 truth; results in
     exact integer ppm (overlap·10⁶ // (10·panel)) — no FP contract in
@@ -2417,12 +2595,66 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="sub",
         n_groups=_PQ_M,
     )
+    # two-level IVFADC arm (round-11 verdict item 3): the production
+    # composition — hierarchical lists + ONE residual PQ trained
+    # against each row's FINE centroid — at the SAME m·log2(k) code
+    # budget as the flat arms, so its quality is measured the way the
+    # flat-IVFADC advantage now is.
+    tl_coarse, tl_books = km.two_level_fit(
+        base, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC, fine_iters=_TL_TF,
+        d=_KM_D,
+    )
+    tl_fcomps = {
+        (g, f): km.centroid_components(n, s)
+        for g, book in tl_books.items()
+        for f, (n, s) in book.items()
+    }
+    tl_fc_df = spark.createDataFrame(
+        [(g, f, list(c)) for (g, f), c in sorted(tl_fcomps.items())],
+        "gid int, fid int, fc array<double>",
+    )
+    tl_res = scratch_persist(
+        km.two_level_assign(base, tl_coarse, tl_books)
+        .join(F.broadcast(tl_fc_df), ["gid", "fid"])
+        .select(
+            "vec_id",
+            "gid",
+            "fid",
+            F.zip_with(
+                "qv",
+                "fc",
+                lambda x, c: F.floor(x.cast("double") - c).cast("long"),
+            ).alias("rq"),
+        )
+    )
+    tl_rbooks = km.kmeans_fit_grouped(
+        tl_res.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD)
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "qv"),
+        ),
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        d=_PQ_SUBD,
+        group_col="sub",
+        n_groups=_PQ_M,
+    )
+    tl_ccomps = {
+        cid: km.centroid_components(n, s) for cid, (n, s) in tl_coarse.items()
+    }
     panel = (
         base.filter(F.col("vec_id") < _PANEL_N).select("vec_id", "qv").collect()
     )
     n_queries = len(panel)
     ccomps = {cid: km.centroid_components(n, s) for cid, (n, s) in coarse.items()}
     flat_lut_rows, res_lut_rows, probe_rows = [], [], []
+    tl_lut_rows, tl_probe_rows = [], []
     for p in panel:
         qid, qq = int(p["vec_id"]), [int(x) for x in p["qv"]]
         for s in range(_PQ_M):
@@ -2460,6 +2692,33 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ccomps, key=lambda c: (km.py_sq_dist(qq, ccomps[c]), c)
             )[:_IVF_PROBES]
         ]
+        for (g, f), comp in sorted(tl_fcomps.items()):
+            tqres = km.py_residual(qq, comp)
+            for s in range(_PQ_M):
+                for cid in sorted(tl_rbooks[s]):
+                    tl_lut_rows.append(
+                        (
+                            qid,
+                            g,
+                            f,
+                            s,
+                            cid,
+                            km.py_sq_dist(
+                                tqres[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                                km.centroid_components(*tl_rbooks[s][cid]),
+                            ),
+                        )
+                    )
+        for g in sorted(
+            tl_ccomps, key=lambda c: (km.py_sq_dist(qq, tl_ccomps[c]), c)
+        )[:_TL_PC]:
+            fcs = {f: tl_fcomps[(g, f)] for f in sorted(tl_books.get(g, {}))}
+            tl_probe_rows += [
+                (qid, g, f)
+                for f in sorted(
+                    fcs, key=lambda f: (km.py_sq_dist(qq, fcs[f]), f)
+                )[:_TL_PF]
+            ]
     flat_lut = spark.createDataFrame(
         flat_lut_rows, "query_id long, sub int, cid int, dist double"
     )
@@ -2516,6 +2775,32 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("vid"), "gid")
         .agg(ordered_fold.alias("adist"))
     )
+    tl_lut = spark.createDataFrame(
+        tl_lut_rows, "query_id long, gid int, fid int, sub int, cid int, dist double"
+    )
+    tl_probe_df = spark.createDataFrame(
+        tl_probe_rows, "query_id long, gid int, fid int"
+    )
+    tl_codes = tl_res.select(
+        "vec_id",
+        "gid",
+        "fid",
+        F.posexplode(
+            F.array(
+                *[
+                    km.nearest_expr(
+                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), tl_rbooks[s]
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("sub", "cid"),
+    )
+    tl_scored = scratch_persist(
+        tl_codes.join(F.broadcast(tl_lut), ["gid", "fid", "sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("vid"), "gid", "fid")
+        .agg(ordered_fold.alias("adist"))
+    )
     panel_df = spark.createDataFrame(
         [(int(p["vec_id"]), [int(x) for x in p["qv"]]) for p in panel],
         "query_id long, qqv array<long>",
@@ -2553,9 +2838,22 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "vid")
     )
+    tl_all10 = (
+        tl_scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vid")
+    )
+    tl_probe10 = (
+        tl_scored.join(F.broadcast(tl_probe_df), ["query_id", "gid", "fid"])
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vid")
+    )
     n_flat = flat10.join(exact10, ["query_id", "vid"]).count()
     n_all = ivf_all10.join(exact10, ["query_id", "vid"]).count()
     n_probe = ivf_probe10.join(exact10, ["query_id", "vid"]).count()
+    n_tl_all = tl_all10.join(exact10, ["query_id", "vid"]).count()
+    n_tl_probe = tl_probe10.join(exact10, ["query_id", "vid"]).count()
     return spark.createDataFrame(
         [
             (
@@ -2563,10 +2861,13 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_flat * 1_000_000 // (10 * n_queries),
                 n_all * 1_000_000 // (10 * n_queries),
                 n_probe * 1_000_000 // (10 * n_queries),
+                n_tl_all * 1_000_000 // (10 * n_queries),
+                n_tl_probe * 1_000_000 // (10 * n_queries),
             )
         ],
         "n_queries long, recall_flat_pq_ppm long, "
-        "recall_ivfadc_all_ppm long, recall_ivfadc_probe_ppm long",
+        "recall_ivfadc_all_ppm long, recall_ivfadc_probe_ppm long, "
+        "recall_tl_all_ppm long, recall_tl_probe_ppm long",
     )
 
 
@@ -2686,7 +2987,61 @@ def q_ann_ivf_two_level_streaming_ingest(
     )
 
 
-@query("ann_ivf_two_level_drift_refit")
+_IVF2_DRIFT_ORACLE = f"""
+    WITH {_DRIFT_FIXTURE_SQL},
+    {km.two_level_cte_sql(kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC,
+                          fine_iters=_TL_TF, d=_KM_D, table="hist")},
+    gfin AS MATERIALIZED (SELECT cid, list_transform(s, x ->
+        CAST(x AS DOUBLE) / n) AS c FROM cent{_TL_TC}),
+    ffin AS MATERIALIZED (SELECT gid, cid, list_transform(s, x ->
+        CAST(x AS DOUBLE) / n) AS c FROM fcent{_TL_TF}),
+    asgc AS MATERIALIZED (SELECT vid, phase, qv, cid AS gid FROM
+        (SELECT qall.vid, qall.phase, qall.qv, c.cid, row_number() OVER
+         (PARTITION BY qall.vid ORDER BY
+          {km._sq_dist_sql('qall.qv', 'c.c', _KM_D)}, c.cid) AS rn
+         FROM qall CROSS JOIN gfin c)
+        WHERE rn = 1),
+    asg AS MATERIALIZED (SELECT vid, phase,
+        CAST(gid * {_TL_KF} + fid AS BIGINT) AS list_id FROM
+        (SELECT a.vid, a.phase, a.gid, c.cid AS fid, row_number() OVER
+         (PARTITION BY a.vid ORDER BY
+          {km._sq_dist_sql('a.qv', 'c.c', _KM_D)}, c.cid) AS rn
+         FROM asgc a JOIN ffin c ON a.gid = c.gid)
+        WHERE rn = 1),
+    census AS (SELECT list_id, phase, COUNT(*) AS n FROM asg
+        GROUP BY list_id, phase),
+    {_cusum_sql_ctes('census', '', min_mass=_TL_DRIFT_MIN_MASS)},
+    drift AS (SELECT list_id, t, score_ppm FROM scored
+        ORDER BY score_ppm DESC, list_id, t LIMIT 1),
+    qorig AS MATERIALIZED (SELECT vec_id AS vid,
+        CAST(vec_id % 4 AS INT) AS phase,
+        {km.quantize_sql('embedding')} AS qv FROM embeddings),
+    asgc0 AS (SELECT vid, phase, qv, cid AS gid FROM
+        (SELECT qorig.vid, qorig.phase, qorig.qv, c.cid, row_number() OVER
+         (PARTITION BY qorig.vid ORDER BY
+          {km._sq_dist_sql('qorig.qv', 'c.c', _KM_D)}, c.cid) AS rn
+         FROM qorig CROSS JOIN gfin c)
+        WHERE rn = 1),
+    asg0 AS (SELECT vid, phase,
+        CAST(gid * {_TL_KF} + fid AS BIGINT) AS list_id FROM
+        (SELECT a.vid, a.phase, a.gid, c.cid AS fid, row_number() OVER
+         (PARTITION BY a.vid ORDER BY
+          {km._sq_dist_sql('a.qv', 'c.c', _KM_D)}, c.cid) AS rn
+         FROM asgc0 a JOIN ffin c ON a.gid = c.gid)
+        WHERE rn = 1),
+    census0 AS (SELECT list_id, phase, COUNT(*) AS n FROM asg0
+        GROUP BY list_id, phase),
+    {_cusum_sql_ctes('census0', '0')},
+    ctl AS (SELECT score_ppm FROM scored0
+        WHERE list_id = (SELECT list_id FROM drift)
+        ORDER BY score_ppm DESC, list_id, t LIMIT 1)
+    {_DRIFT_VERDICT_SELECT.format(cell_cols=
+        f"CAST(d.list_id // {_TL_KF} AS BIGINT) AS drift_gid, "
+        f"CAST(d.list_id % {_TL_KF} AS BIGINT) AS drift_fid,")}
+"""
+
+
+@query("ann_ivf_two_level_drift_refit", oracle=_IVF2_DRIFT_ORACLE)
 def q_ann_ivf_two_level_drift_refit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2717,10 +3072,14 @@ def q_ann_ivf_two_level_drift_refit(
     the flat verdict: 4 phases seen, every vector ingested, the
     argmax split lands at the planted boundary (t=2), the drifted
     score strictly dominates the matched-cell control, and the re-fit
-    trigger fires. Rows-only by design: the streaming temp-dir
-    lifecycle isn't expressible in one DuckDB statement; the
-    assignment math itself is oracle-pinned by
-    ann_ivf_two_level_streaming_ingest and ann_ivf_two_level_topk."""
+    trigger fires. Oracle-backed (round-11 verdict item 2): the
+    whole verdict — census, support-floored CUSUM argmax,
+    matched-cell control, re-fit rule — is a deterministic function
+    of the data under the frozen quantizer, so the DuckDB oracle
+    replays training (two_level_cte_sql on the pre-drift history),
+    the shifted assignment, and both CUSUM scans batch-side; the
+    streaming machinery must land on the identical verdict row
+    (batch/stream symmetry, like the ingest sibling)."""
     import os
     import shutil
     import tempfile
@@ -3048,7 +3407,11 @@ def q_ann_ivfadc_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    adist = None
+    # Seed with a typed NULL so the all-probed-cells-bookless edge
+    # (pairs empty -> cands empty) still yields a valid empty frame
+    # instead of `None.alias(...)` raising; mirrors the F.lit(False)
+    # seed on the candidate filter above.
+    adist = F.lit(None).cast("double")
     for g, f in pairs:
         fold = F.lit(0.0)
         for s in range(_PQ_M):
@@ -3057,9 +3420,7 @@ def q_ann_ivfadc_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"code_{s}") + F.lit(1),
             )
         clause = (F.col("gid") == g) & (F.col("fid") == f)
-        adist = (
-            F.when(clause, fold) if adist is None else adist.when(clause, fold)
-        )
+        adist = F.when(clause, fold).otherwise(adist)
     return (
         cands.select("vec_id", adist.alias("pq_dist"))
         .orderBy("pq_dist", "vec_id")

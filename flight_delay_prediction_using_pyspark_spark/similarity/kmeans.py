@@ -448,7 +448,15 @@ def two_level_assign(
     in `coarse` (frozen-quantizer contract) but has NO entry in
     `books` — probing it must yield no fine lists, not a KeyError,
     mirroring the DuckDB oracle whose fine-seed CTE simply produces
-    no rows for an empty cell (round-10 ADVICE)."""
+    no rows for an empty cell (round-10 ADVICE).
+
+    On the FULL-assignment path (cells=None — streaming ingest), a row
+    whose winning coarse cell is bookless cannot be encoded under the
+    frozen quantizer: that is a drift failure of the ingest contract,
+    so the expression raises (task error → surfaced) instead of
+    letting _grouped_nearest_expr's CASE fall through to a silent
+    NULL fid, which partitionBy(gid, fid) would bury in the Hive
+    default partition (round-11 ADVICE)."""
     out = df.withColumn(coarse_out, nearest_expr(F.col(qv_col), coarse))
     if cells is not None:
         cells = [int(c) for c in cells if c in books]
@@ -458,9 +466,23 @@ def two_level_assign(
         return out.filter(F.lit(False)).withColumn(
             fine_out, F.lit(None).cast("int")
         )
-    return out.withColumn(
-        fine_out, _grouped_nearest_expr(F.col(coarse_out), F.col(qv_col), books)
-    )
+    fine = _grouped_nearest_expr(F.col(coarse_out), F.col(qv_col), books)
+    if cells is None:
+        bookless = sorted(set(coarse) - set(books))
+        if bookless:
+            fine = F.when(
+                F.col(coarse_out).isin([int(g) for g in bookless]),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "frozen two-level quantizer cannot encode: "
+                            "row assigned to bookless coarse cell gid="
+                        ),
+                        F.col(coarse_out).cast("string"),
+                    )
+                ).cast("int"),
+            ).otherwise(fine)
+    return out.withColumn(fine_out, fine)
 
 
 def residual_expr(
@@ -522,22 +544,28 @@ def kmeans_cte_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prefix: str = "",
 ) -> str:
-    """The full iteration chain as DuckDB CTEs (q, cent0 … cent{T}).
+    """The full iteration chain as DuckDB CTEs ({p}q, {p}cent0 …
+    {p}cent{T}).
 
     Callers append their own final SELECT. The chain mirrors
     kmeans_fit exactly: same init, same fold distance, same
     lowest-cid tie-break (ORDER BY dist, cid), same empty-cluster
-    carry-forward."""
+    carry-forward. ``prefix`` namespaces every emitted CTE so two
+    independently parameterized chains coexist in one WITH."""
+    p = prefix
     parts = [
-        f"q AS MATERIALIZED (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
+        f"{p}q AS MATERIALIZED (SELECT {id_col} AS vid, {quantize_sql(vec_col, scale)} AS qv"
         f" FROM {table})",
-        f"cent0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
+        f"{p}cent0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h) AS INT) - 1"
         f" AS cid, CAST(1 AS BIGINT) AS n, qv AS s FROM"
-        f" (SELECT md5(CAST(vid AS VARCHAR)) AS h, qv FROM q"
+        f" (SELECT md5(CAST(vid AS VARCHAR)) AS h, qv FROM {p}q"
         f" ORDER BY h LIMIT {k}))",
     ]
-    parts += kmeans_iter_ctes(iters=iters, d=d, q_cte="q", cent0_cte="cent0")
+    parts += kmeans_iter_ctes(
+        iters=iters, d=d, q_cte=f"{p}q", cent0_cte=f"{p}cent0", prefix=p
+    )
     return ",\n    ".join(parts)
 
 
@@ -672,15 +700,20 @@ def two_level_cte_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    prefix: str = "",
 ) -> str:
     """DuckDB replay of two_level_fit + the final fine assignment:
     the coarse chain (kmeans_cte_sql with one extra assignment
-    iteration — ``b{coarse_iters+1}`` is the cell assignment under
-    the trained ``cent{coarse_iters}``), then ``qc`` (vid, qv, gid),
-    per-cell seeds ``fseed``/``fcent0`` (kf smallest md5(id) WITHIN
-    each cell), the fine grouped-Lloyd's chain ``fa/fb/fn/fcent{t}``
-    keyed on (gid, cid), and the final fine assignment
-    ``fb{fine_iters+1}`` under ``fcent{fine_iters}``."""
+    iteration — ``{p}b{coarse_iters+1}`` is the cell assignment under
+    the trained ``{p}cent{coarse_iters}``), then ``{p}qc`` (vid, qv,
+    gid), per-cell seeds ``{p}fseed``/``{p}fcent0`` (kf smallest
+    md5(id) WITHIN each cell), the fine grouped-Lloyd's chain
+    ``{p}fa/{p}fb/{p}fn/{p}fcent{t}`` keyed on (gid, cid), and the
+    final fine assignment ``{p}fb{fine_iters+1}`` under
+    ``{p}fcent{fine_iters}``. ``prefix`` namespaces the whole chain
+    (coarse included) so it can coexist with a flat chain in one
+    WITH."""
+    px = prefix
     parts = [
         kmeans_cte_sql(
             k=kc,
@@ -690,45 +723,46 @@ def two_level_cte_sql(
             table=table,
             vec_col=vec_col,
             id_col=id_col,
+            prefix=px,
         ),
-        f"qc AS MATERIALIZED (SELECT vid, qv, cid AS gid"
-        f" FROM b{coarse_iters + 1})",
-        f"fseed AS MATERIALIZED (SELECT vid, gid, CAST(rn AS INT) - 1 AS cid"
+        f"{px}qc AS MATERIALIZED (SELECT vid, qv, cid AS gid"
+        f" FROM {px}b{coarse_iters + 1})",
+        f"{px}fseed AS MATERIALIZED (SELECT vid, gid, CAST(rn AS INT) - 1 AS cid"
         f" FROM (SELECT vid, gid, row_number() OVER (PARTITION BY gid"
-        f" ORDER BY md5(CAST(vid AS VARCHAR))) AS rn FROM qc)"
+        f" ORDER BY md5(CAST(vid AS VARCHAR))) AS rn FROM {px}qc)"
         f" WHERE rn <= {kf})",
-        "fcent0 AS MATERIALIZED (SELECT fseed.gid, fseed.cid,"
-        " CAST(1 AS BIGINT) AS n, qc.qv AS s"
-        " FROM qc JOIN fseed ON qc.vid = fseed.vid)",
+        f"{px}fcent0 AS MATERIALIZED (SELECT {px}fseed.gid, {px}fseed.cid,"
+        f" CAST(1 AS BIGINT) AS n, {px}qc.qv AS s"
+        f" FROM {px}qc JOIN {px}fseed ON {px}qc.vid = {px}fseed.vid)",
     ]
     sums = ", ".join(f"SUM(qv[{j + 1}]) AS s{j}" for j in range(d))
     slist = "list_value(" + ", ".join(f"s{j}" for j in range(d)) + ")"
-    dist = _sq_dist_sql("qc.qv", "c.c", d)
+    dist = _sq_dist_sql(f"{px}qc.qv", "c.c", d)
     for t in range(1, fine_iters + 2):
         p = t - 1
         parts.append(
-            f"fa{t} AS MATERIALIZED (SELECT qc.vid, qc.gid, qc.qv, c.cid,"
-            f" {dist} AS dist FROM qc JOIN (SELECT gid, cid,"
+            f"{px}fa{t} AS MATERIALIZED (SELECT {px}qc.vid, {px}qc.gid, {px}qc.qv, c.cid,"
+            f" {dist} AS dist FROM {px}qc JOIN (SELECT gid, cid,"
             f" list_transform(s, x -> CAST(x AS DOUBLE) / n) AS c"
-            f" FROM fcent{p}) c ON qc.gid = c.gid)"
+            f" FROM {px}fcent{p}) c ON {px}qc.gid = c.gid)"
         )
         parts.append(
-            f"fb{t} AS MATERIALIZED (SELECT vid, gid, qv, cid FROM"
+            f"{px}fb{t} AS MATERIALIZED (SELECT vid, gid, qv, cid FROM"
             f" (SELECT vid, gid, qv, cid, row_number() OVER"
-            f" (PARTITION BY vid ORDER BY dist, cid) AS rn FROM fa{t})"
+            f" (PARTITION BY vid ORDER BY dist, cid) AS rn FROM {px}fa{t})"
             f" WHERE rn = 1)"
         )
         if t == fine_iters + 1:
             break  # last iteration is the assignment pass only
         parts.append(
-            f"fn{t} AS MATERIALIZED (SELECT gid, cid, n, {slist} AS s FROM"
-            f" (SELECT gid, cid, COUNT(*) AS n, {sums} FROM fb{t}"
+            f"{px}fn{t} AS MATERIALIZED (SELECT gid, cid, n, {slist} AS s FROM"
+            f" (SELECT gid, cid, COUNT(*) AS n, {sums} FROM {px}fb{t}"
             f" GROUP BY gid, cid))"
         )
         parts.append(
-            f"fcent{t} AS MATERIALIZED (SELECT gid, cid, n, s FROM fn{t}"
-            f" UNION ALL SELECT c.gid, c.cid, c.n, c.s FROM fcent{p} c"
-            f" WHERE NOT EXISTS (SELECT 1 FROM fn{t} x"
+            f"{px}fcent{t} AS MATERIALIZED (SELECT gid, cid, n, s FROM {px}fn{t}"
+            f" UNION ALL SELECT c.gid, c.cid, c.n, c.s FROM {px}fcent{p} c"
+            f" WHERE NOT EXISTS (SELECT 1 FROM {px}fn{t} x"
             f" WHERE x.gid = c.gid AND x.cid = c.cid))"
         )
     return ",\n    ".join(parts)

@@ -148,6 +148,16 @@ def minhash_signatures(
     these hashes, so sharing the cached signature frame saves it a
     full tokenize+shingle+digest pass over the corpus.
 
+    The shingle expression itself is ALSO let-bound (transform over a
+    1-element wrapper array) and the empty-doc filter runs on the
+    generated attribute ABOVE the barrier: the previous shape
+    (project shingles → filter size>0 → project struct) let Catalyst's
+    CollapseProject + filter pushdown re-inline the full
+    tokenize+shingle tree into the struct field, the md5 transform,
+    AND the filter — three evaluations per document, measured 3.3 s →
+    1.3 s cold (2.8 s → 0.4 s steady-state) for the sf0.1 signature
+    build after the fix, with bit-identical signatures.
+
     `parallelism`: explicit repartition before the (CPU-heavy, per-
     shingle md5) computation. Use when the source is a few dense files
     (local testdata = 1 row-group = 1 task); leave None at real scale,
@@ -155,22 +165,24 @@ def minhash_signatures(
     would cost more than it buys."""
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
-    with_sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    bound = with_sh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("shingles").alias("shingles"),
-                    F.transform("shingles", lambda s: md5_hash32(s)).alias(
-                        "sh_hashes"
+    bound = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.array(shingles(F.col(text_col), n)),
+                    lambda s: F.struct(
+                        s.alias("shingles"),
+                        F.transform(s, lambda x: md5_hash32(x)).alias(
+                            "sh_hashes"
+                        ),
                     ),
                 )
-            )
-        ).alias("__s"),
-    ).select(id_col, "__s.shingles", "__s.sh_hashes")
+            ).alias("__s"),
+        )
+        .select(id_col, "__s.shingles", "__s.sh_hashes")
+        .filter(F.size("sh_hashes") > 0)
+    )
     return bound.withColumn("sig", minhash_sig_from_hashes(F.col("sh_hashes"), k))
 
 
