@@ -403,12 +403,249 @@ encode_png, decode_png = _make_png_codec()
 PNG_MEDIA_TYPE = "image/png"
 
 
+def _make_gif_codec():
+    """Factory (by-value cloudpickle, like the other codec factories)
+    for the FOURTH real codec — and the second COMPRESSED discipline:
+    GIF89a with variable-width LZW (GIF89a spec, CompuServe 1990;
+    W3C note). Genuinely different from PNG's DEFLATE: palette-
+    indexed pixels, 9→12-bit LZW codes packed LSB-first inside
+    255-byte sub-blocks, CLEAR/EOI control codes, and a dictionary
+    rebuild when the 4096-entry table fills.
+
+    GIF is palette media (≤256 colors by construction), so the
+    encoder writes GRAYSCALE pixels through a 256-entry identity
+    palette (index i → (i,i,i)); the decoder maps indices through
+    whatever palette the file carries. Size-growth discipline matches
+    giflib exactly: the encoder grows the code width when its
+    add-counter reaches 2^size AT EMIT time, the decoder grows when
+    its READ-counter crosses 2^size — the two counters track each
+    other one-for-one, which is the interop-critical invariant."""
+    import struct
+
+    MAGIC = (b"GIF89a", b"GIF87a")
+
+    def _lzw_encode(indices: bytes, min_code: int = 8) -> bytes:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        size = min_code + 1
+        next_code = eoi + 1
+        table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits, size
+            acc |= code << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            # giflib EGifCompressOutput: grow AFTER writing, off the
+            # adds-counter — emission k+1 sees the width this set
+            if next_code >= (1 << size) and size < 12:
+                size += 1
+
+        def reset() -> None:
+            nonlocal table, next_code, size
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            size = min_code + 1
+
+        emit(clear)
+        w = indices[:1]
+        for b in indices[1:]:
+            wk = w + bytes([b])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            if next_code >= 4095:
+                emit(clear)
+                reset()
+            else:
+                table[wk] = next_code
+                next_code += 1
+            w = bytes([b])
+        emit(table[w])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def encode_gif(width: int, height: int, gray_topdown: bytes) -> bytes:
+        """Spec-correct GIF89a: logical screen descriptor, 256-entry
+        grayscale global color table, one image descriptor (no local
+        table, no interlace), LZW-compressed pixel indices in
+        sub-blocks, trailer. Pixel index i renders as (i, i, i)."""
+        if len(gray_topdown) != width * height:
+            raise ValueError("raster length != w*h")
+        if not gray_topdown:
+            raise ValueError("empty raster")
+        head = b"GIF89a" + struct.pack("<HH", width, height) + bytes(
+            [0xF7, 0, 0]  # global table, 8-bit color resolution, 256 entries
+        )
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+        desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        data = _lzw_encode(gray_topdown)
+        blocks = bytearray([8])  # LZW minimum code size
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        return head + palette + desc + bytes(blocks) + b"\x3b"
+
+    def _lzw_decode(data: bytes, n_expected: int, min_code: int = 8) -> bytes:
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        size = min_code + 1
+        running = eoi + 1  # giflib DGifDecompressInput: counts READS
+        strings: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        out = bytearray()
+        acc = nbits = pos = 0
+        prev: bytes | None = None
+        while True:
+            while nbits < size:
+                if pos >= len(data):
+                    raise ValueError("LZW stream truncated before EOI")
+                acc |= data[pos] << nbits
+                nbits += 8
+                pos += 1
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            if running <= 4097:
+                running += 1
+                if running > (1 << size) and size < 12:
+                    size += 1
+            if code == eoi:
+                break
+            if code == clear:
+                strings = [bytes([i]) for i in range(clear)] + [b"", b""]
+                running = eoi + 1
+                size = min_code + 1
+                prev = None
+                continue
+            if code < len(strings):
+                entry = strings[code]
+            elif code == len(strings) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK self-reference case
+            else:
+                raise ValueError(f"corrupt LZW code {code}")
+            out += entry
+            if prev is not None and len(strings) < 4096:
+                strings.append(prev + entry[:1])
+            prev = entry
+            if len(out) > n_expected:
+                raise ValueError(
+                    f"LZW inflates past the descriptor raster ({len(out)}"
+                    f" > {n_expected})"
+                )
+        if len(out) != n_expected:
+            raise ValueError(f"short raster: {len(out)} != {n_expected}")
+        return bytes(out)
+
+    def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+        """Inverse: validates the magic, logical screen descriptor,
+        global color table, and image descriptor (the encoder's
+        subset: origin placement, no local table, no interlace),
+        walks extension blocks spec-correctly, LZW-decompresses the
+        index stream with bounded output, and maps indices through
+        the palette. Raises ValueError on ANY malformation — decode
+        errors must surface, never zero-fill."""
+        if payload[:6] not in MAGIC:
+            raise ValueError(f"not a GIF (magic {payload[:6]!r})")
+        if len(payload) < 13:
+            raise ValueError("truncated logical screen descriptor")
+        sw, sh = struct.unpack_from("<HH", payload, 6)
+        packed, _bg, _aspect = payload[10], payload[11], payload[12]
+        if not packed & 0x80:
+            raise ValueError("missing global color table (unsupported)")
+        gct_n = 2 << (packed & 0x07)
+        pos = 13
+        if pos + 3 * gct_n > len(payload):
+            raise ValueError("truncated global color table")
+        palette = payload[pos : pos + 3 * gct_n]
+        pos += 3 * gct_n
+        while True:
+            if pos >= len(payload):
+                raise ValueError("missing image descriptor")
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:
+                raise ValueError("trailer before image data")
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(payload):
+                        raise ValueError("truncated extension block")
+                    n = payload[pos]
+                    pos += 1 + n
+                    if n == 0:
+                        break
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown block 0x{block:02x}")
+            break
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        left, top, width, height = struct.unpack_from("<HHHH", payload, pos)
+        idesc = payload[pos + 8]
+        pos += 9
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad GIF dimensions {width}x{height}")
+        if (left, top) != (0, 0) or (width, height) != (sw, sh):
+            raise ValueError("sub-rectangle images unsupported")
+        if idesc & 0x80:
+            raise ValueError("local color table unsupported")
+        if idesc & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if pos >= len(payload):
+            raise ValueError("missing LZW minimum code size")
+        min_code = payload[pos]
+        pos += 1
+        if min_code != 8:
+            raise ValueError(f"unsupported LZW minimum code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(payload):
+                raise ValueError("truncated image sub-block")
+            data += payload[pos : pos + n]
+            pos += n
+        if pos >= len(payload) or payload[pos] != 0x3B:
+            raise ValueError("missing trailer")
+        if pos + 1 != len(payload):
+            raise ValueError("trailing bytes after trailer")
+        indices = _lzw_decode(bytes(data), width * height)
+        rgb = bytearray()
+        for i in indices:
+            if 3 * i + 3 > len(palette):
+                raise ValueError(f"palette index {i} out of range")
+            rgb += palette[3 * i : 3 * i + 3]
+        return width, height, 255, bytes(rgb)
+
+    return encode_gif, decode_gif
+
+
+encode_gif, decode_gif = _make_gif_codec()
+
+#: media_type of the GIF codec path.
+GIF_MEDIA_TYPE = "image/gif"
+
+
 def decode_with_codec(payload: bytes, media_type: str) -> tuple[int, int, int, bytes]:
     """The codec dispatch point. PPM (P6), uncompressed 24-bit BMP,
-    and 8-bit RGB PNG (zlib-compressed, all five scanline filters)
-    decode for real — pure Python, no binary deps. Other media types
-    (JPEG, audio, video) raise: PIL/torchaudio/ffmpeg are not
-    available in this environment; swap in
+    8-bit RGB PNG (zlib/DEFLATE, all five scanline filters), and
+    palette GIF89a (variable-width LZW) decode for real — pure
+    Python, no binary deps, one container family per compression
+    discipline (text header / flat binary / DEFLATE / LZW). Other
+    media types (JPEG, audio, video) raise: PIL/torchaudio/ffmpeg are
+    not available in this environment; swap in
     `PIL.Image.open(io.BytesIO(payload))` (or the audio/video
     equivalent) here when the runtime ships codecs."""
     if media_type == "image/x-portable-pixmap":
@@ -417,6 +654,8 @@ def decode_with_codec(payload: bytes, media_type: str) -> tuple[int, int, int, b
         return decode_bmp(payload)
     if media_type == PNG_MEDIA_TYPE:
         return decode_png(payload)
+    if media_type == GIF_MEDIA_TYPE:
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no codec available for {media_type}; install PIL/ffmpeg and "
         "wire it here — downstream plumbing is codec-agnostic"
@@ -596,6 +835,69 @@ def attach_png_media(
     return df.mapInPandas(build, schema=schema)
 
 
+def attach_gif_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The GIF arm of the synthetic media builders (mapInPandas +
+    stdlib LZW, like the BMP/PNG arms): same deterministic dimensions
+    (w = 1 + n mod 13, h = 1 + n mod 11), but GIF is PALETTE media,
+    so the text bytes tile the w·h pixel INDICES (grayscale identity
+    palette: index i renders (i, i, i)) instead of the 3·w·h RGB
+    bytes — the decoded-pixel truth is each tiled byte TRIPLED, which
+    keeps the oracle arithmetic in the same tile algebra as the other
+    arms while the wire bytes are a real LZW-compressed, sub-blocked
+    GIF89a container."""
+    carry = list(carry_cols)
+    meta_type = T.StructType(
+        [
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", meta_type),
+        ]
+        + [df.schema[c] for c in carry]
+    )
+    out_cols = [f.name for f in schema.fields]
+    enc = encode_gif  # by-value (factory `<locals>` qualname)
+    mt = GIF_MEDIA_TYPE
+    tcol, icol = text_col, id_col
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, *extra in zip(
+                pdf[icol], pdf[tcol], *[pdf[c] for c in carry]
+            ):
+                tb = str(text).encode("utf-8")
+                n = len(tb)
+                if n == 0:
+                    continue
+                w, h = n % 13 + 1, n % 11 + 1
+                npx = w * h
+                gray = (tb * (npx // n + 1))[:npx]
+                payload = enc(w, h, gray)
+                meta = {
+                    "media_type": mt,
+                    "width": w,
+                    "height": h,
+                    "n_bytes": len(payload),
+                }
+                rows.append((int(doc_id), payload, meta, *extra))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(build, schema=schema)
+
+
 def decode_features(
     df: DataFrame, use_codec: bool = False, carry_cols: Sequence[str] = ()
 ) -> DataFrame:
@@ -626,9 +928,11 @@ def decode_features(
     ppm = decode_ppm  # `<locals>` qualnames ⇒ cloudpickled by value
     bmp = decode_bmp
     png = decode_png
+    gif = decode_gif
     ppm_type = PPM_MEDIA_TYPE
     bmp_type = BMP_MEDIA_TYPE
     png_type = PNG_MEDIA_TYPE
+    gif_type = GIF_MEDIA_TYPE
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # local import: runs on executors
@@ -659,6 +963,8 @@ def decode_features(
                         _w, _h, _maxval, raster = bmp(bytes(payload))
                     elif mt == png_type:
                         _w, _h, _maxval, raster = png(bytes(payload))
+                    elif mt == gif_type:
+                        _w, _h, _maxval, raster = gif(bytes(payload))
                     else:
                         raise NotImplementedError(
                             f"no codec available for {mt}; install "

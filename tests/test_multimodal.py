@@ -450,3 +450,143 @@ def test_png_decode_never_zero_fills_on_corruption():
         assert got == (w, h, 255, rgb)
 
     check()
+
+
+# --- the stdlib GIF codec (round-12) -------------------------------------------
+
+
+def test_gif_codec_roundtrip_container():
+    """encode_gif writes a spec-correct GIF89a (LSD, 256-entry
+    grayscale identity palette, image descriptor, LZW sub-blocks,
+    trailer); decode_gif inverts it exactly, each pixel index i
+    decoding to (i, i, i)."""
+    import struct
+
+    w, h = 14, 10
+    gray = bytes((i * 31 + 5) % 256 for i in range(w * h))
+    payload = M.encode_gif(w, h, gray)
+    assert payload[:6] == b"GIF89a"
+    assert struct.unpack_from("<HH", payload, 6) == (w, h)
+    assert payload[10] & 0x80  # global color table present
+    palette = payload[13 : 13 + 768]
+    assert palette == bytes(v for i in range(256) for v in (i, i, i))
+    assert payload[-1] == 0x3B
+    got = M.decode_gif(payload)
+    assert got == (w, h, 255, bytes(v for b in gray for v in (b, b, b)))
+
+
+def test_gif_lzw_code_growth_and_table_reset():
+    """A 40k-pixel random raster pushes the LZW dictionary through
+    every code width (9 -> 12 bits) and past the 4096-entry ceiling,
+    forcing the mid-stream CLEAR/rebuild path; a repetitive raster
+    must genuinely compress (long phrases), proving the dictionary
+    is doing LZW work rather than emitting literals."""
+    import random
+
+    rnd = random.Random(20260816)
+    w = h = 200
+    noisy = bytes(rnd.randrange(256) for _ in range(w * h))
+    assert M.decode_gif(M.encode_gif(w, h, noisy)) == (
+        w, h, 255, bytes(v for b in noisy for v in (b, b, b))
+    )
+    rep = (b"abcabcabd" * ((w * h) // 9 + 1))[: w * h]
+    payload = M.encode_gif(w, h, rep)
+    assert len(payload) < w * h // 4  # phrases, not literals
+    assert M.decode_gif(payload) == (
+        w, h, 255, bytes(v for b in rep for v in (b, b, b))
+    )
+
+
+def test_gif_decode_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    w, h = 6, 5
+    gray = bytes(range(w * h))
+    good = M.encode_gif(w, h, gray)
+    with _pytest.raises(ValueError, match="magic"):
+        M.decode_gif(b"JIF89a" + good[6:])
+    with _pytest.raises(ValueError, match="truncated logical screen"):
+        M.decode_gif(good[:10])
+    with _pytest.raises(ValueError, match="truncated global color table"):
+        M.decode_gif(good[:100])
+    with _pytest.raises(ValueError, match="missing trailer"):
+        M.decode_gif(good[:-1])
+    with _pytest.raises(ValueError, match="trailing bytes"):
+        M.decode_gif(good + b"\x00")
+    # sub-rectangle image placement is outside the supported subset
+    desc_at = 13 + 768
+    assert good[desc_at] == 0x2C
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, desc_at + 1, 1)  # left = 1
+    with _pytest.raises(ValueError, match="sub-rectangle"):
+        M.decode_gif(bytes(bad))
+    # local color table / interlace flags are unsupported
+    for flag, msg in ((0x80, "local color table"), (0x40, "interlaced")):
+        bad = bytearray(good)
+        bad[desc_at + 9] |= flag
+        with _pytest.raises(ValueError, match=msg):
+            M.decode_gif(bytes(bad))
+    # a wrong LZW minimum code size is rejected before decoding
+    bad = bytearray(good)
+    bad[desc_at + 10] = 7
+    with _pytest.raises(ValueError, match="minimum code size"):
+        M.decode_gif(bytes(bad))
+    # truncating the index stream (drop the last sub-block + trailer,
+    # re-terminate) -> the LZW stream ends before EOI
+    data_at = desc_at + 11
+    n0 = good[data_at]
+    truncated = good[: data_at + 1 + n0 // 2]
+    with _pytest.raises(ValueError, match="truncated|LZW"):
+        M.decode_gif(truncated + b"\x00\x3b")
+
+
+def test_gif_pipeline_decodes_real_payloads(spark):
+    """attach_gif_media emits real LZW-compressed GIFs whose decoded
+    features are stats over TRIPLED tiled text bytes (palette media:
+    text tiles the w*h indices, each rendering (i, i, i))."""
+    text = "hello world!"  # n=12 -> w=13, h=2
+    docs = spark.createDataFrame([(3, text, "sB")], ["doc_id", "text", "source"])
+    media = M.attach_gif_media(docs, carry_cols=("source",))
+    row = media.first()
+    w, h, mv, raster = M.decode_gif(bytes(row.payload))
+    n = len(text)
+    assert (w, h, mv) == (n % 13 + 1, n % 11 + 1, 255)
+    tb = text.encode()
+    tiled = (tb * (w * h // n + 1))[: w * h]
+    assert raster == bytes(v for b in tiled for v in (b, b, b))
+    assert row.media_meta.media_type == "image/gif"
+    out = M.decode_features(media, use_codec=True, carry_cols=("source",)).first()
+    assert out.n_bytes == 3 * w * h
+    assert out.byte_sum == 3 * sum(tiled)
+    assert out.source == "sB"
+
+
+def test_gif_codec_roundtrip_property_based():
+    """Hypothesis sweep: encode_gif -> decode_gif is the identity
+    (tripled gray) for ANY dims/content. Unlike PNG there is no
+    per-chunk CRC in the GIF container, so the single-byte-flip
+    never-leaks guarantee is NOT a format property here — the decoder
+    instead pins structure (block walk), code validity, and exact
+    raster length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        gray = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+            )
+        )
+        assert M.decode_gif(M.encode_gif(w, h, gray)) == (
+            w, h, 255, bytes(v for b in gray for v in (b, b, b))
+        )
+
+    check()
