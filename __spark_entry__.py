@@ -49,42 +49,90 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 11 (every entry's lineage changed this round):
-#   - events_streaming_priority_sample: the sink now RECOVERS a
-#     surviving reservoir from <state>.old / a complete <state>.tmp
-#     at start (round-10 ADVICE, medium) — values invariant on a
-#     crash-free run, lineage changed.
-#   - ann_ivf_two_level_topk / ann_ivf_two_level_layout_probe:
-#     two_level_assign + _two_level_probe now skip probed cells with
-#     no fine codebook (round-10 ADVICE) — outputs invariant on this
-#     corpus (no empty cells at these k), shared lineage changed.
-#   - ann_ivf_drift_refit: drift_row None-guard (round-10 ADVICE) +
-#     the CUSUM extracted to the shared _census_cusum_max helper —
-#     values invariant, lineage changed.
-#   - media_ppm_decode_stats / media_mixed_codec_stats: decoders
-#     gained dimension validation; the mixed query now routes THREE
-#     codecs (doc_id mod 3: PPM/BMP/PNG), so its rows CHANGED.
+# Round 12:
+#   - The synthetic flights generator's unique_id key-space was
+#     widened (CRSDepTime full 1440-minute period, FlightNum over the
+#     prime field 9973 — sources/synthetic.py), so the flights
+#     FIXTURE DATA changed: every flights_* and ml_* row from past
+#     rounds attests to the old data and must re-attest (27 entries —
+#     both engines embed the same generator SQL, so oracles replay).
+#   - media_mixed_codec_stats: rows CHANGED (doc_id mod 4 now routes
+#     PPM/BMP/PNG/GIF; the GIF arm is the new LZW codec).
+#   - ann_ivfadc_recall_panel: rows CHANGED (two new two-level-IVFADC
+#     recall columns at equal code budget).
+#   - ann_ivf_drift_refit / ann_ivf_two_level_drift_refit: newly
+#     ORACLE-BACKED (were rows-only) — the driver row should record
+#     the hash match, not the old rows-only check.
+#   - minhash family (10): minhash_signatures was restructured (the
+#     3x shingle re-evaluation fix) — outputs verified bit-identical
+#     in-session, lineage changed.
+#   - two-level ANN family (5): two_level_assign now raises on
+#     bookless-cell streaming assignment; the IVFADC topk ADC fold
+#     seeds a typed NULL — values invariant, shared lineage changed.
+#   - media_ppm_decode_stats / media_byte_stats: decode_features
+#     gained the GIF dispatch arm; PNG decode gained bounded-inflate
+#     and IHDR-length guards — values invariant, lineage changed.
 _MUST_HAVE: list[str] = [
-    "events_streaming_priority_sample",
+    # rows changed: fixture key-space widening (flights + ml)
+    "flights_clean_summary",
+    "flights_cyclical_time",
+    "flights_enrich_manufacturer",
+    "flights_label_confusion",
+    "flights_missing_tailnum",
+    "flights_polar_coordinates",
+    "flights_prepare_summary",
+    "flights_residual_histogram",
+    "flights_residual_summary",
+    "flights_tod_buckets",
+    "flights_tod_buckets_udf",
+    "flights_tod_prediction_means",
+    "flights_unique_id_stats",
+    "flights_weekend_timegap",
+    "ml_mean_fallback",
+    "ml_imputer_stats",
+    "ml_tree_sql_scoring_parity",
+    "ml_tree_sql_codegen_ceiling",
+    "ml_tree_sql_depth15_parity",
+    "ml_decision_tree_metrics",
+    "ml_feature_pipeline_stats",
+    "ml_linear_regression_metrics",
+    "ml_random_forest_metrics",
+    "ml_gbt_metrics",
+    "ml_cross_validation",
+    "ml_feature_importance",
+    "ml_isotonic_calibration",
+    # rows changed: this round's edits
+    "media_mixed_codec_stats",
+    "ann_ivfadc_recall_panel",
+    # newly oracle-backed
+    "ann_ivf_drift_refit",
+    "ann_ivf_two_level_drift_refit",
+    # lineage changed, values verified invariant in-session
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_est_accuracy",
+    "dedup_minhash_band_tuning",
+    "dedup_bbit_minhash_est",
+    "dedup_minhash_clusters",
+    "dedup_containment_pairs",
+    "training_corpus_prep",
+    "corpus_full_pipeline",
+    "corpus_leakage_safe_split",
+    "corpus_decontaminate",
     "ann_ivf_two_level_topk",
     "ann_ivf_two_level_layout_probe",
-    "ann_ivf_drift_refit",
+    "ann_ivf_two_level_streaming_ingest",
+    "ann_ivfadc_two_level_topk",
+    "ann_ivfadc_two_level_streaming_encode",
     "media_ppm_decode_stats",
-    "media_mixed_codec_stats",
-    # lineitem_bootstrap_ci_grouped: body extracted into the
-    # parameterized _grouped_bootstrap_ci (B + persist-barrier arms
-    # for the crossover measurement) — values invariant (oracle
-    # re-verified in-session), lineage changed.
-    "lineitem_bootstrap_ci_grouped",
+    "media_byte_stats",
 ]
-# The seven round-11 additions (ann_ivfadc_recall_panel,
-# customer_kl_diversity_generalization,
-# ann_ivf_two_level_streaming_ingest, customer_t_closeness_census,
-# corpus_priority_sample_hajek_mean, ann_ivfadc_two_level_topk
-# oracle-backed; ann_ivf_two_level_drift_refit rows-only with a
-# contract_ok self-check) are never-attempted → tiers 2-3 seat them
-# right behind this list, well inside the 50-row window; the ~36
-# remaining slots re-attest the already-attested tail cheapest-first.
+# 48 must-haves + the one never-attempted round-12 addition
+# (customer_t_closeness_numeric_emd, tier 2) fill 49 of the 50
+# slots; the last slot re-attests the cheapest already-attested
+# entry. Four minhash-family consumers (decontaminate_report,
+# family_agreement, survivor_bias, lsh_levenshtein) are derivative
+# of re-attested parents and verified in-session; they yield their
+# slots to the rows-changed fixture set.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

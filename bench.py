@@ -267,6 +267,8 @@ HEADLINE = [
     # encode-on-ingest: the operational half of two-level IVFADC
     # (production stores codes at add(), search() never recomputes)
     "ann_ivfadc_two_level_streaming_encode",
+    # round-12 addition: the ordered-EMD half of t-closeness
+    "customer_t_closeness_numeric_emd",
 ]
 
 

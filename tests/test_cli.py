@@ -182,14 +182,12 @@ def test_cli_soak_bz2_500k(spark, tmp_path):
     assert result["rmse"] >= result["mae"]
     # prepared ≈ 60% of raw (dedup + cancelled/null filters + the inner
     # plane-dimension join), validation = 10% split of that. The
-    # generator's 7-column unique_id space SATURATES past ~2M rows
-    # (measured distinct-key ratio: 0.857 at 1M/2M, 0.622 at 4M), so
-    # dedup removes a growing share there; validation stays a stable
-    # ~7.1% OF DISTINCT KEYS at every measured size, so scale the
-    # floor by the measured key ratio instead of failing on fixture
-    # arithmetic past the saturation knee.
-    key_ratio = 0.857 if n <= 2_000_000 else 0.622
-    assert result["validation_rows"] > 0.05 * n * key_ratio / 0.857
+    # round-12 generator widened the unique_id key-space period to
+    # ~100.5M (see sources/synthetic.py): below that, the only
+    # duplicate keys are the PLANTED i%7==3 clones (distinct-key ratio
+    # 6/7 ≈ 0.857, measured flat through 8M), so the validation floor
+    # no longer needs a saturation-knee correction.
+    assert result["validation_rows"] > 0.05 * n
     assert os.path.exists(out / "predictions.csv")
     # The reference's single-node run takes 8.07 min on the full-size
     # input; anything near that here (local[32], 500k rows) means a
