@@ -107,17 +107,21 @@ _MUST_HAVE: list[str] = [
     # newly oracle-backed
     "ann_ivf_drift_refit",
     "ann_ivf_two_level_drift_refit",
-    # lineage changed, values verified invariant in-session
+    # lineage changed, values verified invariant in-session — one
+    # exemplar per changed helper (minhash_signatures + shingles +
+    # quality_score + predict_language let-binding fixes; kmeans
+    # bookless guard; decode_features GIF arm)
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_est_accuracy",
-    "dedup_minhash_band_tuning",
-    "dedup_bbit_minhash_est",
-    "dedup_minhash_clusters",
-    "dedup_containment_pairs",
     "training_corpus_prep",
-    "corpus_full_pipeline",
-    "corpus_leakage_safe_split",
+    "dedup_ngram_jaccard_topk",
     "corpus_decontaminate",
+    "doc_quality_buckets",
+    "corpus_importance_resample",
+    "corpus_weighted_sample_topk",
+    "doc_language_confusion",
+    "doc_langid_method_agreement",
+    "doc_gopher_rule_census",
     "ann_ivf_two_level_topk",
     "ann_ivf_two_level_layout_probe",
     "ann_ivf_two_level_streaming_ingest",
@@ -126,13 +130,15 @@ _MUST_HAVE: list[str] = [
     "media_ppm_decode_stats",
     "media_byte_stats",
 ]
-# 48 must-haves + the one never-attempted round-12 addition
-# (customer_t_closeness_numeric_emd, tier 2) fill 49 of the 50
-# slots; the last slot re-attests the cheapest already-attested
-# entry. Four minhash-family consumers (decontaminate_report,
+# 49 must-haves + the one never-attempted round-12 addition
+# (customer_t_closeness_numeric_emd, tier 2) fill the 50-slot
+# window exactly. The remaining lineage-touched minhash/quality
+# consumers (band_tuning, bbit, clusters, containment,
+# full_pipeline, leakage_safe_split, decontaminate_report,
 # family_agreement, survivor_bias, lsh_levenshtein) are derivative
-# of re-attested parents and verified in-session; they yield their
-# slots to the rows-changed fixture set.
+# of re-attested parents and were verified value-identical
+# in-session; they yield their slots to the rows-changed fixture
+# set.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older

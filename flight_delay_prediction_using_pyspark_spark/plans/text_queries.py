@@ -212,20 +212,37 @@ def q_doc_language_chargram_confusion(spark: SparkSession, sf_dir: str) -> DataF
 )
 def q_doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-score histogram: the filter stage of a training-data
-    pipeline as a grouped agg (bucket → doc count, token mass)."""
+    pipeline as a grouped agg (bucket → doc count, token mass).
+
+    The (score, token-count) pair is materialized behind ONE Generate
+    barrier before the bucket CASE: the 4-arm CASE references the
+    score three times and would otherwise re-inline the full scoring
+    expression per arm (34 tokenizer runs per document before the
+    round-12 fix; 2 after — one in the score, one in the count)."""
     docs = load_table(spark, sf_dir, "documents")
-    q = F.round(TA.quality_score(F.col("text")), 6)
+    scored = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.round(TA.quality_score(F.col("text")), 6).alias("q"),
+                    TA.token_count(F.col("text")).alias("n_tokens"),
+                )
+            )
+        ).alias("__s")
+    ).select("__s.q", "__s.n_tokens")
     bucket = (
-        F.when(q < 0.25, "low")
-        .when(q < 0.5, "mid")
-        .when(q < 0.75, "good")
+        F.when(F.col("q") < 0.25, "low")
+        .when(F.col("q") < 0.5, "mid")
+        .when(F.col("q") < 0.75, "good")
         .otherwise("high")
     )
-    return docs.select(
-        bucket.alias("quality_bucket"), TA.token_count(F.col("text")).alias("n_tokens")
-    ).groupBy("quality_bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("sum_tokens"),
+    return (
+        scored.select(bucket.alias("quality_bucket"), "n_tokens")
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
     )
 
 
@@ -2359,20 +2376,30 @@ def q_corpus_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus, deterministic across engines, partitionings, and
     retries."""
     docs = load_table(spark, sf_dir, "documents")
-    w = F.round(TA.quality_score(F.col("text")), 6)
+    # One Generate barrier materializes (w, n_tokens): the weight
+    # feeds both the zero-weight filter and the E-S key, and filter
+    # pushdown would otherwise re-inline the full scoring expression
+    # into each (round-12 plan audit).
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.round(TA.quality_score(F.col("text")), 6).alias("w"),
+                    TA.token_count(F.col("text")).alias("n_tokens"),
+                )
+            )
+        ).alias("__s"),
+    ).select("doc_id", "lang", "__s.w", "__s.n_tokens")
     u = (
         TA.md5_hash32(F.concat(F.lit("ws_"), F.col("doc_id").cast("string")))
         + F.lit(1)
     ) / F.lit(4294967296.0)
-    key_q = F.floor(1000000 * F.log(u) / w).cast("long")
+    key_q = F.floor(1000000 * F.log(u) / F.col("w")).cast("long")
     return (
-        docs.filter(w > 0)
-        .select(
-            "doc_id",
-            "lang",
-            TA.token_count(F.col("text")).alias("n_tokens"),
-            key_q.alias("key_q"),
-        )
+        base.filter(F.col("w") > 0)
+        .select("doc_id", "lang", "n_tokens", key_q.alias("key_q"))
         .orderBy(F.desc("key_q"), F.asc("doc_id"))
         .limit(50)
     )
@@ -3471,32 +3498,63 @@ def q_doc_gopher_rule_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Gopher repetition family): this is the per-rule attribution
     view. Map-only + one small agg at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    t = TA.tokens(F.col("text"))
-    tl = TA.tokens(F.lower(F.col("text")))
-    n_tok = F.size(t)
-    sum_len = F.aggregate(
-        t, F.lit(0), lambda acc, x: acc + F.length(x)
-    ).cast("long")
     n_chars = F.length("text")
     n_hash = (n_chars - F.length(F.replace(F.col("text"), F.lit("#")))).cast("long")
     n_ellipsis = (
         (n_chars - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
     ).cast("long")
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(tl),
-            F.array(*[F.lit(w) for w in TA.STOPWORDS]),
+
+    # Both token arrays are LET-BOUND and the per-doc signature is
+    # materialized behind a Generate barrier: the mask references
+    # n_tok four times and sum_len twice, which re-inlined the
+    # tokenizer 9x per document before the round-12 plan-audit fix.
+    def sig_from(s: F.Column) -> F.Column:
+        t, tl = s["t"], s["tl"]
+        n_tok = F.size(t)
+        sum_len = F.aggregate(
+            t, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("long")
+        n_stop = F.size(
+            F.array_intersect(
+                F.array_distinct(tl),
+                F.array(*[F.lit(w) for w in TA.STOPWORDS]),
+            )
         )
-    )
+        return F.struct(
+            n_tok.alias("n_tok"),
+            sum_len.alias("sum_len"),
+            n_chars.alias("n_chars"),
+            n_hash.alias("n_hash"),
+            n_ellipsis.alias("n_ellipsis"),
+            n_stop.alias("n_stop"),
+        )
+
+    sig = docs.select(
+        F.explode(
+            F.transform(
+                F.array(
+                    F.struct(
+                        TA.tokens(F.col("text")).alias("t"),
+                        TA.tokens(F.lower(F.col("text"))).alias("tl"),
+                    )
+                ),
+                sig_from,
+            )
+        ).alias("__s")
+    ).select("__s.*")
     mask = (
-        F.when((n_tok < 50) | (n_tok > 100000), 1).otherwise(0)
-        + F.when((sum_len < 3 * n_tok) | (sum_len > 10 * n_tok), 2).otherwise(0)
-        + F.when(100 * n_hash > n_chars, 4).otherwise(0)
-        + F.when(10 * n_ellipsis > n_tok, 8).otherwise(0)
-        + F.when(n_stop < 2, 16).otherwise(0)
+        F.when((F.col("n_tok") < 50) | (F.col("n_tok") > 100000), 1).otherwise(0)
+        + F.when(
+            (F.col("sum_len") < 3 * F.col("n_tok"))
+            | (F.col("sum_len") > 10 * F.col("n_tok")),
+            2,
+        ).otherwise(0)
+        + F.when(100 * F.col("n_hash") > F.col("n_chars"), 4).otherwise(0)
+        + F.when(10 * F.col("n_ellipsis") > F.col("n_tok"), 8).otherwise(0)
+        + F.when(F.col("n_stop") < 2, 16).otherwise(0)
     )
     return (
-        docs.select(mask.alias("rule_mask"), n_tok.alias("n_tok"))
+        sig.select(mask.alias("rule_mask"), "n_tok")
         .groupBy("rule_mask")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -222,28 +222,59 @@ def quality_score(
 ) -> Column:
     """Composite document-quality score in [0, 1]: length gate ×
     (stopword fluency + clean-punctuation + sane-word-length) / 3.
-    The C4/Gopher-style heuristic stack as one vectorized expression."""
-    n = token_count(col)
-    length_ok = (n >= min_tokens) & (n <= max_tokens)
-    sw = stopword_ratio(col, stopwords)
-    fluency = F.least(sw * 4, F.lit(1.0))  # ≥25% stopwords ⇒ full marks
-    clean = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
-    mtl = mean_token_length(col)
-    sane_len = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
-    raw = (fluency + clean + sane_len) / 3
-    return F.when(length_ok, raw).otherwise(F.lit(0.0))
+    The C4/Gopher-style heuristic stack as one vectorized expression.
+
+    The token array is LET-BOUND (transform over a 1-element wrapper
+    array): the score references it eight times (count gate ×2,
+    stopword filter + two sizes, length fold + two sizes), and
+    HOF-bearing projections get no codegen subexpression elimination,
+    so the previous inline form re-ran the regex tokenizer 8x per
+    document (round-12 plan audit). Identical arithmetic — every
+    ratio divides the same operands in the same order."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        length_ok = (n >= min_tokens) & (n <= max_tokens)
+        sw = F.when(
+            n > 0,
+            F.size(F.filter(t, lambda x: x.isin(*stopwords))) / n,
+        ).otherwise(F.lit(0.0))
+        fluency = F.least(sw * 4, F.lit(1.0))  # ≥25% stopwords ⇒ full marks
+        clean = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+        total = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        mtl = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+        sane_len = F.when((mtl >= 2.0) & (mtl <= 12.0), 1.0).otherwise(0.0)
+        raw = (fluency + clean + sane_len) / 3
+        return F.when(length_ok, raw).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(tokens(c)), build), 1)
 
 
 def token_2grams(col: Column | str) -> Column:
     """Adjacent token 2-grams as `array<string>` ("a b", "b c", ...).
     Built with an index-aware transform over a slice, so a document
     with fewer than 2 tokens yields an empty array (never a
-    descending-`sequence` surprise). Map-only JVM expression."""
-    toks = tokens(col)
-    head = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    descending-`sequence` surprise). Map-only JVM expression. The
+    token array is LET-BOUND — the expression references it three
+    times (slice source, size bound, element_at lookup) and HOF
+    projections get no codegen subexpression elimination, so the
+    inline form re-ran the tokenizer 3x per document (round-12 plan
+    audit)."""
+
+    return F.element_at(F.transform(F.array(tokens(col)), token_2grams_from), 1)
+
+
+def token_2grams_from(t: Column) -> Column:
+    """token_2grams over an ALREADY-BOUND token array (a lambda
+    variable or materialized column) — the form composite expressions
+    use to share one tokenization across signals."""
+    head = F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0)))
     return F.transform(
         head,
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(t, i + F.lit(2))),
     )
 
 
@@ -297,7 +328,13 @@ def repetition_stats(col: Column | str) -> Column:
     callers expand the struct behind a Generate barrier (explode of a
     1-element array) so the struct itself is also evaluated once per
     row — see q_doc_repetition_stats. Map-only at any scale."""
-    bound = F.array(F.struct(tokens(col).alias("t"), token_2grams(col).alias("g")))
+    # Nested binding: tokens run ONCE, the gram array is built from
+    # the bound tokens (round-12: struct(tokens, token_2grams) was
+    # two independent tokenizations).
+    bound = F.transform(
+        F.array(tokens(col)),
+        lambda t: F.struct(t.alias("t"), token_2grams_from(t).alias("g")),
+    )
 
     def stats(s: Column) -> Column:
         n_g = F.size(s["g"]).cast("long")
@@ -373,8 +410,27 @@ def argmax_label(scores: dict[str, Column], default: str = "und") -> Column:
 
 def predict_language(col: Column | str, profiles: dict[str, Sequence[str]] | None = None) -> Column:
     """Argmax language with deterministic first-wins tie-break (profile
-    order). Emits 'und' when no profile scores a single hit."""
-    return argmax_label(language_scores(col, profiles or LANG_PROFILES))
+    order). Emits 'und' when no profile scores a single hit.
+
+    The token array is LET-BOUND so the regex tokenizer runs once per
+    document instead of once per language profile (language_scores'
+    dict form builds an independent tokens() copy per language, and
+    HOF projections get no codegen subexpression elimination —
+    round-12 plan audit)."""
+    profiles = profiles or LANG_PROFILES
+
+    def member_of(ws):  # closure factory: PySpark lambdas must be unary
+        return lambda t: t.isin(*ws)
+
+    def build(t: Column) -> Column:
+        return argmax_label(
+            {
+                lang: F.size(F.filter(t, member_of(words)))
+                for lang, words in profiles.items()
+            }
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def quality_language_struct(

@@ -80,19 +80,30 @@ MINHASH_B: list[int] = [_mh_rng.randrange(MINHASH_P) for _ in range(MINHASH_K)]
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct token n-gram shingles → array<string>. Documents with
-    fewer than n tokens yield an empty array (callers filter them)."""
-    toks = tokens(col)
-    # Guard: sequence(1, stop) DESCENDS when stop < 1, so short docs
-    # must short-circuit to an empty array, not rely on the range.
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    fewer than n tokens yield an empty array (callers filter them).
+
+    The token array is LET-BOUND (transform over a 1-element wrapper
+    array) because the expression references it three times — the
+    short-doc guard, the sequence bound, and the slice source — and
+    HOF-bearing projections get no codegen common-subexpression
+    elimination, so an inline `tokens(col)` re-ran the regex split
+    3x per document (round-12 plan audit)."""
+
+    def build(t: Column) -> Column:
+        # Guard: sequence(1, stop) DESCENDS when stop < 1, so short
+        # docs must short-circuit to an empty array, not rely on the
+        # range.
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), build), 1)
 
 
 def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
