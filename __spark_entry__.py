@@ -128,11 +128,13 @@ _MUST_HAVE: list[str] = [
     "ann_ivfadc_two_level_topk",
     "ann_ivfadc_two_level_streaming_encode",
     "media_ppm_decode_stats",
-    "media_byte_stats",
 ]
-# 49 must-haves + the one never-attempted round-12 addition
-# (customer_t_closeness_numeric_emd, tier 2) fill the 50-slot
-# window exactly. The remaining lineage-touched minhash/quality
+# 48 must-haves + the two never-attempted round-12 additions
+# (customer_t_closeness_numeric_emd and corpus_streaming_ingest_dedup,
+# tier 2) fill the 50-slot window exactly. media_byte_stats (default
+# raw-byte path; its decode_features lineage change is the unused
+# GIF dispatch arm) was verified in the in-session driver-sim and
+# yields its slot. The remaining lineage-touched minhash/quality
 # consumers (band_tuning, bbit, clusters, containment,
 # full_pipeline, leakage_safe_split, decontaminate_report,
 # family_agreement, survivor_bias, lsh_levenshtein) are derivative

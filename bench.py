@@ -267,8 +267,11 @@ HEADLINE = [
     # encode-on-ingest: the operational half of two-level IVFADC
     # (production stores codes at add(), search() never recomputes)
     "ann_ivfadc_two_level_streaming_encode",
-    # round-12 addition: the ordered-EMD half of t-closeness
+    # round-12 additions: the ordered-EMD half of t-closeness and the
+    # streaming dedup-index ingest (the LSH analogue of the ANN
+    # streaming-ingest builders)
     "customer_t_closeness_numeric_emd",
+    "corpus_streaming_ingest_dedup",
 ]
 
 

@@ -2657,6 +2657,189 @@ def q_corpus_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "corpus_streaming_ingest_dedup",
+    oracle=f"""
+    WITH {_minhash_ctes(0.5)},
+    hx AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST((doc_id * 4) // ((SELECT MAX(doc_id) FROM documents) + 1)
+                  AS BIGINT) AS phase
+      FROM documents
+    ),
+    exact_dup AS (
+      SELECT DISTINCT a.doc_id FROM hx a
+      JOIN hx b ON a.h = b.h AND b.doc_id < a.doc_id
+    ),
+    near AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+    SELECT CAST((SELECT COUNT(DISTINCT phase) FROM hx) AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL) AS BIGINT)
+             AS n_exact_dup,
+           CAST(COUNT(*) FILTER (WHERE e.doc_id IS NULL
+                                 AND nr.doc_id IS NOT NULL) AS BIGINT)
+             AS n_near_dup,
+           CAST(COUNT(*) FILTER (WHERE e.doc_id IS NULL
+                                 AND nr.doc_id IS NULL) AS BIGINT)
+             AS n_accepted
+    FROM hx
+    LEFT JOIN exact_dup e USING (doc_id)
+    LEFT JOIN near nr USING (doc_id)
+    """,
+)
+def q_corpus_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-index maintenance — the ingest half the batch
+    screens (corpus_incremental_ingest_dedup) assume exists: documents
+    arrive as a readStream in 4 micro-batches, and each foreachBatch
+    computes the batch's content hashes, minhash signatures, and LSH
+    band buckets ONCE and APPENDS them to the store — hashes, shingle
+    sets, and buckets partitionBy(band), the layout the daily screen's
+    band-equi-join prunes to. Pure append, no store read inside the
+    batch (the read-after-write foreachBatch hazard never arises).
+
+    The dedup verdict is then computed FROM THE STORE the stream
+    built (the ann_ivf_two_level_streaming_ingest pattern: the census
+    is read back from the ingested artifact): a document is an exact
+    dup iff a SMALLER doc_id carries the same content hash, else a
+    near dup iff it shares ≥1 band bucket with a smaller doc_id whose
+    exact shingle-Jaccard ≥ 0.5. "Earlier" is defined by the DATA
+    (doc_id), not by arrival order, so the census is identical under
+    any stream chop — the batch/stream symmetry contract — and the
+    oracle replays it one-shot over `documents`.
+
+    Scale shape: per-batch work is the map-side shingle+sign pass
+    over the batch only (the store is never rescanned at ingest); the
+    verdict's candidate join is the same short-key band equi-join as
+    every LSH query, against a store partitioned BY BAND so a daily
+    screen prunes to the bands its batch occupies."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = int(docs.agg(F.max("doc_id")).first()[0])
+    stage = tempfile.mkdtemp(prefix="ingest_dedup_src_")
+    (
+        docs.withColumn(
+            "phase",
+            F.expr(f"CAST((doc_id * 4) DIV {max_id + 1} AS INT)"),
+        )
+        .repartition("phase")
+        .write.mode("overwrite")
+        .partitionBy("phase")
+        .parquet(stage)
+    )
+    hash_dir = tempfile.mkdtemp(prefix="ingest_dedup_hash_")
+    bucket_dir = tempfile.mkdtemp(prefix="ingest_dedup_buckets_")
+    sh_dir = tempfile.mkdtemp(prefix="ingest_dedup_sh_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_dedup_ckpt_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", stage)
+        .parquet(f"{stage}/phase=*")
+    )
+    parallelism = spark.sparkContext.defaultParallelism
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        phase = F.expr(f"CAST((doc_id * 4) DIV {max_id + 1} AS INT)")
+        (
+            batch_df.select("doc_id", phase.alias("phase"), F.md5("text").alias("h"))
+            .write.mode("append")
+            .parquet(hash_dir)
+        )
+        sigs_b = TD.minhash_signatures(batch_df, parallelism=parallelism)
+        sigs_b.select("doc_id", "shingles").write.mode("append").parquet(sh_dir)
+        (
+            TD.lsh_band_buckets(sigs_b)
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(bucket_dir)
+        )
+
+    try:
+        (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        hx = spark.read.parquet(hash_dir)
+        buckets = spark.read.option("basePath", bucket_dir).parquet(bucket_dir)
+        sh = spark.read.parquet(sh_dir)
+        exact_ids = (
+            hx.alias("a")
+            .join(
+                hx.alias("b"),
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .withColumn("is_exact", F.lit(True))
+        )
+        cand = (
+            buckets.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+            .join(
+                buckets.select(
+                    "band", "band_hash", F.col("doc_id").alias("id_b")
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        near_ids = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+                ),
+                "id_b",
+            )
+            .filter(TD.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_near", F.lit(True))
+        )
+        row = (
+            hx.select("doc_id", "phase")
+            .join(exact_ids.select("doc_id", "is_exact"), "doc_id", "left")
+            .join(near_ids, "doc_id", "left")
+            .agg(
+                F.countDistinct("phase").cast("long").alias("n_batches"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count(F.col("is_exact")).cast("long").alias("n_exact_dup"),
+                F.count(
+                    F.when(
+                        F.col("is_exact").isNull() & F.col("is_near").isNotNull(),
+                        1,
+                    )
+                ).cast("long").alias("n_near_dup"),
+                F.count(
+                    F.when(
+                        F.col("is_exact").isNull() & F.col("is_near").isNull(), 1
+                    )
+                ).cast("long").alias("n_accepted"),
+            )
+            .first()
+        )
+    finally:
+        for d in (stage, hash_dir, bucket_dir, sh_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_batches long, n_docs long, n_exact_dup long, "
+        "n_near_dup long, n_accepted long",
+    )
+
+
+@query(
     "corpus_normalization_gain",
     oracle=r"""
     SELECT lang,
