@@ -127,14 +127,14 @@ _MUST_HAVE: list[str] = [
     "ann_ivf_two_level_streaming_ingest",
     "ann_ivfadc_two_level_topk",
     "ann_ivfadc_two_level_streaming_encode",
-    "media_ppm_decode_stats",
 ]
-# 48 must-haves + the two never-attempted round-12 additions
-# (customer_t_closeness_numeric_emd and corpus_streaming_ingest_dedup,
-# tier 2) fill the 50-slot window exactly. media_byte_stats (default
-# raw-byte path; its decode_features lineage change is the unused
-# GIF dispatch arm) was verified in the in-session driver-sim and
-# yields its slot. The remaining lineage-touched minhash/quality
+# 47 must-haves + the three never-attempted round-12 additions
+# (customer_t_closeness_numeric_emd, corpus_streaming_ingest_dedup,
+# media_phash_mixed_codec_near_dup — tier 2) fill the 50-slot window
+# exactly. media_byte_stats / media_ppm_decode_stats (their
+# decode_features lineage change is the GIF dispatch arm their rows
+# never take) were verified in both in-session full driver-sims and
+# yield their slots. The remaining lineage-touched minhash/quality
 # consumers (band_tuning, bbit, clusters, containment,
 # full_pipeline, leakage_safe_split, decontaminate_report,
 # family_agreement, survivor_bias, lsh_levenshtein) are derivative

@@ -267,11 +267,13 @@ HEADLINE = [
     # encode-on-ingest: the operational half of two-level IVFADC
     # (production stores codes at add(), search() never recomputes)
     "ann_ivfadc_two_level_streaming_encode",
-    # round-12 additions: the ordered-EMD half of t-closeness and the
+    # round-12 additions: the ordered-EMD half of t-closeness, the
     # streaming dedup-index ingest (the LSH analogue of the ANN
-    # streaming-ingest builders)
+    # streaming-ingest builders), and real-decode perceptual near-dup
+    # over the four-codec corpus
     "customer_t_closeness_numeric_emd",
     "corpus_streaming_ingest_dedup",
+    "media_phash_mixed_codec_near_dup",
 ]
 
 

@@ -1152,6 +1152,60 @@ def phash_chunks(df: DataFrame, target: int = 8, chunk_bits: int = 16) -> DataFr
     return src.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
 
 
+def phash_chunks_codec(df: DataFrame, target: int = 8, chunk_bits: int = 16) -> DataFrame:
+    """phash_chunks over REAL decoded pixels: each payload routes
+    through decode_with_codec by its media_meta.media_type, and the
+    8×8 grid samples the R channel of the decoded RGB raster —
+    pixel(r, c) = raster[3·(row·w + col)] with row = (r·h)//t,
+    col = (c·w)//t over the DECODED dimensions. The hash therefore
+    reflects the image each container actually renders (a GIF's
+    tripled-gray raster is a different image from the RGB arms'
+    byte-tiling even for identical text — honest perceptual
+    semantics), and a corrupt container raises instead of hashing
+    garbage. Same integer above-mean bits and pigeonhole chunk shape
+    as phash_chunks."""
+    src = df.filter(F.octet_length("payload") > 0).select(
+        "doc_id", "payload", F.col("media_meta.media_type").alias("mt")
+    )
+    t = target
+    n_bits = t * t
+    n_chunks = n_bits // chunk_bits
+    # `<locals>` qualnames ⇒ cloudpickled by value (executor Python
+    # workers must not need this package importable — decode_features
+    # discipline; decode_with_codec itself is module-level and would
+    # ship by reference)
+    codecs = {
+        PPM_MEDIA_TYPE: decode_ppm,
+        BMP_MEDIA_TYPE: decode_bmp,
+        PNG_MEDIA_TYPE: decode_png,
+        GIF_MEDIA_TYPE: decode_gif,
+    }
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mt"]
+            ):
+                w, h, _mx, raster = codecs[str(mt)](bytes(payload))
+                px = [
+                    raster[3 * (((r * h) // t) * w + (c * w) // t)]
+                    for r in range(t)
+                    for c in range(t)
+                ]
+                s = sum(px)
+                for ci in range(n_chunks):
+                    val = 0
+                    for b in range(chunk_bits):
+                        j = ci * chunk_bits + b
+                        if n_bits * px[j] > s:
+                            val |= 1 << b
+                    rows.append((int(doc_id), ci, val))
+            yield pd.DataFrame(rows, columns=["doc_id", "ci", "val"])
+
+    return src.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
 def phash_near_dup(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Perceptual near-dup pairs from phash chunks: candidates via the
     pigeonhole equi-join (any pair within Hamming k agrees on ≥1 of

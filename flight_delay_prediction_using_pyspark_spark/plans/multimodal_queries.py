@@ -399,3 +399,82 @@ def q_media_mixed_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_px_bytes"),
         F.sum("byte_sum").alias("total_px_sum"),
     )
+
+
+@query(
+    "media_phash_mixed_codec_near_dup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             (length(text) % 13) + 1 AS w,
+             (length(text) % 11) + 1 AS h,
+             CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END AS stride
+      FROM documents WHERE length(text) > 0
+    ),
+    px AS (
+      SELECT doc_id, (r.g * 8 + c.g) AS j,
+             CAST(ascii(substring(
+               text,
+               1 + (stride * (((r.g * h) // 8) * w + ((c.g * w) // 8))) % n,
+               1)) AS BIGINT) AS v
+      FROM d, generate_series(0, 7) r(g), generate_series(0, 7) c(g)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, j,
+             CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS b
+      FROM px JOIN tot USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, j // 16 AS ci,
+             CAST(SUM(b * (1 << (j % 16))) AS BIGINT) AS val
+      FROM bits GROUP BY doc_id, ci
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM chunks a JOIN chunks b
+        ON a.ci = b.ci AND a.val = b.val AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(SUM(bit_count(xor(a.val, b.val))) AS BIGINT) AS hamming
+      FROM cand
+      JOIN chunks a ON a.doc_id = id_a
+      JOIN chunks b ON b.doc_id = id_b AND b.ci = a.ci
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def q_media_phash_mixed_codec_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual near-dup over the FOUR-codec mixed corpus with REAL
+    decoding — the pipeline that ties the codec matrix into the dedup
+    tier: doc_id mod 4 routes each document to PPM/BMP/PNG/GIF, each
+    payload is genuinely decoded (CRC walks, DEFLATE, LZW — a corrupt
+    container RAISES rather than hashing garbage into the index), and
+    the average-hash samples the R channel of the DECODED raster at
+    the decoded dimensions. Same pigeonhole-chunk candidate join +
+    exact bit_count(xor) Hamming verify as media_phash_near_dup.
+
+    The GIF arm hashes a genuinely different image (tripled-gray
+    indices) than the RGB arms' byte tiling — for the same text the
+    sampled byte is tb[(3p) mod n] under RGB strides vs tb[p mod n]
+    under the palette, which the oracle mirrors with a per-arm stride
+    — so near-dup pairs here mean 'the rendered images match', the
+    honest perceptual semantics (container-invariant dedup needs a
+    decode-normalize stage, which this pipeline's decoded raster is
+    the input to).
+
+    Scale shape: decode+hash is one Arrow-batched map stage; the only
+    shuffles are the short-key (ci, val) candidate equi-join and the
+    Hamming group — never all-pairs; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = (
+        M.attach_ppm_media(docs.filter(F.col("doc_id") % 4 == 0))
+        .unionByName(M.attach_bmp_media(docs.filter(F.col("doc_id") % 4 == 1)))
+        .unionByName(M.attach_png_media(docs.filter(F.col("doc_id") % 4 == 2)))
+        .unionByName(M.attach_gif_media(docs.filter(F.col("doc_id") % 4 == 3)))
+    )
+    return M.phash_near_dup(M.phash_chunks_codec(media), max_hamming=3)
