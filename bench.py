@@ -489,6 +489,10 @@ STREAMING_MIN3 = {
     "events_streaming_sessionize",
     "events_streaming_priority_sample",
     "custom_pysource_stream_stats",
+    # 4 micro-batches + 3 store appends per batch: measured 3.6x
+    # inflation under a round-12 load burst while its batch neighbor
+    # held ~1x — the exact signature this set exists for
+    "corpus_streaming_ingest_dedup",
 }
 
 
