@@ -342,6 +342,36 @@ def test_two_level_assign_skips_bookless_probed_cell(spark, km_rows):
     assert km.two_level_assign(df, coarse, books, cells=[99]).count() == 0
 
 
+def test_two_level_assign_full_path_raises_on_bookless_winner(spark, km_rows):
+    """Round-11 ADVICE: on the FULL-assignment path (cells=None — the
+    streaming-ingest shape) a row whose WINNING coarse cell is
+    bookless cannot be encoded under the frozen quantizer; the
+    expression must raise (ingest-contract failure surfaced) rather
+    than emit a silent NULL fid that partitionBy(gid, fid) buries in
+    the Hive default partition."""
+    import pytest as _pytest
+
+    from flight_delay_prediction_using_pyspark_spark.similarity import kmeans as km
+
+    df = spark.createDataFrame(km_rows, "vec_id long, qv array<long>")
+    coarse, books = km.two_level_fit(
+        df, kc=3, kf=2, coarse_iters=2, fine_iters=2, d=64
+    )
+    # a bookless cell that CANNOT win → full assignment still fine
+    coarse = dict(coarse)
+    coarse[99] = (1, [10**6] * 64)
+    ok = km.two_level_assign(df, coarse, books)
+    assert ok.count() == len(km_rows)
+    # now append a vector AT the bookless centroid — it can only win
+    # cell 99 (distance 0 vs astronomically far real cells), whose
+    # missing fine codebook must FAIL the ingest
+    far = spark.createDataFrame(
+        [(999, [10**6] * 64)], "vec_id long, qv array<long>"
+    )
+    with _pytest.raises(Exception, match="bookless coarse cell"):
+        km.two_level_assign(df.unionByName(far), coarse, books).collect()
+
+
 def test_two_level_drift_refit_planted_fixture(spark):
     """Hierarchical twin of the flat planted-drift fixture: the
     (gid, fid)-keyed census under the frozen two-level quantizer must
