@@ -942,3 +942,42 @@ def test_dp_geometric_threshold_table():
     p1 = (draws.count(1) + draws.count(-1)) / n
     assert abs(p1 - 1 / 3) < 0.03             # P(|1|) = 2 * 1/6
     assert min(draws) >= -16 and max(draws) <= 16
+
+
+#: Round-12 let-binding guard: the text tier's expensive expressions
+#: (tokenizer, shingles, quality score) are let-bound behind
+#: 1-element-array transforms / Generate barriers so HOF-bearing
+#: (interpreted, no-CSE) projections evaluate them ONCE per document.
+#: Catalyst's CollapseProject + filter pushdown silently undo that if
+#: an edit reintroduces a multi-reference (round-12 plan audit found
+#: up to 34 tokenizer runs per document); this pins the per-NODE
+#: duplication ceiling of the optimized plan directly.
+_TOKENIZE_ONCE = {
+    # query -> max occurrences of the tokenizer subtree in ONE node
+    "doc_quality_buckets": 2,      # one in the score, one in the count
+    "corpus_importance_resample": 2,
+    "corpus_weighted_sample_topk": 2,
+    "doc_language_confusion": 1,
+    "doc_langid_method_agreement": 2,
+    "doc_gopher_rule_census": 2,   # text + lower(text) tokenizations
+    "doc_repetition_stats": 1,
+    "dedup_minhash_lsh_pairs": 1,
+    "dedup_ngram_jaccard_topk": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TOKENIZE_ONCE))
+def test_text_tier_tokenizes_once_per_node(spark, name):
+    import re
+
+    df = QUERIES[name](spark, SF_CORRECTNESS_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    worst = max(
+        (line.count("split(trim(") for line in plan.split("\n")), default=0
+    )
+    budget = _TOKENIZE_ONCE[name]
+    assert worst <= budget, (
+        f"{name}: tokenizer appears {worst}x in one plan node "
+        f"(budget {budget}) — a let-binding regressed (see "
+        "text/analysis.py quality_score docstring)"
+    )
