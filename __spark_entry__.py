@@ -144,11 +144,12 @@ _MUST_HAVE: list[str] = [
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older
-# never-attempted backlog). Round 7: EMPTY — zero never-attempted
-# queries remain (the r6 rotation converged: 241/241 attempted), so
-# the window is _MUST_HAVE re-verifications plus any round-7
-# additions, then the already-attempted tail cheapest-first.
-_DEFER: list[str] = []
+# never-attempted backlog). Round 12: media_gif_decode_stats landed
+# after the window filled (47 must + 3 fresh); its codec is already
+# pinned this round via media_mixed_codec_stats + the GIF unit
+# tests, so it waits for a round-13 slot rather than displacing
+# corpus_streaming_ingest_dedup.
+_DEFER: list[str] = ["media_gif_decode_stats"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

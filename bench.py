@@ -274,6 +274,7 @@ HEADLINE = [
     "customer_t_closeness_numeric_emd",
     "corpus_streaming_ingest_dedup",
     "media_phash_mixed_codec_near_dup",
+    "media_gif_decode_stats",
 ]
 
 

@@ -315,6 +315,72 @@ def q_media_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_gif_decode_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, text, length(text) AS n,
+             (length(text) % 13) + 1 AS w,
+             (length(text) % 11) + 1 AS h
+      FROM documents WHERE length(text) > 0
+    ),
+    p AS (
+      SELECT source, text, n,
+             w * h AS npx,
+             (w * h) // n AS cyc,
+             (w * h) % n AS rem,
+             {_ASCII_SUM} AS tsum
+      FROM d
+    ),
+    q AS (
+      SELECT source, 3 * npx AS npx,
+             3 * (cyc * tsum + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, rem),
+                     i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
+                          AS BIGINT))),
+                 (a, b) -> a + b)) AS px_sum
+      FROM p
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(npx) AS BIGINT) AS total_px_bytes,
+           CAST(SUM(px_sum) AS BIGINT) AS total_px_sum
+    FROM q
+    GROUP BY source
+    """,
+)
+def q_media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LZW codec path end-to-end, the GIF twin of
+    media_ppm_decode_stats: each document becomes a real GIF89a —
+    logical screen descriptor, 256-entry grayscale palette, image
+    descriptor, variable-width LZW index stream in sub-blocks,
+    trailer (attach_gif_media) — then decodes through the pure-Python
+    GIF parser inside the Arrow-batched decode_features(use_codec=
+    True) loop, with per-source stats over the DECODED RGB raster.
+    Every payload exercises the block walk, the 9→12-bit LZW code
+    growth, and the palette mapping; the oracle recomputes the
+    decoded-pixel truth from the text bytes alone (GIF is palette
+    media: the text tiles w·h pixel INDICES, each rendering
+    (i, i, i), so decoded bytes = 3·w·h and decoded sum = 3 × the
+    tiled byte-sum). A decoder that mis-unpacks even one LZW code
+    hash-mismatches.
+
+    Scale shape: identical to the PPM twin — encode is the
+    Arrow-batched upstream-synthesis stage, decode one mapInPandas
+    stage, the only shuffle the final per-source agg; `source` rides
+    the extractor (join-free carry)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features(
+        M.attach_gif_media(docs, carry_cols=("source",)),
+        use_codec=True,
+        carry_cols=("source",),
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_px_bytes"),
+        F.sum("byte_sum").alias("total_px_sum"),
+    )
+
+
+@query(
     "media_mixed_codec_stats",
     oracle=f"""
     WITH d AS (
