@@ -63,9 +63,13 @@ def _driver_attempted() -> set[str]:
 #   - ann_ivf_drift_refit / ann_ivf_two_level_drift_refit: newly
 #     ORACLE-BACKED (were rows-only) — the driver row should record
 #     the hash match, not the old rows-only check.
-#   - minhash family (10): minhash_signatures was restructured (the
-#     3x shingle re-evaluation fix) — outputs verified bit-identical
-#     in-session, lineage changed.
+#   - minhash family (10) + doc_winnowing_census: minhash_signatures,
+#     shingles, and winnowing_fingerprints were restructured (the
+#     let-binding fixes) — outputs verified bit-identical in-session,
+#     lineage changed. (dedup_winnowing_pairs shares the winnowing
+#     lineage and was equally verified; ann_ivf_two_level_layout_probe
+#     yielded its slot — its two_level_assign lineage is covered by
+#     the four remaining two-level exemplars.)
 #   - two-level ANN family (5): two_level_assign now raises on
 #     bookless-cell streaming assignment; the IVFADC topk ADC fold
 #     seeds a typed NULL — values invariant, shared lineage changed.
@@ -122,8 +126,8 @@ _MUST_HAVE: list[str] = [
     "doc_language_confusion",
     "doc_langid_method_agreement",
     "doc_gopher_rule_census",
+    "doc_winnowing_census",
     "ann_ivf_two_level_topk",
-    "ann_ivf_two_level_layout_probe",
     "ann_ivf_two_level_streaming_ingest",
     "ann_ivfadc_two_level_topk",
     "ann_ivfadc_two_level_streaming_encode",

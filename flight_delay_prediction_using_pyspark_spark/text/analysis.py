@@ -123,22 +123,27 @@ def winnowing_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
     fingerprint: no partial-overlap detection) and full shingle sets
     (minhash: fixed-size but position-blind).
 
-    Shape notes: the k-gram hash array is let-bound via the
-    single-element-array + transform trick (same as minhash_signature)
-    so Catalyst evaluates the O(n) md5 pass ONCE, not once per window;
-    documents with fewer than k tokens yield an empty array; documents
-    with 1..w−1 grams yield the single minimum (one degenerate
-    window), matching the reference algorithm. Pure JVM Column
-    expression — no Python UDF, map-only at any scale."""
-    toks = tokens(col)
-    n_g = F.size(toks) - (k - 1)
-    gram_hashes = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), n_g),
-            lambda i: md5_hash32(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    Shape notes: BOTH the token array and the k-gram hash array are
+    let-bound via the single-element-array + transform trick (same as
+    minhash_signature) so Catalyst evaluates the regex tokenizer and
+    the O(n) md5 pass ONCE each — the gram builder references tokens
+    three times (guard size, sequence bound, slice source) and the
+    window picker references the hash array three ways, and
+    HOF-bearing projections get no codegen subexpression elimination
+    (round-12 plan audit). Documents with fewer than k tokens yield
+    an empty array; documents with 1..w−1 grams yield the single
+    minimum (one degenerate window), matching the reference
+    algorithm. Pure JVM Column expression — no Python UDF, map-only
+    at any scale."""
+
+    def grams(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: md5_hash32(F.concat_ws(" ", F.slice(t, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
 
     def pick(hs: Column) -> Column:
         n_w = F.greatest(F.size(hs) - (w - 1), F.least(F.size(hs), F.lit(1)))
@@ -154,6 +159,7 @@ def winnowing_fingerprints(col: Column | str, k: int = 4, w: int = 5) -> Column:
             ),
         ).otherwise(F.array().cast("array<long>"))
 
+    gram_hashes = F.element_at(F.transform(F.array(tokens(col)), grams), 1)
     return F.element_at(F.transform(F.array(gram_hashes), pick), 1)
 
 

@@ -963,6 +963,8 @@ _TOKENIZE_ONCE = {
     "doc_repetition_stats": 1,
     "dedup_minhash_lsh_pairs": 1,
     "dedup_ngram_jaccard_topk": 1,
+    "doc_winnowing_census": 1,
+    "dedup_winnowing_pairs": 1,
 }
 
 
