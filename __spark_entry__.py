@@ -49,111 +49,31 @@ def _driver_attempted() -> set[str]:
 # of rotation, plus queries whose IMPLEMENTATION changed this round
 # so their existing driver rows attest to deleted code (the
 # tpch_q17/orders_price_drift_chi2 standard from rounds 4-5).
-# Round 12:
-#   - The synthetic flights generator's unique_id key-space was
-#     widened (CRSDepTime full 1440-minute period, FlightNum over the
-#     prime field 9973 — sources/synthetic.py), so the flights
-#     FIXTURE DATA changed: every flights_* and ml_* row from past
-#     rounds attests to the old data and must re-attest (27 entries —
-#     both engines embed the same generator SQL, so oracles replay).
-#   - media_mixed_codec_stats: rows CHANGED (doc_id mod 4 now routes
-#     PPM/BMP/PNG/GIF; the GIF arm is the new LZW codec).
-#   - ann_ivfadc_recall_panel: rows CHANGED (two new two-level-IVFADC
-#     recall columns at equal code budget).
-#   - ann_ivf_drift_refit / ann_ivf_two_level_drift_refit: newly
-#     ORACLE-BACKED (were rows-only) — the driver row should record
-#     the hash match, not the old rows-only check.
-#   - minhash family (10) + doc_winnowing_census: minhash_signatures,
-#     shingles, and winnowing_fingerprints were restructured (the
-#     let-binding fixes) — outputs verified bit-identical in-session,
-#     lineage changed. (dedup_winnowing_pairs shares the winnowing
-#     lineage and was equally verified; ann_ivf_two_level_layout_probe
-#     yielded its slot — its two_level_assign lineage is covered by
-#     the four remaining two-level exemplars.)
-#   - two-level ANN family (5): two_level_assign now raises on
-#     bookless-cell streaming assignment; the IVFADC topk ADC fold
-#     seeds a typed NULL — values invariant, shared lineage changed.
-#   - media_ppm_decode_stats / media_byte_stats: decode_features
-#     gained the GIF dispatch arm; PNG decode gained bounded-inflate
-#     and IHDR-length guards — values invariant, lineage changed.
+# Round 13 (all 47 round-12 must-haves attested green in r12):
+#   - media_gif_decode_stats: the single never-attempted catalog
+#     entry (round-12 verdict item 2 — deferred at rotation head);
+#     seating its driver row makes the catalog 100% attested.
+#   - media_phash_container_invariant_near_dup /
+#     corpus_dedup_store_compaction: NEW this round (verdict items
+#     3 and 7) — decode-normalize perceptual dedup over the
+#     cross-container clone corpus, and per-partition compaction +
+#     pruned-screen verification of the LSH bucket store.
+# No existing query's lineage changed this round (the new media
+# clone builder and phash_chunks_normalized are new functions; the
+# new layout.compact_partitioned is additive), so no re-attestation
+# tier is needed and the remaining ~47 slots fall to tier 5
+# (cheapest already-attested oracle-backed queries re-verify).
 _MUST_HAVE: list[str] = [
-    # rows changed: fixture key-space widening (flights + ml)
-    "flights_clean_summary",
-    "flights_cyclical_time",
-    "flights_enrich_manufacturer",
-    "flights_label_confusion",
-    "flights_missing_tailnum",
-    "flights_polar_coordinates",
-    "flights_prepare_summary",
-    "flights_residual_histogram",
-    "flights_residual_summary",
-    "flights_tod_buckets",
-    "flights_tod_buckets_udf",
-    "flights_tod_prediction_means",
-    "flights_unique_id_stats",
-    "flights_weekend_timegap",
-    "ml_mean_fallback",
-    "ml_imputer_stats",
-    "ml_tree_sql_scoring_parity",
-    "ml_tree_sql_codegen_ceiling",
-    "ml_tree_sql_depth15_parity",
-    "ml_decision_tree_metrics",
-    "ml_feature_pipeline_stats",
-    "ml_linear_regression_metrics",
-    "ml_random_forest_metrics",
-    "ml_gbt_metrics",
-    "ml_cross_validation",
-    "ml_feature_importance",
-    "ml_isotonic_calibration",
-    # rows changed: this round's edits
-    "media_mixed_codec_stats",
-    "ann_ivfadc_recall_panel",
-    # newly oracle-backed
-    "ann_ivf_drift_refit",
-    "ann_ivf_two_level_drift_refit",
-    # lineage changed, values verified invariant in-session — one
-    # exemplar per changed helper (minhash_signatures + shingles +
-    # quality_score + predict_language let-binding fixes; kmeans
-    # bookless guard; decode_features GIF arm)
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_est_accuracy",
-    "training_corpus_prep",
-    "dedup_ngram_jaccard_topk",
-    "corpus_decontaminate",
-    "doc_quality_buckets",
-    "corpus_importance_resample",
-    "corpus_weighted_sample_topk",
-    "doc_language_confusion",
-    "doc_langid_method_agreement",
-    "doc_gopher_rule_census",
-    "doc_winnowing_census",
-    "ann_ivf_two_level_topk",
-    "ann_ivf_two_level_streaming_ingest",
-    "ann_ivfadc_two_level_topk",
-    "ann_ivfadc_two_level_streaming_encode",
+    "media_gif_decode_stats",
+    "media_phash_container_invariant_near_dup",
+    "corpus_dedup_store_compaction",
 ]
-# 47 must-haves + the three never-attempted round-12 additions
-# (customer_t_closeness_numeric_emd, corpus_streaming_ingest_dedup,
-# media_phash_mixed_codec_near_dup — tier 2) fill the 50-slot window
-# exactly. media_byte_stats / media_ppm_decode_stats (their
-# decode_features lineage change is the GIF dispatch arm their rows
-# never take) were verified in both in-session full driver-sims and
-# yield their slots. The remaining lineage-touched minhash/quality
-# consumers (band_tuning, bbit, clusters, containment,
-# full_pipeline, leakage_safe_split, decontaminate_report,
-# family_agreement, survivor_bias, lsh_levenshtein) are derivative
-# of re-attested parents and were verified value-identical
-# in-session; they yield their slots to the rows-changed fixture
-# set.
 
 # Fresh queries pushed to the BACK of the fresh tier (subsumed by a
 # sibling, or added mid-round so they must not displace the older
-# never-attempted backlog). Round 12: media_gif_decode_stats landed
-# after the window filled (47 must + 3 fresh); its codec is already
-# pinned this round via media_mixed_codec_stats + the GIF unit
-# tests, so it waits for a round-13 slot rather than displacing
-# corpus_streaming_ingest_dedup.
-_DEFER: list[str] = ["media_gif_decode_stats"]
+# never-attempted backlog). Round 13: empty — the round-12 deferral
+# (media_gif_decode_stats) is promoted to the must-have head.
+_DEFER: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -275,6 +275,11 @@ HEADLINE = [
     "corpus_streaming_ingest_dedup",
     "media_phash_mixed_codec_near_dup",
     "media_gif_decode_stats",
+    # round-13 additions: decode-normalize container-invariant
+    # perceptual dedup (clone corpus), and dedup-store compaction +
+    # pruned-screen maintenance
+    "media_phash_container_invariant_near_dup",
+    "corpus_dedup_store_compaction",
 ]
 
 
@@ -461,6 +466,31 @@ def _one_rep_names(names: list[str]) -> set[str]:
 CANARY = "ml_decision_tree_metrics"
 CANARY_QUIET_REF_SEC = 9.0
 
+#: FRESH-SESSION canary reference (round-12 verdict gap #3): the 9.0 s
+#: reference above is calibrated MID-BATTERY (after ~25 queries have
+#: JIT-warmed the JVM and populated the session's fit caches). An
+#: ISOLATED mini-battery — fresh process, warmup query, then the
+#: canary — pays first-session JIT + the uncached MLlib fit and reads
+#: far higher on the SAME quiet box: measured this round 15.9/18.4 s
+#: (warm page cache) AND 31.7/35.9 s (cold page cache, loadavg_start
+#: 1.1 — a certifiably quiet box); the round-12 judge measured
+#: 18.6/24.8 s, SCALE.md notes 13.3 s. 16.0 is the warm-cache floor;
+#: the quiet band extends to ~2.3× that under a cold page cache, so
+#: the fresh canary CONTEXTUALIZES isolated readings (an 18-30 s
+#: isolated canary is normal, not contamination) but cannot certify
+#: quietness by itself — loadavg_start, recorded in every artifact,
+#: is the primary certification signal. `SPARK_GRAFT_BENCH_CANARY=1`
+#: runs exactly this mini-battery and prints both refs + loadavg.
+CANARY_FRESH_SESSION_REF_SEC = 16.0
+
+#: Battery-start 1-min loadavg above this ⇒ external host load ⇒
+#: contaminated (the round-12 memory: intermittent external load
+#: defeats the early canary — two round-11 runs had quiet canaries
+#: but 2-5x back halves). 6.0, not 2.0, because a RETRY process
+#: measures ~3 min after our own 32-thread battery stopped and the
+#: decaying 1-min average still carries ~e^-3 of that run's load.
+LOADAVG_START_MAX = 6.0
+
 #: Quiet-total model: per-query baselines are committed as the MAX of
 #: two canary-verified runs, so their sum over-states any single quiet
 #: run's total — round-11 quiet runs landed at 0.69-0.74x the baseline
@@ -507,9 +537,57 @@ def _baseline_queries() -> dict[str, float]:
         return json.load(f).get("queries", {})
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages, rounded for artifact compactness."""
+    return [round(x, 2) for x in os.getloadavg()]
+
+
+def _canary_main() -> None:
+    """Isolated mini-battery self-certification (round-12 verdict gap
+    #3): fresh process → warmup → the canary once, printed with BOTH
+    references and the loadavg evidence, so an isolated re-measure can
+    certify itself quiet without the full battery."""
+    import json as _json
+    import time as _time
+
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+    from flight_delay_prediction_using_pyspark_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = _loadavg()
+    spark = get_spark(app_name="spark-graft-canary")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = _time.perf_counter()
+    QUERIES["pricing_summary"](spark, sf_dir).toPandas()
+    warm = round(_time.perf_counter() - t0, 2)
+    t0 = _time.perf_counter()
+    QUERIES[CANARY](spark, sf_dir).toPandas()
+    canary = round(_time.perf_counter() - t0, 2)
+    spark.stop()
+    print(_json.dumps({
+        "metric": "fresh_session_canary",
+        "canary_sec": canary,
+        "warmup_sec": warm,
+        "fresh_ref_sec": CANARY_FRESH_SESSION_REF_SEC,
+        "mid_battery_ref_sec": CANARY_QUIET_REF_SEC,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        # loadavg is the PRIMARY quiet signal: a cold page cache puts
+        # an honest fresh canary at ~2.3x the warm-cache floor even at
+        # loadavg 1.1 (measured), so the canary only corroborates.
+        "quiet": bool(load_start[0] < 2.0),
+        "canary_within_fresh_band": bool(
+            canary <= 2.3 * CANARY_FRESH_SESSION_REF_SEC
+        ),
+    }, separators=(",", ":")), flush=True)
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
         _scaling_main()
+        return
+    if os.environ.get("SPARK_GRAFT_BENCH_CANARY") == "1":
+        _canary_main()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -518,6 +596,11 @@ def main() -> None:
     from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
     from flight_delay_prediction_using_pyspark_spark.session import get_spark
 
+    # Load evidence (round-12 verdict item 1 + the host-contention
+    # memory): record loadavg at battery start — BEFORE our own Spark
+    # session adds load — so adjudication can distinguish external
+    # contention from genuine regressions without a re-measure cycle.
+    load_start = _loadavg()
     spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -543,6 +626,12 @@ def main() -> None:
     # each.
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    #: 1-min loadavg sampled as each query finishes — per-REGRESSION
+    #: evidence (a flagged query whose load1 spikes vs its neighbors
+    #: was hit by a burst, not a code change). Our own 32-thread run
+    #: keeps the absolute level elevated; the SIGNAL is the spike
+    #: relative to the battery's own band.
+    load1: dict[str, float] = {}
     one_rep = _one_rep_names(names)
     for name in names:
         reps: list[float] = []
@@ -561,6 +650,7 @@ def main() -> None:
                 n_reps = 3
         timings[name] = round(min(reps), 2)
         all_reps[name] = reps
+        load1[name] = round(os.getloadavg()[0], 1)
 
     # Auto-retry on contamination (round-8 verdict, process item;
     # widened round 11): per-query numbers are unadjudicatable when
@@ -587,21 +677,28 @@ def main() -> None:
         if adjudicated
         else TOTAL_QUIET_REF_FALLBACK_SEC
     )
+    load_end = _loadavg()
+    # THREE contamination signals (round-12 item 1 adds the third):
+    # the early canary catches a hot start, the battery total catches
+    # mid-run bursts the canary misses, and battery-START loadavg
+    # catches external load already present before our session added
+    # any (measured before get_spark, so it is purely ambient).
     contaminated = bool(
         sf == 0.1
         and (
             (canary_val is not None
              and canary_val > 1.3 * CANARY_QUIET_REF_SEC)
             or total_val > 1.25 * total_quiet_ref
+            or load_start[0] > LOADAVG_START_MAX
         )
     )
     if contaminated and not os.environ.get("SPARK_GRAFT_BENCH_RETRIED"):
         spark.stop()
-        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "120")))
+        time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "180")))
         os.environ["SPARK_GRAFT_BENCH_RETRIED"] = "1"
         os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
-    _report_regressions(timings, sf)
+    _report_regressions(timings, sf, load_start, load_end, load1)
 
     headline = {n: t for n, t in timings.items() if n in set(HEADLINE)}
     # The driver captures only the LAST 2000 chars of stdout (verified:
@@ -618,6 +715,8 @@ def main() -> None:
         "sec": canary_val,
         "quiet_ref_sec": CANARY_QUIET_REF_SEC if sf == 0.1 else None,
         "total_quiet_ref_sec": round(total_quiet_ref, 1) if sf == 0.1 else None,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
         "contaminated": contaminated,
         "retried": bool(os.environ.get("SPARK_GRAFT_BENCH_RETRIED")),
     }
@@ -646,6 +745,7 @@ def main() -> None:
         "canary": canary,
         "queries": headline,
         "reps": all_reps,
+        "load1": load1,
         "sf": sf,
     }
     if full:
@@ -658,12 +758,23 @@ def main() -> None:
     print(line, flush=True)
 
 
-def _report_regressions(timings: dict[str, float], sf: float) -> None:
+def _report_regressions(
+    timings: dict[str, float],
+    sf: float,
+    load_start: list[float] | None = None,
+    load_end: list[float] | None = None,
+    load1: dict[str, float] | None = None,
+) -> None:
     """Compare against the committed baseline (bench_baseline.json) and
     write per-query regressions to bench_regressions.txt (never stdout:
     the contract line must be the last thing a tail-capture sees).  Box
     contention can inflate wall-clock 1.5x+, so flag only >1.5x AND
-    >0.5s absolute; rerun isolated before believing a regression."""
+    >0.5s absolute; each flag carries the 1-min loadavg sampled when
+    that query finished plus the battery's start/end loadavg, so
+    adjudication can read load artifacts off the file instead of
+    burning a re-measure cycle (round-11/12 both spent theirs on
+    this). Rerun isolated before believing a regression."""
+    load1 = load1 or {}
     path = os.environ.get(
         "SPARK_GRAFT_BASELINE", os.path.join(REPO_ROOT, "bench_baseline.json")
     )
@@ -676,9 +787,12 @@ def _report_regressions(timings: dict[str, float], sf: float) -> None:
     ref = base.get("queries", {})
     lines = [
         f"REGRESSION {n}: {ref[n]:.2f}s -> {t:.2f}s"
+        + (f" (load1@query={load1[n]})" if n in load1 else "")
         for n, t in sorted(timings.items(), key=lambda r: ref.get(r[0], 0) - r[1])
         if n in ref and t > 1.5 * ref[n] and t - ref[n] > 0.5
     ] or ["bench: no regressions vs baseline"]
+    if load_start is not None:
+        lines.append(f"loadavg_start={load_start} loadavg_end={load_end}")
     with open(os.path.join(REPO_ROOT, "bench_regressions.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

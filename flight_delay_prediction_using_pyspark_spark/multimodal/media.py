@@ -1236,6 +1236,146 @@ def phash_near_dup(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
     return ham.filter(F.col("hamming") <= max_hamming)
 
 
+def attach_media_clones(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CROSS-CONTAINER CLONE corpus: each document defines ONE
+    canonical grayscale image (w = 1 + n mod 13, h = 1 + n mod 11,
+    gray[p] = text_byte[p mod n] — the same deterministic dimensions
+    as the other synthetic builders), and that SAME image is encoded
+    into all four containers — P6 PPM, 24-bit BMP, and RGB PNG carry
+    it as tripled-gray RGB ((g, g, g) per pixel); GIF89a carries it
+    as palette indices through the identity grayscale palette. One
+    mapInPandas fan-out stage: each input row yields four rows with
+    media_id = 4·doc_id + arm (0=PPM, 1=BMP, 2=PNG, 3=GIF), so the
+    arm and the document both recover from the id by integer
+    arithmetic.
+
+    This is the fixture the container-invariant dedup contract needs
+    (the round-12 mixed-codec builders deliberately encode DIFFERENT
+    images per container — text bytes tile 3wh RGB bytes vs wh
+    palette indices — so their cross-container hashes honestly
+    differ): here 'same content, different container' is true by
+    construction, and a decode-normalize pipeline must pair the
+    clones at Hamming 0."""
+    meta_type = T.StructType(
+        [
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", meta_type),
+        ]
+    )
+    enc_bmp, enc_png, enc_gif = encode_bmp, encode_png, encode_gif
+    types = (PPM_MEDIA_TYPE, BMP_MEDIA_TYPE, PNG_MEDIA_TYPE, GIF_MEDIA_TYPE)
+    tcol, icol = text_col, id_col
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[icol], pdf[tcol]):
+                tb = str(text).encode("utf-8")
+                n = len(tb)
+                if n == 0:
+                    continue
+                w, h = n % 13 + 1, n % 11 + 1
+                gray = (tb * (w * h // n + 1))[: w * h]
+                rgb = bytes(v for g in gray for v in (g, g, g))
+                header = f"P6\n# spark-graft synthetic\n{w} {h}\n255\n"
+                payloads = (
+                    header.encode("ascii") + rgb,
+                    enc_bmp(w, h, rgb),
+                    enc_png(w, h, rgb),
+                    enc_gif(w, h, gray),
+                )
+                for arm, (mt, payload) in enumerate(zip(types, payloads)):
+                    rows.append(
+                        (
+                            int(doc_id) * 4 + arm,
+                            payload,
+                            {
+                                "media_type": mt,
+                                "width": w,
+                                "height": h,
+                                "n_bytes": len(payload),
+                            },
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "media_meta"])
+
+    return df.mapInPandas(build, schema=schema)
+
+
+def phash_chunks_normalized(
+    df: DataFrame, target: int = 8, chunk_bits: int = 16, id_col: str = "media_id"
+) -> DataFrame:
+    """phash_chunks_codec with the DECODE-NORMALIZE stage in front —
+    the production semantics of 'same image, different container'
+    (the gap the round-12 phash query's docstring conceded): every
+    payload is genuinely decoded through its container's codec, the
+    decoded raster is normalized to CANONICAL GRAYSCALE — integer
+    luma (R + G + B) div 3 per pixel, exact for the gray-encoded
+    corpus and a real luma approximation for arbitrary RGB — and the
+    average-hash samples the canonical target×target grid over the
+    normalized grayscale. Containers that render the same image
+    therefore hash identically REGARDLESS of how they carried it
+    (tripled-gray RGB vs palette indices), with no per-arm stride
+    anywhere downstream. Corrupt containers raise, never hash
+    garbage. Same integer above-mean bits and pigeonhole chunk shape
+    as the other phash builders, keyed by `id_col`."""
+    src = df.filter(F.octet_length("payload") > 0).select(
+        F.col(id_col).alias("doc_id"),
+        "payload",
+        F.col("media_meta.media_type").alias("mt"),
+    )
+    t = target
+    n_bits = t * t
+    n_chunks = n_bits // chunk_bits
+    # `<locals>` qualnames ⇒ cloudpickled by value (decode_features
+    # discipline: executor workers never import this package)
+    codecs = {
+        PPM_MEDIA_TYPE: decode_ppm,
+        BMP_MEDIA_TYPE: decode_bmp,
+        PNG_MEDIA_TYPE: decode_png,
+        GIF_MEDIA_TYPE: decode_gif,
+    }
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mt"]
+            ):
+                w, h, _mx, raster = codecs[str(mt)](bytes(payload))
+                gray = [
+                    (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+                    for p in range(w * h)
+                ]
+                px = [
+                    gray[((r * h) // t) * w + (c * w) // t]
+                    for r in range(t)
+                    for c in range(t)
+                ]
+                s = sum(px)
+                for ci in range(n_chunks):
+                    val = 0
+                    for b in range(chunk_bits):
+                        j = ci * chunk_bits + b
+                        if n_bits * px[j] > s:
+                            val |= 1 << b
+                    rows.append((int(media_id), ci, val))
+            yield pd.DataFrame(rows, columns=["doc_id", "ci", "val"])
+
+    return src.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
 def decode_features_arrow(df: DataFrame, carry_cols: Sequence[str] = ()) -> DataFrame:
     """`mapInArrow` sibling of decode_features: the same byte features
     computed straight on the Arrow RecordBatch — ZERO pandas

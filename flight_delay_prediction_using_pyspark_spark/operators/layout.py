@@ -123,6 +123,62 @@ def compact_small_files(
     return n_out
 
 
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Per-partition small-file compaction for a Hive-partitioned
+    layout (the OPTIMIZE shape for append-only partitioned stores —
+    streaming foreachBatch sinks accumulate one file batch per
+    partition per trigger, and a store appended 4× a day holds 4×
+    the files a pruned read should pay for). Each fragmented
+    partition directory (≥ `min_files` data files) is rewritten IN
+    PLACE to ceil(bytes / target_file_bytes) files; partitions
+    already compact are left untouched, so repeated maintenance runs
+    are idempotent and cheap. Returns {partition_dir_name: new file
+    count} for the rewritten partitions.
+
+    Scale shape: the driver only LISTS partition directories (the
+    same metadata walk any table-maintenance planner does); each
+    rewrite is a distributed coalesce job over that partition's files
+    only, so maintenance cost is proportional to the fragmented data,
+    not the store. At warehouse scale the per-partition rewrites
+    would be submitted concurrently and gated by a manifest/lock
+    (Delta/Iceberg OPTIMIZE); the in-place swap-by-rename here is the
+    filesystem analogue."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    out: dict[str, int] = {}
+    for part_dir in sorted(glob.glob(os.path.join(path, f"{partition_col}=*"))):
+        files = [
+            f
+            for f in glob.glob(os.path.join(part_dir, "part-*"))
+            if not f.endswith(".crc")
+        ]
+        if len(files) < min_files:
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(files):
+            continue
+        # Read THIS partition's files only (the partition value lives
+        # in the directory name and is re-encoded by the destination
+        # dir, so the rewritten rows need not carry the column).
+        df = spark.read.parquet(part_dir)
+        tmp = part_dir.rstrip("/") + "__compact_tmp"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        out[os.path.basename(part_dir)] = n_out
+    return out
+
+
 def md5_key_bucket(key_cols, n_buckets: int) -> F.Column:
     """Deterministic hash bucket of a (possibly composite) key:
     portable md5 (engine-stable, unlike F.hash's JVM-coupled

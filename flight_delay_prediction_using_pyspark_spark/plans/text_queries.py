@@ -2840,6 +2840,178 @@ def q_corpus_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "corpus_dedup_store_compaction",
+    oracle=f"""
+    WITH {_minhash_ctes(0.5)},
+    near_ids AS (
+      SELECT DISTINCT id_b AS doc_id FROM verified
+      WHERE id_a < {_INGEST_SPLIT} AND id_b >= {_INGEST_SPLIT}
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT band) FROM bands
+                 WHERE doc_id < {_INGEST_SPLIT}) AS BIGINT) AS n_bands,
+           CAST((SELECT COUNT(*) FROM bands
+                 WHERE doc_id < {_INGEST_SPLIT}) AS BIGINT) AS n_store_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) FILTER (WHERE nr.doc_id IS NOT NULL) AS BIGINT)
+             AS n_near_dup,
+           CAST(COUNT(*) FILTER (WHERE nr.doc_id IS NULL) AS BIGINT)
+             AS n_accepted,
+           TRUE AS contract_ok
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_INGEST_SPLIT}) b
+    LEFT JOIN near_ids nr USING (doc_id)
+    """,
+)
+def q_corpus_dedup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-store MAINTENANCE — the missing half of the
+    corpus_streaming_ingest_dedup lifecycle (round-12 verdict item 7):
+    the band-partitioned LSH bucket store accumulates small files
+    under continued appends (4 append passes here, each leaving ≥1
+    file per band directory), periodic compaction
+    (layout.compact_partitioned — per-partition OPTIMIZE, in-place,
+    idempotent) rewrites each fragmented band directory to its
+    target-size file count, and the daily screen then runs against
+    the COMPACTED store: the batch's band buckets equi-join the
+    store's (short-key candidates, band-pruned scan), exact
+    shingle-Jaccard ≥ 0.5 verifies.
+
+    Both halves of the maintenance contract are pinned: DATA — the
+    oracle independently rederives from `documents` what the store
+    must contain (n_store_rows = the corpus's band-bucket rows) and
+    what the screen must report (n_near_dup/n_accepted), so losing
+    even one row in the rewrite hash-mismatches; PHYSICAL —
+    contract_ok asserts the store shrank to exactly one file per
+    band directory, every band directory survived, the screen's
+    single-band pruned read touches fewer files than before
+    compaction, and zero rows were lost (before/after counts equal).
+
+    Scale shape: appends never rescan the store; compaction cost is
+    proportional to the fragmented partitions only (driver lists
+    directories, each rewrite is a distributed job over one
+    partition's files); the screen is the same band equi-join as
+    every LSH query against a store whose per-band file count is now
+    1 — the listing/footer overhead a 100 TB daily screen would
+    otherwise pay 4×/day forever."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from flight_delay_prediction_using_pyspark_spark.operators import layout as L
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = TD.minhash_signatures(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
+    buckets = TD.lsh_band_buckets(sigs)
+    corpus_buckets = buckets.filter(F.col("doc_id") < _INGEST_SPLIT)
+    store = tempfile.mkdtemp(prefix="dedup_store_")
+
+    def n_files(pattern: str = "band=*") -> int:
+        return len(
+            [
+                f
+                for f in glob.glob(os.path.join(store, pattern, "part-*"))
+                if not f.endswith(".crc")
+            ]
+        )
+
+    try:
+        # 4 append passes (a day of 6-hourly ingest batches): each
+        # leaves >= 1 new file in every band directory it touches.
+        for p in range(4):
+            (
+                corpus_buckets.filter(F.col("doc_id") % 4 == p)
+                .write.mode("append")
+                .partitionBy("band")
+                .parquet(store)
+            )
+        files_before = n_files()
+        band_dirs_before = len(glob.glob(os.path.join(store, "band=*")))
+        pruned_before = n_files("band=0")
+        rows_before = spark.read.parquet(store).count()
+
+        compacted = L.compact_partitioned(
+            spark, store, "band", target_file_bytes=512 * 1024 * 1024
+        )
+
+        files_after = n_files()
+        band_dirs_after = len(glob.glob(os.path.join(store, "band=*")))
+        pruned_after = n_files("band=0")
+        store_buckets = spark.read.option("basePath", store).parquet(store)
+        rows_after = store_buckets.count()
+
+        batch_buckets = buckets.filter(F.col("doc_id") >= _INGEST_SPLIT)
+        cand = (
+            store_buckets.select(
+                F.col("band").cast("int").alias("band"),
+                "band_hash",
+                F.col("doc_id").alias("id_a"),
+            )
+            .join(
+                batch_buckets.select(
+                    F.col("band").cast("int").alias("band"),
+                    "band_hash",
+                    F.col("doc_id").alias("id_b"),
+                ),
+                ["band", "band_hash"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh = sigs.select("doc_id", "shingles")
+        near_ids = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+                ),
+                "id_b",
+            )
+            .filter(TD.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("is_near", F.lit(True))
+        )
+        contract_ok = bool(
+            files_after < files_before
+            and band_dirs_after == band_dirs_before
+            and files_after == band_dirs_after
+            and len(compacted) == band_dirs_after
+            and pruned_after < pruned_before
+            and pruned_after == 1
+            and rows_after == rows_before
+        )
+        row = (
+            docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
+            .select("doc_id")
+            .join(near_ids, "doc_id", "left")
+            .agg(
+                F.lit(band_dirs_after).cast("long").alias("n_bands"),
+                F.lit(rows_after).cast("long").alias("n_store_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_batch"),
+                F.count(F.col("is_near")).cast("long").alias("n_near_dup"),
+                F.count(F.when(F.col("is_near").isNull(), 1))
+                .cast("long")
+                .alias("n_accepted"),
+                F.lit(contract_ok).alias("contract_ok"),
+            )
+            .first()
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_bands long, n_store_rows long, n_batch long, "
+        "n_near_dup long, n_accepted long, contract_ok boolean",
+    )
+
+
+@query(
     "corpus_normalization_gain",
     oracle=r"""
     SELECT lang,

@@ -52,6 +52,81 @@ def test_shared_cache_first_consumer_gets_one_cold_rep():
             assert first in one_rep, (members, first)
 
 
+def test_contamination_gate_constants_pinned():
+    """Round-12 verdict item 1: the fresh-session canary reference and
+    the loadavg-start gate exist and sit in their measured bands —
+    fresh-session canary floor measured 15.9-18.4 s warm-cache on a
+    quiet box (36 s first-ever cold-cache), mid-battery 9.0 s; the
+    loadavg gate must clear a retry process' own decayed load (~e^-3
+    of a 32-thread battery after the 180 s retry sleep) but catch the
+    loadavg 4.7-7.9 band that contaminated the r12 8M soak."""
+    assert bench.CANARY_QUIET_REF_SEC == 9.0
+    assert 13.0 <= bench.CANARY_FRESH_SESSION_REF_SEC <= 26.0
+    assert bench.CANARY_FRESH_SESSION_REF_SEC > bench.CANARY_QUIET_REF_SEC
+    assert 2.0 < bench.LOADAVG_START_MAX <= 8.0
+
+
+def test_regression_lines_carry_load_evidence(tmp_path, monkeypatch):
+    """Every REGRESSION line carries the 1-min loadavg sampled at that
+    query's completion, and the file ends with the battery start/end
+    loadavg — so adjudication reads load artifacts off the file
+    instead of burning a re-measure cycle (rounds 11 AND 12 each
+    spent theirs proving driver flags were host load)."""
+    import json
+
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps({"sf": 0.1, "queries": {"q_slow": 1.0, "q_ok": 1.0}}))
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE", str(base))
+    monkeypatch.setattr(bench, "REPO_ROOT", str(tmp_path))
+    bench._report_regressions(
+        {"q_slow": 2.5, "q_ok": 1.1},
+        0.1,
+        load_start=[0.5, 0.4, 0.3],
+        load_end=[12.0, 6.0, 3.0],
+        load1={"q_slow": 14.5, "q_ok": 11.0},
+    )
+    text = (tmp_path / "bench_regressions.txt").read_text()
+    assert "REGRESSION q_slow: 1.00s -> 2.50s (load1@query=14.5)" in text
+    assert "q_ok" not in text.split("loadavg_start")[0]
+    assert "loadavg_start=[0.5, 0.4, 0.3]" in text
+    assert "loadavg_end=[12.0, 6.0, 3.0]" in text
+
+
+def test_quiet_run_regression_file_still_carries_load(tmp_path, monkeypatch):
+    import json
+
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps({"sf": 0.1, "queries": {"q": 1.0}}))
+    monkeypatch.setenv("SPARK_GRAFT_BASELINE", str(base))
+    monkeypatch.setattr(bench, "REPO_ROOT", str(tmp_path))
+    bench._report_regressions(
+        {"q": 1.0}, 0.1, load_start=[0.1, 0.2, 0.3], load_end=[9.0, 4.0, 2.0]
+    )
+    text = (tmp_path / "bench_regressions.txt").read_text()
+    assert "no regressions" in text
+    assert "loadavg_start=[0.1, 0.2, 0.3]" in text
+
+
+def test_coverage_doc_counts_match_catalog():
+    """Round-12 verdict item 5: COVERAGE.md's header counts drifted
+    (said 303/286 when the catalog was 307/292). Pin the literal
+    header numbers to the live catalog so the docs cannot drift
+    again."""
+    import os
+    import re
+
+    with open(os.path.join(bench.REPO_ROOT, "COVERAGE.md")) as f:
+        head = f.read(2000)
+    m = re.search(r"(\d+) catalog queries, (\d+) oracle-backed", head)
+    assert m, "COVERAGE.md header must state 'N catalog queries, M oracle-backed'"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md says {m.group(1)} queries, catalog has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"COVERAGE.md says {m.group(2)} oracle-backed, catalog has {len(ORACLES)}"
+    )
+
+
 def test_catalog_cost_hints_cover_every_query():
     import json
     import os

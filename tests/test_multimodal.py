@@ -590,3 +590,64 @@ def test_gif_codec_roundtrip_property_based():
         )
 
     check()
+
+
+def test_attach_media_clones_same_image_all_containers(docs):
+    """The clone builder encodes ONE canonical grayscale image per doc
+    into all four containers: decoding each arm and normalizing to
+    integer luma must recover the IDENTICAL gray raster."""
+    rows = {r.media_id: r for r in M.attach_media_clones(docs).collect()}
+    assert len(rows) == 3 * 4
+    decoders = (M.decode_ppm, M.decode_bmp, M.decode_png, M.decode_gif)
+    types = (M.PPM_MEDIA_TYPE, M.BMP_MEDIA_TYPE, M.PNG_MEDIA_TYPE, M.GIF_MEDIA_TYPE)
+    for doc_id, text in ((0, b"abcd"), (1, b"hello world, twelve bytes!?")):
+        n = len(text)
+        w, h = n % 13 + 1, n % 11 + 1
+        want = bytes((text * (w * h // n + 1))[: w * h])
+        grays = []
+        for arm, (dec, mt) in enumerate(zip(decoders, types)):
+            r = rows[doc_id * 4 + arm]
+            assert r.media_meta.media_type == mt
+            dw, dh, _mx, raster = dec(bytes(r.payload))
+            assert (dw, dh) == (w, h)
+            grays.append(
+                bytes(
+                    (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+                    for p in range(dw * dh)
+                )
+            )
+        assert all(g == want for g in grays), doc_id
+
+
+def test_phash_normalized_chunks_identical_across_containers(docs):
+    """Decode-normalize erases the container: all four arms of each
+    doc produce bit-identical chunk values (⇒ the near-dup query
+    pairs every clone at Hamming 0), with 4 chunk rows per arm."""
+    import collections
+
+    chunks = M.phash_chunks_normalized(M.attach_media_clones(docs)).collect()
+    per_doc = collections.defaultdict(dict)
+    for r in chunks:
+        per_doc[r.doc_id // 4].setdefault(r.doc_id % 4, {})[r.ci] = r.val
+    assert set(per_doc) == {0, 1, 2}
+    for doc_id, arms in per_doc.items():
+        assert set(arms) == {0, 1, 2, 3}, doc_id
+        ref = arms[0]
+        assert len(ref) == 4
+        assert all(arms[a] == ref for a in (1, 2, 3)), doc_id
+
+
+def test_container_invariant_near_dup_pairs_all_clones(spark):
+    """Catalog-level contract: every document contributes its 6
+    cross-container clone pairs at Hamming 0 and same_doc=True; any
+    extra pairs are cross-document collisions marked same_doc=False."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import QUERIES
+
+    out = QUERIES["media_phash_container_invariant_near_dup"](
+        spark, SF_CORRECTNESS_DIR
+    ).toPandas()
+    n_docs = 500
+    same = out[out.same_doc]
+    assert len(same) == 6 * n_docs
+    assert (same.hamming == 0).all()
+    assert (out[~out.same_doc].id_a // 4 != out[~out.same_doc].id_b // 4).all()

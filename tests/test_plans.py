@@ -304,6 +304,38 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_compact_partitioned_per_partition_in_place(spark, tmp_path):
+    """Partitioned-store compaction: appended fragments collapse to
+    one file per fragmented partition directory, already-compact
+    partitions are untouched (idempotent), partition values survive
+    the in-place swap, and the data round-trips exactly."""
+    import glob
+
+    path = str(tmp_path / "store")
+    df = spark.range(0, 300).withColumn("k", (F.col("id") % 3).cast("int"))
+    for _ in range(3):
+        df.repartition(2).write.mode("append").partitionBy("k").parquet(path)
+
+    def files(k):
+        return [
+            f
+            for f in glob.glob(f"{path}/k={k}/part-*")
+            if not f.endswith(".crc")
+        ]
+
+    assert all(len(files(k)) >= 3 for k in range(3))
+    out = L.compact_partitioned(spark, path, "k", target_file_bytes=1 << 40)
+    assert set(out) == {"k=0", "k=1", "k=2"}
+    assert all(len(files(k)) == 1 for k in range(3))
+    back = spark.read.option("basePath", path).parquet(path)
+    assert back.count() == 900
+    assert back.groupBy("k").count().orderBy("k").collect() == [
+        (k, 300) for k in range(3)
+    ]
+    # idempotent: a second maintenance pass rewrites nothing
+    assert L.compact_partitioned(spark, path, "k", target_file_bytes=1 << 40) == {}
+
+
 def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
     """Z-ordered files cover compact (x, y) rectangles: per-file spans
     of BOTH dimensions are a fraction of the full range, where a
@@ -944,40 +976,68 @@ def test_dp_geometric_threshold_table():
     assert min(draws) >= -16 and max(draws) <= 16
 
 
-#: Round-12 let-binding guard: the text tier's expensive expressions
+#: Round-12 let-binding guard, generalized CATALOG-WIDE in round 13
+#: (round-12 verdict item 6): the text tier's expensive expressions
 #: (tokenizer, shingles, quality score) are let-bound behind
 #: 1-element-array transforms / Generate barriers so HOF-bearing
 #: (interpreted, no-CSE) projections evaluate them ONCE per document.
 #: Catalyst's CollapseProject + filter pushdown silently undo that if
 #: an edit reintroduces a multi-reference (round-12 plan audit found
 #: up to 34 tokenizer runs per document); this pins the per-NODE
-#: duplication ceiling of the optimized plan directly.
-_TOKENIZE_ONCE = {
-    # query -> max occurrences of the tokenizer subtree in ONE node
-    "doc_quality_buckets": 2,      # one in the score, one in the count
-    "corpus_importance_resample": 2,
-    "corpus_weighted_sample_topk": 2,
+#: duplication ceiling of the optimized plan for EVERY text-tier
+#: catalog entry, so the next helper added cannot silently
+#: reintroduce ~10x hidden work. Default ceiling 2 (one tokenization
+#: of text plus one of a derived form); tighter/looser pins below.
+_TOKENIZE_BUDGET_DEFAULT = 2
+_TOKENIZE_BUDGET = {
+    # the round-12 fixes hold these at exactly one tokenization
     "doc_language_confusion": 1,
-    "doc_langid_method_agreement": 2,
-    "doc_gopher_rule_census": 2,   # text + lower(text) tokenizations
     "doc_repetition_stats": 1,
     "dedup_minhash_lsh_pairs": 1,
     "dedup_ngram_jaccard_topk": 1,
     "doc_winnowing_census": 1,
     "dedup_winnowing_pairs": 1,
+    # measured current shapes legitimately above the default:
+    # chunk fan-out re-tokenizes per emitted chunk boundary column
+    # (chunk_documents — shared by both chunk-tier queries)
+    "doc_chunking": 3,
+    "chunk_boilerplate_stats": 3,
+    # token stream + bigram shift + the distinct-token census
+    "doc_lm_perplexity_buckets": 3,
+    "doc_token_pmi_pairs": 3,
+}
+#: Text-tier entries whose BUILDER executes its pipeline at
+#: construction time (streams, store writes, driver-side counts) and
+#: returns a frame over driver-materialized residues — there is no
+#: per-document plan to walk, and building them here would re-run
+#: minutes of work per test session.
+_TOKENIZE_SKIP = {
+    "corpus_streaming_ingest_dedup",   # runs a 4-micro-batch stream
+    "corpus_dedup_store_compaction",   # builds + compacts the store
+    "doc_source_jsonl_roundtrip",      # writes a staging dataset
+    "doc_source_orc_roundtrip",        # writes a staging dataset
+    "dedup_family_agreement",          # driver-side pair-set counts
 }
 
 
-@pytest.mark.parametrize("name", sorted(_TOKENIZE_ONCE))
-def test_text_tier_tokenizes_once_per_node(spark, name):
-    import re
+def _text_tier_names():
+    import flight_delay_prediction_using_pyspark_spark.plans.text_queries as TQ
 
+    return sorted(
+        n
+        for n, f in QUERIES.items()
+        if f.__module__ == TQ.__name__ and n not in _TOKENIZE_SKIP
+    )
+
+
+@pytest.mark.parametrize("name", _text_tier_names())
+def test_text_tier_tokenizes_once_per_node(spark, name):
     df = QUERIES[name](spark, SF_CORRECTNESS_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     worst = max(
         (line.count("split(trim(") for line in plan.split("\n")), default=0
     )
-    budget = _TOKENIZE_ONCE[name]
+    budget = _TOKENIZE_BUDGET.get(name, _TOKENIZE_BUDGET_DEFAULT)
     assert worst <= budget, (
         f"{name}: tokenizer appears {worst}x in one plan node "
         f"(budget {budget}) — a let-binding regressed (see "
