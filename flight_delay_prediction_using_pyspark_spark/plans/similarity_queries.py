@@ -905,7 +905,7 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = sorted(
         comps, key=lambda cid: (km.py_sq_dist(q_quant, comps[cid]), cid)
     )[:_IVF_PROBES]
-    cands = base.withColumn("list_id", km.nearest_expr(F.col("qv"), cent)).filter(
+    cands = base.withColumn("list_id", km.nearest_expr("qv", cent)).filter(
         F.col("list_id").isin(probes)
     )
     return ann.cosine_topk(cands, q_vec, k=10)
@@ -1117,14 +1117,19 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         ]
         for s in range(_PQ_M)
     }
-    adist = F.lit(0.0)
-    for s in range(_PQ_M):
-        code = km.nearest_expr(
-            F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD), books[s]
+    adist = F.expr(
+        "0.0D"
+        + "".join(
+            " + element_at(array("
+            + ",".join(km._dbl(v) for v in lut[s])
+            + "), ("
+            + km._nearest_sql_expr(
+                f"slice(qv, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", books[s]
+            )
+            + ") + 1)"
+            for s in range(_PQ_M)
         )
-        adist = adist + F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]), code + F.lit(1)
-        )
+    )
     return base, base.select("vec_id", adist.alias("pq_dist"))
 
 
@@ -1299,7 +1304,7 @@ def q_semdedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "vec_id",
             "embedding",
-            km.nearest_expr(F.col("qv"), cent).cast("long").alias("cell"),
+            km.nearest_expr("qv", cent).cast("long").alias("cell"),
         )
     )
     return ann.semdedup_census_in_cells(
@@ -1434,7 +1439,7 @@ def q_embedding_kmeans_init_quality(
     )
     def _inertia(cent):
         return int(
-            base.select(km.inertia_expr(F.col("qv"), cent).alias("md"))
+            base.select(km.inertia_expr("qv", cent).alias("md"))
             .agg(
                 F.sum(F.col("md").cast("decimal(38,0)"))
                 .cast("long")
@@ -1503,7 +1508,7 @@ def q_ann_ivf_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.withColumn(
                 "list_id",
                 km.nearest_expr(
-                    km.quantize_expr("embedding"), cent
+                    km.quantize_sql_expr("embedding"), cent
                 ).cast("long"),
             )
             .write.mode("append")
@@ -1637,7 +1642,7 @@ def q_ann_pq_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     km.nearest_expr(
-                        F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD), books[s]
+                        f"slice(qv, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", books[s]
                     )
                     for s in range(_PQ_M)
                 ]
@@ -1971,7 +1976,7 @@ def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select(
                 (F.col("vec_id") % 4).cast("int").alias("phase"),
                 km.nearest_expr(
-                    km.quantize_expr("embedding"), cent
+                    km.quantize_sql_expr("embedding"), cent
                 ).cast("long").alias("list_id"),
             )
             .groupBy("phase", "list_id")
@@ -2251,11 +2256,11 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "vec_id",
             "qv",
-            km.nearest_expr(F.col("qv"), coarse).alias("gid"),
+            km.nearest_expr("qv", coarse).alias("gid"),
         ).select(
             "vec_id",
             "gid",
-            km.residual_expr(F.col("qv"), F.col("gid"), coarse).alias("rq"),
+            km.residual_expr("qv", "gid", coarse).alias("rq"),
         )
     )
     reshaped = res.select(
@@ -2304,7 +2309,7 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
             *[
                 km.nearest_expr(
-                    F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), books[s]
+                    f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", books[s]
                 ).alias(f"code_{s}")
                 for s in range(_PQ_M)
             ],
@@ -2312,12 +2317,15 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adist = None
     for g in probes:
-        fold = F.lit(0.0)
-        for s in range(_PQ_M):
-            fold = fold + F.element_at(
-                F.array(*[F.lit(v) for v in luts[g][s]]),
-                F.col(f"code_{s}") + F.lit(1),
+        fold = F.expr(
+            "0.0D"
+            + "".join(
+                " + element_at(array("
+                + ",".join(km._dbl(v) for v in luts[g][s])
+                + f"), code_{s} + 1)"
+                for s in range(_PQ_M)
             )
+        )
         adist = (
             F.when(F.col("gid") == g, fold)
             if adist is None
@@ -2552,11 +2560,11 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(
             "vec_id",
             "qv",
-            km.nearest_expr(F.col("qv"), coarse).alias("gid"),
+            km.nearest_expr("qv", coarse).alias("gid"),
         ).select(
             "vec_id",
             "gid",
-            km.residual_expr(F.col("qv"), F.col("gid"), coarse).alias("rq"),
+            km.residual_expr("qv", "gid", coarse).alias("rq"),
         )
     )
     rbooks = km.kmeans_fit_grouped(
@@ -2744,7 +2752,7 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     km.nearest_expr(
-                        F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD), fbooks[s]
+                        f"slice(qv, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", fbooks[s]
                     )
                     for s in range(_PQ_M)
                 ]
@@ -2763,7 +2771,7 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     km.nearest_expr(
-                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), rbooks[s]
+                        f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", rbooks[s]
                     )
                     for s in range(_PQ_M)
                 ]
@@ -2789,7 +2797,7 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     km.nearest_expr(
-                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), tl_rbooks[s]
+                        f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", tl_rbooks[s]
                     )
                     for s in range(_PQ_M)
                 ]
@@ -3401,7 +3409,7 @@ def q_ann_ivfadc_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fid",
             *[
                 km.nearest_expr(
-                    F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), rbooks[s]
+                    f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", rbooks[s]
                 ).alias(f"code_{s}")
                 for s in range(_PQ_M)
             ],
@@ -3413,12 +3421,15 @@ def q_ann_ivfadc_two_level_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed on the candidate filter above.
     adist = F.lit(None).cast("double")
     for g, f in pairs:
-        fold = F.lit(0.0)
-        for s in range(_PQ_M):
-            fold = fold + F.element_at(
-                F.array(*[F.lit(v) for v in luts[(g, f)][s]]),
-                F.col(f"code_{s}") + F.lit(1),
+        fold = F.expr(
+            "0.0D"
+            + "".join(
+                " + element_at(array("
+                + ",".join(km._dbl(v) for v in luts[(g, f)][s])
+                + f"), code_{s} + 1)"
+                for s in range(_PQ_M)
             )
+        )
         clause = (F.col("gid") == g) & (F.col("fid") == f)
         adist = F.when(clause, fold).otherwise(adist)
     return (
@@ -3562,7 +3573,7 @@ def q_ann_ivfadc_two_level_streaming_encode(
                 "fid",
                 *[
                     km.nearest_expr(
-                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD), rbooks[s]
+                        f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", rbooks[s]
                     ).alias(f"code_{s}")
                     for s in range(_PQ_M)
                 ],

@@ -91,7 +91,50 @@ def quantize_sql(vec_expr: str, scale: int = DEFAULT_SCALE) -> str:
     )
 
 
+def quantize_sql_expr(vec_sql: str, scale: int = DEFAULT_SCALE) -> str:
+    """Spark-SQL text twin of quantize_expr (same tree after parse),
+    for composing into other SQL-text expressions."""
+    return (
+        f"transform({vec_sql}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {repr(float(scale))}D) AS BIGINT))"
+    )
+
+
 # --- distance + assignment expressions ----------------------------------------
+#
+# Literal-heavy expressions are built as SQL TEXT and parsed with ONE
+# F.expr call (round-13 optimization, guide §1/§4 "the Python
+# boundary" applied to the DRIVER): building the same tree through the
+# Column API costs one py4j round-trip per literal/operator — measured
+# 1.9-7.9 s per assignment expression at k=8·d=64 (and every Lloyd's
+# iteration builds a fresh one), vs ~3 ms for the parse of the
+# equivalent SQL string. The parsed tree is the SAME expression
+# (identical functions, literals, fold order), so results are
+# bit-identical — pinned by tests/test_similarity.py's
+# sql-vs-Column parity tests. Vector arguments are therefore SQL
+# expression TEXT (a column name or e.g. "slice(rq, 1, 8)"); the
+# public helpers also keep accepting a Column and fall back to the
+# (bit-identical, slower-to-build) Column path for compatibility.
+
+
+def _dbl(x: float) -> str:
+    """SQL double literal that round-trips exactly: repr() emits the
+    shortest digits that parse back to the same IEEE double (verified
+    incl. denormals, -0.0, DBL_MAX), and the D suffix keeps Spark's
+    parser from reading it as DECIMAL."""
+    return repr(float(x)) + "D"
+
+
+def _sq_dist_sql_expr(qv_sql: str, centroid: list[float]) -> str:
+    """SQL text of _sq_dist_expr's tree: Σ_j (double(qv_j) − c_j)² as
+    a left fold in array order — operand-order-identical to both
+    _sq_dist_expr and _sq_dist_sql."""
+    arr = "array(" + ",".join(_dbl(c) for c in centroid) + ")"
+    return (
+        f"aggregate(zip_with({qv_sql}, {arr}, (x, c) -> "
+        "(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), "
+        "0.0D, (a, b) -> a + b)"
+    )
 
 
 def _sq_dist_expr(qv_col: Column, centroid: list[float]) -> Column:
@@ -138,15 +181,31 @@ def centroid_components(n: int, sums: list[int]) -> list[float]:
     return [s / n for s in sums]
 
 
+def _nearest_sql_expr(
+    qv_sql: str, centroids: dict[int, tuple[int, list[int]]]
+) -> str:
+    """SQL text of nearest_expr's tree."""
+    entries = ", ".join(
+        f"struct({_sq_dist_sql_expr(qv_sql, centroid_components(*centroids[cid]))}"
+        f" AS d, {int(cid)} AS c)"
+        for cid in sorted(centroids)
+    )
+    return f"array_min(array({entries})).c"
+
+
 def nearest_expr(
-    qv_col: Column, centroids: dict[int, tuple[int, list[int]]]
+    qv_col: str | Column, centroids: dict[int, tuple[int, list[int]]]
 ) -> Column:
     """Argmin cluster id over inlined centroid literals: array_min of
     (dist, cid) structs — lexicographic struct ordering ≡ SQL
     ``ORDER BY dist, cid`` (ties → lowest cid). Each distance fold
     appears ONCE in the expression (a nested when-chain duplicates it
     O(k²) times — measured 5.8 MB task binaries at k=8·m=4 vs ~1.5 MB
-    this way)."""
+    this way). Pass the vector as SQL text (column name / expression)
+    to build via one F.expr parse; a Column takes the py4j path
+    (bit-identical, ~500x slower to construct)."""
+    if isinstance(qv_col, str):
+        return F.expr(_nearest_sql_expr(qv_col, centroids))
     entries = [
         F.struct(
             _sq_dist_expr(qv_col, centroid_components(*centroids[cid])).alias(
@@ -210,7 +269,7 @@ def kmeans_fit_from_seeds(
     sums = [F.sum(F.col(qv_col)[j]).alias(f"s{j}") for j in range(d)]
     for _ in range(iters):
         stats = (
-            df.withColumn("__cid", nearest_expr(F.col(qv_col), cent))
+            df.withColumn("__cid", nearest_expr(qv_col, cent))
             .groupBy("__cid")
             .agg(F.count(F.lit(1)).alias("n"), *sums)
             .collect()
@@ -224,13 +283,20 @@ def kmeans_fit_from_seeds(
 
 
 def inertia_expr(
-    qv_col: Column, centroids: dict[int, tuple[int, list[int]]]
+    qv_col: str | Column, centroids: dict[int, tuple[int, list[int]]]
 ) -> Column:
     """floor of the min squared distance to any centroid — the
     per-row inertia contribution, floor-quantized to BIGINT so the
     corpus sum is exact and order-free (the double min is
     bit-identical both engines; only the cross-row SUM needs the
     integer armor)."""
+    if isinstance(qv_col, str):
+        ds = [
+            _sq_dist_sql_expr(qv_col, centroid_components(*centroids[cid]))
+            for cid in sorted(centroids)
+        ]
+        md = ds[0] if len(ds) == 1 else f"least({', '.join(ds)})"
+        return F.expr(f"CAST(floor({md}) AS BIGINT)")
     dists = [
         _sq_dist_expr(qv_col, centroid_components(*centroids[cid]))
         for cid in sorted(centroids)
@@ -310,7 +376,7 @@ def grouped_fit_from_seeds(
     job shape and the exact-integer state are identical."""
     sums = [F.sum(F.col(qv_col)[j]).alias(f"s{j}") for j in range(d)]
     for _ in range(iters):
-        assign = _grouped_nearest_expr(F.col(group_col), F.col(qv_col), per_group)
+        assign = _grouped_nearest_expr(group_col, qv_col, per_group)
         stats = (
             df.withColumn("__cid", assign)
             .groupBy(group_col, "__cid")
@@ -331,12 +397,21 @@ def grouped_fit_from_seeds(
 
 
 def _grouped_nearest_expr(
-    group_col: Column,
-    qv_col: Column,
+    group_col: str | Column,
+    qv_col: str | Column,
     per_group: dict[int, dict[int, tuple[int, list[int]]]],
 ) -> Column:
     """CASE over the group column, each branch the group's argmin —
-    one projection covers all m codebooks."""
+    one projection covers all m codebooks. String args build the CASE
+    as one parsed SQL expression (same tree as the F.when chain with
+    no otherwise: a missing group yields NULL either way)."""
+    if isinstance(group_col, str) and isinstance(qv_col, str):
+        whens = " ".join(
+            f"WHEN {group_col} = {int(g)} THEN"
+            f" {_nearest_sql_expr(qv_col, per_group[g])}"
+            for g in sorted(per_group)
+        )
+        return F.expr(f"CASE {whens} END")
     expr = None
     for g in sorted(per_group):
         branch = nearest_expr(qv_col, per_group[g])
@@ -417,7 +492,7 @@ def two_level_fit(
     trainer: kc codebooks for the job cost of one). Returns
     (coarse_centroids, fine_books[gid][cid])."""
     coarse = kmeans_fit(df, k=kc, iters=coarse_iters, d=d, qv_col=qv_col, id_col=id_col)
-    with_g = df.withColumn("__gid", nearest_expr(F.col(qv_col), coarse))
+    with_g = df.withColumn("__gid", nearest_expr(qv_col, coarse))
     seeds = fine_seeds_per_cell(
         with_g, kf, group_col="__gid", qv_col=qv_col, id_col=id_col
     )
@@ -457,7 +532,7 @@ def two_level_assign(
     letting _grouped_nearest_expr's CASE fall through to a silent
     NULL fid, which partitionBy(gid, fid) would bury in the Hive
     default partition (round-11 ADVICE)."""
-    out = df.withColumn(coarse_out, nearest_expr(F.col(qv_col), coarse))
+    out = df.withColumn(coarse_out, nearest_expr(qv_col, coarse))
     if cells is not None:
         cells = [int(c) for c in cells if c in books]
         out = out.filter(F.col(coarse_out).isin(cells))
@@ -466,7 +541,7 @@ def two_level_assign(
         return out.filter(F.lit(False)).withColumn(
             fine_out, F.lit(None).cast("int")
         )
-    fine = _grouped_nearest_expr(F.col(coarse_out), F.col(qv_col), books)
+    fine = _grouped_nearest_expr(coarse_out, qv_col, books)
     if cells is None:
         bookless = sorted(set(coarse) - set(books))
         if bookless:
@@ -486,8 +561,8 @@ def two_level_assign(
 
 
 def residual_expr(
-    qv_col: Column,
-    gid_col: Column,
+    qv_col: str | Column,
+    gid_col: str | Column,
     centroids: dict[int, tuple[int, list[int]]],
 ) -> Column:
     """Quantized residual w.r.t. the row's assigned coarse centroid:
@@ -497,6 +572,16 @@ def residual_expr(
     exact-integer contract (IVFADC, Jégou et al. TPAMI 2011 §V). CASE
     over the cell id, each branch a zip_with over that cell's inlined
     centroid — the same k·d literal budget as nearest_expr."""
+    if isinstance(qv_col, str) and isinstance(gid_col, str):
+        whens = []
+        for cid in sorted(centroids):
+            comp = centroid_components(*centroids[cid])
+            arr = "array(" + ",".join(_dbl(c) for c in comp) + ")"
+            whens.append(
+                f"WHEN {gid_col} = {int(cid)} THEN zip_with({qv_col}, {arr},"
+                " (x, c) -> CAST(floor(CAST(x AS DOUBLE) - c) AS BIGINT))"
+            )
+        return F.expr(f"CASE {' '.join(whens)} END")
     expr = None
     for cid in sorted(centroids):
         comp = centroid_components(*centroids[cid])
@@ -771,10 +856,21 @@ def two_level_cte_sql(
 # --- k-means|| oversampling init (Bahmani et al., VLDB 2012) -------------------
 
 
-def int_sq_dist_expr(qv_col: Column, cand: list[int]) -> Column:
+def _int_sq_dist_sql_expr(qv_sql: str, cand: list[int]) -> str:
+    """SQL text of int_sq_dist_expr's tree."""
+    arr = "array(" + ",".join(f"{int(c)}L" for c in cand) + ")"
+    return (
+        f"aggregate(zip_with({qv_sql}, {arr}, (x, c) -> (x - c) * (x - c)),"
+        " CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+def int_sq_dist_expr(qv_col: str | Column, cand: list[int]) -> Column:
     """Exact integer Σ(x_j−c_j)² between a quantized vector column and
     a quantized candidate POINT (k-means|| candidates are corpus rows,
     not means, so distances stay in BIGINT — no FP contract at all)."""
+    if isinstance(qv_col, str):
+        return F.expr(_int_sq_dist_sql_expr(qv_col, cand))
     c_lit = F.array(*[F.lit(int(c)).cast("long") for c in cand])
     return F.aggregate(
         F.zip_with(qv_col, c_lit, lambda x, c: (x - c) * (x - c)),
@@ -850,8 +946,8 @@ def kmeanspp_candidates(
         (int(seed["vid"]), 0, [int(x) for x in seed["qv"]])
     ]
     for t in range(1, rounds + 1):
-        dists = [int_sq_dist_expr(F.col("qv"), qv) for _, _, qv in cands]
-        d2 = dists[0] if len(dists) == 1 else F.least(*dists)
+        ds = [_int_sq_dist_sql_expr("qv", qv) for _, _, qv in cands]
+        d2 = F.expr(ds[0] if len(ds) == 1 else f"least({', '.join(ds)})")
         scored = base.select("vid", "qv", "u32", d2.alias("d2"))
         s_total = int(
             scored.agg(
@@ -872,17 +968,15 @@ def kmeanspp_candidates(
         for r in sorted(sel, key=lambda r: int(r["vid"])):
             if int(r["vid"]) not in have:
                 cands.append((int(r["vid"]), t, [int(x) for x in r["qv"]]))
-    nearest = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    int_sq_dist_expr(F.col("qv"), qv).alias("d"),
-                    F.lit(vid).cast("long").alias("c"),
-                )
-                for vid, _, qv in cands
-            ]
+    nearest = F.expr(
+        "array_min(array("
+        + ", ".join(
+            f"struct({_int_sq_dist_sql_expr('qv', qv)} AS d,"
+            f" {int(vid)}L AS c)"
+            for vid, _, qv in cands
         )
-    )["c"]
+        + ")).c"
+    )
     counts = {
         int(r["cand"]): int(r["n"])
         for r in base.select(nearest.alias("cand"))
@@ -1041,7 +1135,7 @@ def assign_cells(
     tested in tests/test_similarity.py."""
     n_doubles = sum(len(s) for _n, s in centroids.values())
     if n_doubles <= INLINE_CENTROID_DOUBLES_MAX:
-        return df.withColumn(out_col, nearest_expr(F.col(qv_col), centroids))
+        return df.withColumn(out_col, nearest_expr(qv_col, centroids))
     return assign_via_join(
         df, centroids, qv_col=qv_col, id_col=id_col, out_col=out_col
     )
