@@ -535,8 +535,20 @@ def q_media_phash_mixed_codec_near_dup(
 
     Scale shape: decode+hash is one Arrow-batched map stage; the only
     shuffles are the short-key (ci, val) candidate equi-join and the
-    Hamming group — never all-pairs; payload bytes never shuffle."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    Hamming group — never all-pairs; payload bytes never shuffle.
+
+    The doc_id hash-repartition spreads the CPU-bound Python
+    encode+decode stage across every core (guide §2: the single-file
+    scan otherwise leaves the whole codec pass on ONE task — measured
+    11.8 s single-task at sf0.1 on 32 cores); it shuffles only
+    (doc_id, text), never payloads, and hash partitioning on the
+    unique key is deterministic (no sort-before-repartition cost,
+    no SPARK-38388 hazard)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     media = (
         M.attach_ppm_media(docs.filter(F.col("doc_id") % 4 == 0))
         .unionByName(M.attach_bmp_media(docs.filter(F.col("doc_id") % 4 == 1)))
@@ -621,8 +633,16 @@ def q_media_phash_container_invariant_near_dup(
     Scale shape: one fan-out encode stage and one decode+normalize+
     hash map stage (Arrow-batched); the only shuffles are the
     short-key (ci, val) candidate equi-join and the Hamming group —
-    never all-pairs; payload bytes never shuffle."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    never all-pairs; payload bytes never shuffle. The doc_id
+    hash-repartition spreads the CPU-bound Python encode×4 + decode
+    stage across every core (guide §2: the single-file scan otherwise
+    leaves it on ONE task — measured 11.8 s single-task at sf0.1 on
+    32 cores); it shuffles only (doc_id, text), never payloads."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     chunks = M.phash_chunks_normalized(M.attach_media_clones(docs))
     return M.phash_near_dup(chunks, max_hamming=3).select(
         "id_a",

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist, scratch_persist_if_large
+from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+    query,
+    run_concurrently,
+    scratch_persist,
+    scratch_persist_if_large,
+)
 from flight_delay_prediction_using_pyspark_spark.similarity import ann
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
@@ -1426,17 +1431,25 @@ def q_embedding_kmeans_init_quality(
     base = scratch_persist_if_large(
         emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
     )
-    cent_a = km.kmeans_fit(base, k=_KM_K, iters=_SD_KM_ITERS, d=_KM_D)
-    cands = km.kmeanspp_candidates(
-        base, rounds=_KMPP_ROUNDS, l=_KMPP_L, d=_KM_D
-    )
-    seeds = sorted(cands, key=lambda c: (-c[3], c[0]))[:_KM_K]
-    cent_b = km.kmeans_fit_from_seeds(
-        base,
-        {i: (1, qv) for i, (_vid, _rnd, qv, _w) in enumerate(seeds)},
-        iters=_SD_KM_ITERS,
-        d=_KM_D,
-    )
+    # the two init arms are independent trainings over `base` —
+    # overlap them, then overlap the two inertia scans (guide §2.6)
+    def _arm_a():
+        return km.kmeans_fit(base, k=_KM_K, iters=_SD_KM_ITERS, d=_KM_D)
+
+    def _arm_b():
+        cands = km.kmeanspp_candidates(
+            base, rounds=_KMPP_ROUNDS, l=_KMPP_L, d=_KM_D
+        )
+        seeds = sorted(cands, key=lambda c: (-c[3], c[0]))[:_KM_K]
+        return km.kmeans_fit_from_seeds(
+            base,
+            {i: (1, qv) for i, (_vid, _rnd, qv, _w) in enumerate(seeds)},
+            iters=_SD_KM_ITERS,
+            d=_KM_D,
+        )
+
+    cent_a, cent_b = run_concurrently(_arm_a, _arm_b)
+
     def _inertia(cent):
         return int(
             base.select(km.inertia_expr("qv", cent).alias("md"))
@@ -1447,7 +1460,9 @@ def q_embedding_kmeans_init_quality(
             )
             .collect()[0]["v"]
         )
-    ia, ib = _inertia(cent_a), _inertia(cent_b)
+    ia, ib = run_concurrently(
+        lambda: _inertia(cent_a), lambda: _inertia(cent_b)
+    )
     ppm = _trunc_div((ia - ib) * 1_000_000, ia)
     return spark.createDataFrame(
         [(ia, ib, ppm)],
@@ -1930,12 +1945,16 @@ def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = staged.filter(F.col("phase") < 2).select(
         "vec_id", km.quantize_expr("embedding").alias("qv")
     )
-    cent = km.kmeans_fit(hist, k=_KM_K, iters=_IVF_ITERS, d=_KM_D)
-
     stage = tempfile.mkdtemp(prefix="ivf_drift_src_")
-    staged.repartition("phase").write.mode("overwrite").partitionBy(
-        "phase"
-    ).parquet(stage)
+    # training and the fixture write are independent of each other —
+    # overlap them (guide §2.6)
+    cent, _ = run_concurrently(
+        lambda: km.kmeans_fit(hist, k=_KM_K, iters=_IVF_ITERS, d=_KM_D),
+        lambda: staged.repartition("phase")
+        .write.mode("overwrite")
+        .partitionBy("phase")
+        .parquet(stage),
+    )
     target = tempfile.mkdtemp(prefix="ivf_drift_index_")
     census_dir = tempfile.mkdtemp(prefix="ivf_drift_census_")
     ckpt = tempfile.mkdtemp(prefix="ivf_drift_ckpt_")
@@ -1969,7 +1988,6 @@ def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
 
-        drift_row = _census_cusum_max(spark.read.parquet(census_dir)).first()
         # no-drift control: the ORIGINAL vectors through the same
         # frozen quantizer, one batch-side grouped agg
         control_census = (
@@ -1982,13 +2000,24 @@ def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("phase", "list_id")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        control_row = _census_cusum_max(control_census).first()
-        n_ingested = spark.read.parquet(target).count()
-        n_phases = spark.read.parquet(census_dir).select("phase").distinct().count()
+        # the five post-ingest reads are independent — overlap them
+        drift_row, control_row, n_ingested, n_phases, n_vectors = (
+            run_concurrently(
+                lambda: _census_cusum_max(
+                    spark.read.parquet(census_dir)
+                ).first(),
+                lambda: _census_cusum_max(control_census).first(),
+                lambda: spark.read.parquet(target).count(),
+                lambda: spark.read.parquet(census_dir)
+                .select("phase")
+                .distinct()
+                .count(),
+                lambda: emb.count(),
+            )
+        )
     finally:
         for d in (stage, target, census_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
-    n_vectors = emb.count()
     # Guard BOTH rows (round-10 ADVICE: only control_row was guarded):
     # a degenerate single-phase ingest leaves the CUSUM with no scored
     # rows, and the query must report contract_ok=false with zeroed
@@ -2555,110 +2584,103 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_persist_if_large(
         emb.select("vec_id", km.quantize_expr("embedding").alias("qv"))
     )
-    coarse = km.kmeans_fit(base, k=_KM_K, iters=_IVF_ITERS, d=_KM_D)
-    res = scratch_persist(
-        base.select(
+
+    def _sub_slices(df: DataFrame, vcol: str) -> DataFrame:
+        return df.select(
             "vec_id",
-            "qv",
-            km.nearest_expr("qv", coarse).alias("gid"),
-        ).select(
-            "vec_id",
-            "gid",
-            km.residual_expr("qv", "gid", coarse).alias("rq"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(vcol, s * _PQ_SUBD + 1, _PQ_SUBD)
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "qv"),
         )
-    )
-    rbooks = km.kmeans_fit_grouped(
-        res.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD)
-                        for s in range(_PQ_M)
-                    ]
-                )
-            ).alias("sub", "qv"),
-        ),
-        k=_PQ_K,
-        iters=_PQ_ITERS,
-        d=_PQ_SUBD,
-        group_col="sub",
-        n_groups=_PQ_M,
-    )
-    fbooks = km.kmeans_fit_grouped(
-        base.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("qv", s * _PQ_SUBD + 1, _PQ_SUBD)
-                        for s in range(_PQ_M)
-                    ]
-                )
-            ).alias("sub", "qv"),
-        ),
-        k=_PQ_K,
-        iters=_PQ_ITERS,
-        d=_PQ_SUBD,
-        group_col="sub",
-        n_groups=_PQ_M,
-    )
+
+    def _grouped_books(df: DataFrame, vcol: str):
+        return km.kmeans_fit_grouped(
+            _sub_slices(df, vcol),
+            k=_PQ_K,
+            iters=_PQ_ITERS,
+            d=_PQ_SUBD,
+            group_col="sub",
+            n_groups=_PQ_M,
+        )
+
+    # the four training chains are mutually independent (each is a
+    # deterministic function of `base` alone), so their Lloyd's
+    # round-trips overlap on driver threads (guide §2.6) instead of
+    # serializing ~20 driver actions end-to-end
+    def _flat_ivfadc_chain():
+        coarse = km.kmeans_fit(base, k=_KM_K, iters=_IVF_ITERS, d=_KM_D)
+        res = scratch_persist(
+            base.select(
+                "vec_id",
+                "qv",
+                km.nearest_expr("qv", coarse).alias("gid"),
+            ).select(
+                "vec_id",
+                "gid",
+                km.residual_expr("qv", "gid", coarse).alias("rq"),
+            )
+        )
+        return coarse, res, _grouped_books(res, "rq")
+
+    def _flat_pq_chain():
+        return _grouped_books(base, "qv")
+
     # two-level IVFADC arm (round-11 verdict item 3): the production
     # composition — hierarchical lists + ONE residual PQ trained
     # against each row's FINE centroid — at the SAME m·log2(k) code
     # budget as the flat arms, so its quality is measured the way the
     # flat-IVFADC advantage now is.
-    tl_coarse, tl_books = km.two_level_fit(
-        base, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC, fine_iters=_TL_TF,
-        d=_KM_D,
-    )
-    tl_fcomps = {
-        (g, f): km.centroid_components(n, s)
-        for g, book in tl_books.items()
-        for f, (n, s) in book.items()
-    }
-    tl_fc_df = spark.createDataFrame(
-        [(g, f, list(c)) for (g, f), c in sorted(tl_fcomps.items())],
-        "gid int, fid int, fc array<double>",
-    )
-    tl_res = scratch_persist(
-        km.two_level_assign(base, tl_coarse, tl_books)
-        .join(F.broadcast(tl_fc_df), ["gid", "fid"])
-        .select(
-            "vec_id",
-            "gid",
-            "fid",
-            F.zip_with(
-                "qv",
-                "fc",
-                lambda x, c: F.floor(x.cast("double") - c).cast("long"),
-            ).alias("rq"),
+    def _two_level_chain():
+        tl_coarse, tl_books = km.two_level_fit(
+            base, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC,
+            fine_iters=_TL_TF, d=_KM_D,
         )
+        tl_fcomps = {
+            (g, f): km.centroid_components(n, s)
+            for g, book in tl_books.items()
+            for f, (n, s) in book.items()
+        }
+        tl_fc_df = spark.createDataFrame(
+            [(g, f, list(c)) for (g, f), c in sorted(tl_fcomps.items())],
+            "gid int, fid int, fc array<double>",
+        )
+        tl_res = scratch_persist(
+            km.two_level_assign(base, tl_coarse, tl_books)
+            .join(F.broadcast(tl_fc_df), ["gid", "fid"])
+            .select(
+                "vec_id",
+                "gid",
+                "fid",
+                F.zip_with(
+                    "qv",
+                    "fc",
+                    lambda x, c: F.floor(x.cast("double") - c).cast("long"),
+                ).alias("rq"),
+            )
+        )
+        return tl_coarse, tl_books, tl_fcomps, tl_res, _grouped_books(
+            tl_res, "rq"
+        )
+
+    def _panel_chain():
+        return (
+            base.filter(F.col("vec_id") < _PANEL_N)
+            .select("vec_id", "qv")
+            .collect()
+        )
+
+    (coarse, res, rbooks), fbooks, tl_state, panel = run_concurrently(
+        _flat_ivfadc_chain, _flat_pq_chain, _two_level_chain, _panel_chain
     )
-    tl_rbooks = km.kmeans_fit_grouped(
-        tl_res.select(
-            "vec_id",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice("rq", s * _PQ_SUBD + 1, _PQ_SUBD)
-                        for s in range(_PQ_M)
-                    ]
-                )
-            ).alias("sub", "qv"),
-        ),
-        k=_PQ_K,
-        iters=_PQ_ITERS,
-        d=_PQ_SUBD,
-        group_col="sub",
-        n_groups=_PQ_M,
-    )
+    tl_coarse, tl_books, tl_fcomps, tl_res, tl_rbooks = tl_state
     tl_ccomps = {
         cid: km.centroid_components(n, s) for cid, (n, s) in tl_coarse.items()
     }
-    panel = (
-        base.filter(F.col("vec_id") < _PANEL_N).select("vec_id", "qv").collect()
-    )
     n_queries = len(panel)
     ccomps = {cid: km.centroid_components(n, s) for cid, (n, s) in coarse.items()}
     flat_lut_rows, res_lut_rows, probe_rows = [], [], []
@@ -2857,11 +2879,15 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "vid")
     )
-    n_flat = flat10.join(exact10, ["query_id", "vid"]).count()
-    n_all = ivf_all10.join(exact10, ["query_id", "vid"]).count()
-    n_probe = ivf_probe10.join(exact10, ["query_id", "vid"]).count()
-    n_tl_all = tl_all10.join(exact10, ["query_id", "vid"]).count()
-    n_tl_probe = tl_probe10.join(exact10, ["query_id", "vid"]).count()
+    # five independent overlap counts on persisted scored frames —
+    # overlapped the same way as the trainers (guide §2.6)
+    n_flat, n_all, n_probe, n_tl_all, n_tl_probe = run_concurrently(
+        lambda: flat10.join(exact10, ["query_id", "vid"]).count(),
+        lambda: ivf_all10.join(exact10, ["query_id", "vid"]).count(),
+        lambda: ivf_probe10.join(exact10, ["query_id", "vid"]).count(),
+        lambda: tl_all10.join(exact10, ["query_id", "vid"]).count(),
+        lambda: tl_probe10.join(exact10, ["query_id", "vid"]).count(),
+    )
     return spark.createDataFrame(
         [
             (
@@ -3104,15 +3130,18 @@ def q_ann_ivf_two_level_drift_refit(
     hist = staged.filter(F.col("phase") < 2).select(
         "vec_id", km.quantize_expr("embedding").alias("qv")
     )
-    coarse, books = km.two_level_fit(
-        hist, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC, fine_iters=_TL_TF,
-        d=_KM_D,
-    )
-
     stage = tempfile.mkdtemp(prefix="ivf2_drift_src_")
-    staged.repartition("phase").write.mode("overwrite").partitionBy(
-        "phase"
-    ).parquet(stage)
+    # training and the fixture write are independent — overlap them
+    (coarse, books), _ = run_concurrently(
+        lambda: km.two_level_fit(
+            hist, kc=_TL_KC, kf=_TL_KF, coarse_iters=_TL_TC,
+            fine_iters=_TL_TF, d=_KM_D,
+        ),
+        lambda: staged.repartition("phase")
+        .write.mode("overwrite")
+        .partitionBy("phase")
+        .parquet(stage),
+    )
     target = tempfile.mkdtemp(prefix="ivf2_drift_index_")
     census_dir = tempfile.mkdtemp(prefix="ivf2_drift_census_")
     ckpt = tempfile.mkdtemp(prefix="ivf2_drift_ckpt_")
@@ -3160,10 +3189,23 @@ def q_ann_ivf_two_level_drift_refit(
         # argmax over SUPPORTED cells only: kc·kf composite cells are
         # ~4x smaller than the flat index's, so an unsupported cell's
         # share series is pure sampling noise (see _census_cusum_max)
-        drift_row = _census_cusum_max(
-            spark.read.parquet(census_dir).select(composite, "phase", "n"),
-            min_mass=_TL_DRIFT_MIN_MASS,
-        ).first()
+        # drift argmax and the three census/ingest counts are
+        # independent — overlap them; the matched-cell control must
+        # wait for the argmax (at_cell)
+        drift_row, n_ingested, n_phases, n_vectors = run_concurrently(
+            lambda: _census_cusum_max(
+                spark.read.parquet(census_dir).select(
+                    composite, "phase", "n"
+                ),
+                min_mass=_TL_DRIFT_MIN_MASS,
+            ).first(),
+            lambda: spark.read.parquet(target).count(),
+            lambda: spark.read.parquet(census_dir)
+            .select("phase")
+            .distinct()
+            .count(),
+            lambda: emb.count(),
+        )
         control_census = (
             km.two_level_assign(
                 emb.select(
@@ -3196,14 +3238,9 @@ def q_ann_ivf_two_level_drift_refit(
             if drift_row
             else None
         )
-        n_ingested = spark.read.parquet(target).count()
-        n_phases = (
-            spark.read.parquet(census_dir).select("phase").distinct().count()
-        )
     finally:
         for d in (stage, target, census_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
-    n_vectors = emb.count()
     score = int(drift_row["score_ppm"]) if drift_row else 0
     control = int(control_row["score_ppm"]) if control_row else 0
     refit_needed = score > max(100_000, 3 * control)

@@ -2935,6 +2935,36 @@ def _bootstrap_oracle() -> str:
 _BOOT_B_GROUPED = 64
 
 
+def _poisson_weight_sql(b: int) -> str:
+    """Spark-SQL text of replicate b's Poisson(1) weight — the same
+    tree the old Column builder produced (u ≥ t terms summed left-
+    associatively), emitted as TEXT because the Column API costs one
+    py4j round-trip per term: at B=64 × 32 thresholds that was ~8k
+    driver-side calls ≈ 7-9 s of pre-job gap per run (profiled);
+    parsing the equivalent text is milliseconds. Same values, same
+    types, same operand order."""
+    j, i = divmod(b, 4)
+    u = f"CAST(conv(substring(m_{j}, {1 + 8 * i}, 8), 16, 10) AS BIGINT)"
+    return (
+        "("
+        + " + ".join(f"CAST(({u} >= {t}) AS BIGINT)" for t in _POIS1_T32)
+        + ")"
+    )
+
+
+def _poisson_agg_exprs(b_reps: int) -> list:
+    """The 2B replicate aggregate columns as parsed-SQL expressions:
+    n_b = Σ w_b, s_b = Σ w_b·xc (exact integers, order-free)."""
+    aggs = []
+    for b in range(b_reps):
+        w = _poisson_weight_sql(b)
+        aggs.append(F.expr(f"CAST(SUM({w}) AS BIGINT)").alias(f"n_{b}"))
+        aggs.append(
+            F.expr(f"CAST(SUM({w} * xc) AS BIGINT)").alias(f"s_{b}")
+        )
+    return aggs
+
+
 def _boot_ranks(b_reps: int) -> tuple[int, int]:
     """Order-statistic ranks of the central ~93.75% percentile
     interval for any B divisible by 32: (B/32 + 1, B − B/32) spans
@@ -3080,26 +3110,25 @@ def _grouped_bootstrap_ci(
     )
     if persist_sample:
         samp = scratch_persist(samp)
-
-    def w_col(b: int):
-        j, i = divmod(b, 4)
-        u = F.conv(F.substring(F.col(f"m_{j}"), 1 + 8 * i, 8), 16, 10).cast(
-            "long"
+    else:
+        # deterministic hash-repartition barrier on a digest column:
+        # (a) the Exchange stops CollapseProject re-inlining each m_j
+        # digest into its 8 consuming weight expressions (the persist
+        # arm's benefit without pinning a cache), and (b) the wide
+        # 2+2B-column partial agg — the CPU of this query — runs on
+        # every core instead of the scan's 1-3 input splits (profiled
+        # 5.9 s on 3 tasks before; guide §2). Shuffled payload is the
+        # 10% sample's narrow rows — the m_j digests move once instead
+        # of being recomputed 8x each.
+        samp = samp.repartition(
+            spark.sparkContext.defaultParallelism, "m_0"
         )
-        w = None
-        for t in _POIS1_T32:
-            term = (u >= F.lit(t)).cast("long")
-            w = term if w is None else w + term
-        return w
 
-    aggs = [
+    agg = samp.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_sample"),
         F.sum("xc").cast("long").alias("s_all"),
-    ]
-    for b in range(b_reps):
-        aggs.append(F.sum(w_col(b)).cast("long").alias(f"n_{b}"))
-        aggs.append(F.sum(w_col(b) * F.col("xc")).cast("long").alias(f"s_{b}"))
-    agg = samp.groupBy("l_returnflag").agg(*aggs)
+        *_poisson_agg_exprs(b_reps),
+    )
     pop = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_population"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
@@ -3194,25 +3223,18 @@ def q_lineitem_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def w_col(b: int):
-        j, i = divmod(b, 4)
-        u = F.conv(F.substring(F.col(f"m_{j}"), 1 + 8 * i, 8), 16, 10).cast(
-            "long"
-        )
-        w = None
-        for t in _POIS1_T32:
-            term = (u >= F.lit(t)).cast("long")
-            w = term if w is None else w + term
-        return w
-
-    aggs = [
+    # deterministic hash-repartition barrier on a digest column: the
+    # Exchange stops the re-inline described above (the digests move
+    # once instead of being recomputed 8x each) and spreads the
+    # 64-agg-column partial agg across every core instead of the
+    # scan's 1-3 input splits (guide §2). This beat both measured
+    # arms of the old persist-vs-recompute trade.
+    samp = samp.repartition(spark.sparkContext.defaultParallelism, "m_0")
+    agg = samp.agg(
         F.count(F.lit(1)).alias("n_sample"),
         F.sum("xc").cast("long").alias("s_all"),
-    ]
-    for b in range(_BOOT_B):
-        aggs.append(F.sum(w_col(b)).cast("long").alias(f"n_{b}"))
-        aggs.append(F.sum(w_col(b) * F.col("xc")).cast("long").alias(f"s_{b}"))
-    agg = samp.agg(*aggs)
+        *_poisson_agg_exprs(_BOOT_B),
+    )
     pop = li.agg(
         F.count(F.lit(1)).alias("n_population"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))

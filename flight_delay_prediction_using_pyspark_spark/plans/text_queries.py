@@ -2746,14 +2746,20 @@ def q_corpus_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFra
             .write.mode("append")
             .parquet(hash_dir)
         )
-        sigs_b = TD.minhash_signatures(batch_df, parallelism=parallelism)
-        sigs_b.select("doc_id", "shingles").write.mode("append").parquet(sh_dir)
-        (
-            TD.lsh_band_buckets(sigs_b)
-            .write.mode("append")
-            .partitionBy("band")
-            .parquet(bucket_dir)
-        )
+        # persist the batch signatures: the shingle store and the
+        # band-bucket store both consume them, and without the persist
+        # the shingle+minhash pass runs twice per micro-batch
+        sigs_b = TD.minhash_signatures(batch_df, parallelism=parallelism).persist()
+        try:
+            sigs_b.select("doc_id", "shingles").write.mode("append").parquet(sh_dir)
+            (
+                TD.lsh_band_buckets(sigs_b)
+                .write.mode("append")
+                .partitionBy("band")
+                .parquet(bucket_dir)
+            )
+        finally:
+            sigs_b.unpersist()
 
     try:
         (
@@ -2899,8 +2905,14 @@ def q_corpus_dedup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFra
     from flight_delay_prediction_using_pyspark_spark.operators import layout as L
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = TD.minhash_signatures(
-        docs, parallelism=spark.sparkContext.defaultParallelism
+    # persist the signature frame ONCE: the 4 append passes, the
+    # batch-side buckets, and both shingle sides of the screen's
+    # verify join otherwise re-run the whole shingle+minhash lineage
+    # per consumer (guide §5 caching: ~6 rescans measured before)
+    sigs = scratch_persist(
+        TD.minhash_signatures(
+            docs, parallelism=spark.sparkContext.defaultParallelism
+        )
     )
     buckets = TD.lsh_band_buckets(sigs)
     corpus_buckets = buckets.filter(F.col("doc_id") < _INGEST_SPLIT)
