@@ -890,10 +890,12 @@ _R9_ESTIMATION_PLAN_BUDGET = {
     # same sampling pass as the estimator (window + per-lang tau) with
     # a per-source regroup, plus the truth-audit scan
     "corpus_priority_sample_subset_panel": (3, 2),
-    # one 64-column bootstrap agg over the hash sample (exchange 1) +
-    # the full-table audit agg (exchange 2); replicate ranking runs on
-    # the 32-row stack residue
-    "lineitem_bootstrap_ci_mean": (2, 2),
+    # deliberate hash-repartition of the 10% sample (exchange 1 —
+    # round-13: spreads the 64-column partial agg across cores AND
+    # stops CollapseProject re-inlining each md5 digest 8x) + the
+    # bootstrap agg (exchange 2) + the full-table audit agg
+    # (exchange 3); replicate ranking runs on the 32-row stack residue
+    "lineitem_bootstrap_ci_mean": (3, 2),
     # one grouped agg over the fact (exchange 1) + the census/global
     # joins on the 272-row persisted class residue
     "customer_k_anonymity_census": (4, 1),
