@@ -23,6 +23,16 @@ _ASCII_SUM = (
 )
 
 
+
+def _spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Deterministic doc_id hash-repartition ahead of the CPU-bound
+    Python codec stages (guide §2): the single-file documents scan is
+    ONE input split, which otherwise serializes every mapInPandas
+    encode/decode pass onto one task regardless of core count. Only
+    (doc_id, text, carry cols) shuffle — payloads are built after."""
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 @query(
     "media_byte_stats",
     oracle=f"""
@@ -208,7 +218,7 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata, asserted by test_multimodal's ascii-fixture check. For
     arbitrary corpora the engine side (bytes) is the authoritative
     semantics; the oracle would need a byte-indexed rewrite."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     chunks = M.phash_chunks(M.attach_media(docs))
     return M.phash_near_dup(chunks, max_hamming=3)
 
@@ -367,7 +377,7 @@ def q_media_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched upstream-synthesis stage, decode one mapInPandas
     stage, the only shuffle the final per-source agg; `source` rides
     the extractor (join-free carry)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     feats = M.decode_features(
         M.attach_gif_media(docs, carry_cols=("source",)),
         use_codec=True,
