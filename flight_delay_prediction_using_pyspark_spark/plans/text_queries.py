@@ -2740,23 +2740,38 @@ def q_corpus_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     parallelism = spark.sparkContext.defaultParallelism
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        phase = F.expr(f"CAST((doc_id * 4) DIV {max_id + 1} AS INT)")
-        (
-            batch_df.select("doc_id", phase.alias("phase"), F.md5("text").alias("h"))
-            .write.mode("append")
-            .parquet(hash_dir)
+        from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+            run_concurrently,
         )
+
+        phase = F.expr(f"CAST((doc_id * 4) DIV {max_id + 1} AS INT)")
         # persist the batch signatures: the shingle store and the
         # band-bucket store both consume them, and without the persist
         # the shingle+minhash pass runs twice per micro-batch
         sigs_b = TD.minhash_signatures(batch_df, parallelism=parallelism).persist()
         try:
-            sigs_b.select("doc_id", "shingles").write.mode("append").parquet(sh_dir)
-            (
-                TD.lsh_band_buckets(sigs_b)
-                .write.mode("append")
-                .partitionBy("band")
-                .parquet(bucket_dir)
+            # the three sinks are independent appends to three stores
+            # (different directories — no commit-protocol interaction);
+            # overlap them within the micro-batch (guide §2.6)
+            run_concurrently(
+                lambda: (
+                    batch_df.select(
+                        "doc_id", phase.alias("phase"), F.md5("text").alias("h")
+                    )
+                    .write.mode("append")
+                    .parquet(hash_dir)
+                ),
+                lambda: (
+                    sigs_b.select("doc_id", "shingles")
+                    .write.mode("append")
+                    .parquet(sh_dir)
+                ),
+                lambda: (
+                    TD.lsh_band_buckets(sigs_b)
+                    .write.mode("append")
+                    .partitionBy("band")
+                    .parquet(bucket_dir)
+                ),
             )
         finally:
             sigs_b.unpersist()
