@@ -2142,8 +2142,15 @@ def q_doc_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no broadcast of the big side, the same plan at 100 TB. The shared
     train intermediates (token arrays, unigram counts) scratch-persist
     so the 'en' slice is scanned+tokenized once, not per consumer
-    (round-7: 5 parquet scans → 3)."""
-    docs = load_table(spark, sf_dir, "documents")
+    (round-7: 5 parquet scans → 3).
+
+    The doc_id hash-repartition spreads the interpreted tokenize +
+    bigram-probe passes across every core (guide §2: single-file scan
+    = one task otherwise; profiled 3.9 s single-task scoring at
+    sf0.1); only (doc_id, lang, text) shuffles."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     scores = TA.bigram_lm_doc_scores(
         docs, docs.filter(F.col("lang") == "en"), persist_fn=scratch_persist
     )
@@ -2313,8 +2320,15 @@ def q_doc_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not fresh passes over the occurrence streams); scalars ride
     broadcast one-row cross joins; the unigram joins key-partition
     on the word — no driver vocab and no corpus-scale cache at any
-    scale (the persisted frames are vocabulary-sized)."""
-    docs = load_table(spark, sf_dir, "documents")
+    scale (the persisted frames are vocabulary-sized).
+
+    The doc_id hash-repartition spreads the interpreted tokenize +
+    explode passes across every core (guide §2: the single-file scan
+    otherwise runs them on ONE task — profiled 4.6-7.1 s single-task
+    at sf0.1 on 32 cores); only (doc_id, text) shuffles."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(F.explode(TA.tokens(F.lower(F.col("text")))).alias("w"))
     uni = scratch_persist(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     nt = uni.agg(F.sum("c").alias("n_t"))
