@@ -829,8 +829,12 @@ _R8_PLAN_BUDGET = {
     # by one — budget the max of both states (cold 2, warm 3)
     "dedup_minhash_lsh_pairs": (3, 1),
     "copurchase_association_rules": (5, 1),
-    "doc_lm_perplexity_buckets": (6, 3),
-    "doc_token_pmi_pairs": (4, 2),
+    # +1/+2 exchanges round 13: the DELIBERATE doc_id hash-repartition
+    # that spreads the interpreted tokenizer passes off the single
+    # input split (profiled 4-7 s single-task before; the repartition
+    # feeds both explode branches in the PMI plan)
+    "doc_lm_perplexity_buckets": (7, 3),
+    "doc_token_pmi_pairs": (6, 2),
     "embedding_dedup_threshold_sweep": (2, 2),
     "corpus_full_pipeline": (10, 4),
     "training_corpus_prep": (7, 1),
