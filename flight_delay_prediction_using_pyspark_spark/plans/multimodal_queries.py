@@ -546,19 +546,12 @@ def q_media_phash_mixed_codec_near_dup(
     Scale shape: decode+hash is one Arrow-batched map stage; the only
     shuffles are the short-key (ci, val) candidate equi-join and the
     Hamming group — never all-pairs; payload bytes never shuffle.
-
-    The doc_id hash-repartition spreads the CPU-bound Python
-    encode+decode stage across every core (guide §2: the single-file
-    scan otherwise leaves the whole codec pass on ONE task — measured
-    11.8 s single-task at sf0.1 on 32 cores); it shuffles only
-    (doc_id, text), never payloads, and hash partitioning on the
-    unique key is deterministic (no sort-before-repartition cost,
-    no SPARK-38388 hazard)."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") > 0)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
+    (A doc_id spread ahead of the codec pass was measured HERE at
+    1.26→1.96 s in-battery — each arm sees only a quarter of the
+    corpus, so the exchange costs more than the spread buys; the
+    container-invariant sibling, whose clone fan-out quadruples the
+    codec work, keeps it.)"""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     media = (
         M.attach_ppm_media(docs.filter(F.col("doc_id") % 4 == 0))
         .unionByName(M.attach_bmp_media(docs.filter(F.col("doc_id") % 4 == 1)))
