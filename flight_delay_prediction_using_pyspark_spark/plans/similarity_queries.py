@@ -1517,15 +1517,16 @@ def q_ann_ivf_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(stage)
     target = tempfile.mkdtemp(prefix="ivf_index_")
     ckpt = tempfile.mkdtemp(prefix="ivf_ckpt_")
+    # loop-invariant: built ONCE outside the micro-batch body (a Column
+    # is an unresolved tree reusable against every batch frame) instead
+    # of re-parsed per batch (guide §4 driver boundary, round-14)
+    list_col = km.nearest_expr(km.quantize_sql_expr("embedding"), cent).cast(
+        "long"
+    )
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
         (
-            batch_df.withColumn(
-                "list_id",
-                km.nearest_expr(
-                    km.quantize_sql_expr("embedding"), cent
-                ).cast("long"),
-            )
+            batch_df.withColumn("list_id", list_col)
             .write.mode("append")
             .partitionBy("list_id")
             .parquet(target)
@@ -1966,17 +1967,30 @@ def q_ann_ivf_drift_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{stage}/phase=*")
     )
 
+    # loop-invariant assignment expression, built ONCE outside the
+    # micro-batch body (round-14, guide §4 driver boundary): the old
+    # body rebuilt it per batch through the Column py4j path (~0.2 s
+    # per batch × 4 batches of pure construction). The SQL-text parse
+    # yields the bit-identical tree (tests/test_similarity.py parity).
+    list_col = km.nearest_expr(km.quantize_sql_expr("embedding"), cent).cast(
+        "long"
+    )
+
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        assigned = batch_df.withColumn(
-            "list_id",
-            km.nearest_expr(km.quantize_expr("embedding"), cent).cast("long"),
-        )
-        assigned.write.mode("append").partitionBy("list_id").parquet(target)
-        (
-            assigned.groupBy("phase", "list_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .parquet(census_dir)
+        assigned = batch_df.withColumn("list_id", list_col)
+        # the index append and the census append are independent sinks
+        # in different directories — overlap them (guide §2.6, the
+        # streaming-dedup ingest precedent)
+        run_concurrently(
+            lambda: assigned.write.mode("append")
+            .partitionBy("list_id")
+            .parquet(target),
+            lambda: (
+                assigned.groupBy("phase", "list_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(census_dir)
+            ),
         )
 
     try:
@@ -2958,14 +2972,18 @@ def q_ann_ivf_two_level_streaming_ingest(
     ).parquet(stage)
     target = tempfile.mkdtemp(prefix="ivf2_index_")
     ckpt = tempfile.mkdtemp(prefix="ivf2_ckpt_")
+    # loop-invariant (gid, fid) assignment expressions, built ONCE
+    # outside the micro-batch body and reused against every batch
+    # frame (round-14, guide §4 driver boundary); same tree as
+    # two_level_assign, which delegates to the same builder
+    qv_sel = km.quantize_expr("embedding").alias("qv")
+    gid_col, fid_col = km.two_level_assign_exprs(coarse, books)
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        assigned = km.two_level_assign(
-            batch_df.select(
-                "vec_id", km.quantize_expr("embedding").alias("qv")
-            ),
-            coarse,
-            books,
+        assigned = (
+            batch_df.select("vec_id", qv_sel)
+            .withColumn("gid", gid_col)
+            .withColumn("fid", fid_col)
         )
         (
             assigned.select(
@@ -3152,27 +3170,37 @@ def q_ann_ivf_two_level_drift_refit(
         .parquet(f"{stage}/phase=*")
     )
 
+    # loop-invariant (gid, fid) assignment expressions, built ONCE
+    # outside the micro-batch body (round-14, guide §4 driver
+    # boundary); same tree as two_level_assign, which delegates to the
+    # same builder
+    qv_sel = km.quantize_expr("embedding").alias("qv")
+    gid_col, fid_col = km.two_level_assign_exprs(coarse, books)
+
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        assigned = km.two_level_assign(
-            batch_df.select(
-                "vec_id", "phase", km.quantize_expr("embedding").alias("qv")
+        assigned = (
+            batch_df.select("vec_id", "phase", qv_sel)
+            .withColumn("gid", gid_col)
+            .withColumn("fid", fid_col)
+            .select(
+                "vec_id",
+                "phase",
+                F.col("gid").cast("long").alias("gid"),
+                F.col("fid").cast("long").alias("fid"),
+            )
+        )
+        # the index append and the census append are independent sinks
+        # in different directories — overlap them (guide §2.6)
+        run_concurrently(
+            lambda: assigned.write.mode("append")
+            .partitionBy("gid", "fid")
+            .parquet(target),
+            lambda: (
+                assigned.groupBy("phase", "gid", "fid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("append")
+                .parquet(census_dir)
             ),
-            coarse,
-            books,
-        ).select(
-            "vec_id",
-            "phase",
-            F.col("gid").cast("long").alias("gid"),
-            F.col("fid").cast("long").alias("fid"),
-        )
-        assigned.write.mode("append").partitionBy("gid", "fid").parquet(
-            target
-        )
-        (
-            assigned.groupBy("phase", "gid", "fid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("append")
-            .parquet(census_dir)
         )
 
     try:
@@ -3585,36 +3613,39 @@ def q_ann_ivfadc_two_level_streaming_encode(
     ).parquet(stage)
     target = tempfile.mkdtemp(prefix="ivfadc2_index_")
     ckpt = tempfile.mkdtemp(prefix="ivfadc2_ckpt_")
+    # loop-invariant encode projection, built ONCE outside the
+    # micro-batch body and reused against every batch frame
+    # (round-14, guide §4 driver boundary): assignment pair, broadcast
+    # fine-centroid frame, residual zip_with, and the m per-sub code
+    # argmins — the per-batch work is apply + append only
+    qv_sel = km.quantize_expr("embedding").alias("qv")
+    gid_col, fid_col = km.two_level_assign_exprs(coarse, books)
+    fc_b = F.broadcast(fc_df)
+    rq_col = F.zip_with(
+        "qv", "fc", lambda x, c: F.floor(x.cast("double") - c).cast("long")
+    )
+    code_cols = [
+        km.nearest_expr(
+            f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", rbooks[s]
+        ).alias(f"code_{s}")
+        for s in range(_PQ_M)
+    ]
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        assigned = km.two_level_assign(
-            batch_df.select(
-                "vec_id", km.quantize_expr("embedding").alias("qv")
-            ),
-            coarse,
-            books,
-        ).join(F.broadcast(fc_df), ["gid", "fid"])
-        rq = F.zip_with(
-            "qv", "fc", lambda x, c: F.floor(x.cast("double") - c).cast("long")
+        assigned = (
+            batch_df.select("vec_id", qv_sel)
+            .withColumn("gid", gid_col)
+            .withColumn("fid", fid_col)
+            .join(fc_b, ["gid", "fid"])
         )
         (
             assigned.select(
                 "vec_id",
                 F.col("gid").cast("long").alias("gid"),
                 F.col("fid").cast("long").alias("fid"),
-                rq.alias("rq"),
+                rq_col.alias("rq"),
             )
-            .select(
-                "vec_id",
-                "gid",
-                "fid",
-                *[
-                    km.nearest_expr(
-                        f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", rbooks[s]
-                    ).alias(f"code_{s}")
-                    for s in range(_PQ_M)
-                ],
-            )
+            .select("vec_id", "gid", "fid", *code_cols)
             .write.mode("append")
             .partitionBy("gid", "fid")
             .parquet(target)

@@ -502,6 +502,46 @@ def two_level_fit(
     return coarse, books
 
 
+def two_level_assign_exprs(
+    coarse: dict[int, tuple[int, list[int]]],
+    books: dict[int, dict[int, tuple[int, list[int]]]],
+    *,
+    qv_col: str | Column = "qv",
+    coarse_out: str = "gid",
+) -> tuple[Column, Column]:
+    """The FULL-assignment (cells=None) expression pair of
+    two_level_assign, exposed so LOOP bodies (foreachBatch micro-batch
+    ingest) can build the (gid, fid) expressions ONCE and reuse them
+    against every batch frame: a Column is an unresolved expression
+    tree, so one construction serves any number of frames, instead of
+    re-paying the build per micro-batch (guide §4 — the Python/JVM
+    boundary applied to the driver, round-14). The fine CASE
+    references `coarse_out` BY NAME, so callers must apply the coarse
+    column first (exactly what two_level_assign does). Same tree —
+    including the bookless-cell raise of the frozen-ingest drift
+    contract — as the cells=None path of two_level_assign, which now
+    delegates here."""
+    if not books:
+        raise ValueError("two_level_assign_exprs requires non-empty books")
+    gid_col = nearest_expr(qv_col, coarse)
+    fine = _grouped_nearest_expr(coarse_out, qv_col, books)
+    bookless = sorted(set(coarse) - set(books))
+    if bookless:
+        fine = F.when(
+            F.col(coarse_out).isin([int(g) for g in bookless]),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "frozen two-level quantizer cannot encode: "
+                        "row assigned to bookless coarse cell gid="
+                    ),
+                    F.col(coarse_out).cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(fine)
+    return gid_col, fine
+
+
 def two_level_assign(
     df: DataFrame,
     coarse: dict[int, tuple[int, list[int]]],
@@ -532,6 +572,13 @@ def two_level_assign(
     letting _grouped_nearest_expr's CASE fall through to a silent
     NULL fid, which partitionBy(gid, fid) would bury in the Hive
     default partition (round-11 ADVICE)."""
+    if cells is None and books:
+        gid_col, fid_col = two_level_assign_exprs(
+            coarse, books, qv_col=qv_col, coarse_out=coarse_out
+        )
+        return df.withColumn(coarse_out, gid_col).withColumn(
+            fine_out, fid_col
+        )
     out = df.withColumn(coarse_out, nearest_expr(qv_col, coarse))
     if cells is not None:
         cells = [int(c) for c in cells if c in books]
@@ -542,21 +589,6 @@ def two_level_assign(
             fine_out, F.lit(None).cast("int")
         )
     fine = _grouped_nearest_expr(coarse_out, qv_col, books)
-    if cells is None:
-        bookless = sorted(set(coarse) - set(books))
-        if bookless:
-            fine = F.when(
-                F.col(coarse_out).isin([int(g) for g in bookless]),
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "frozen two-level quantizer cannot encode: "
-                            "row assigned to bookless coarse cell gid="
-                        ),
-                        F.col(coarse_out).cast("string"),
-                    )
-                ).cast("int"),
-            ).otherwise(fine)
     return out.withColumn(fine_out, fine)
 
 
