@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.multimodal import media as M
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query
+from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+    query,
+    scratch_persist,
+)
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 
 _ASCII_SUM = (
@@ -29,8 +32,16 @@ def _spread(spark: SparkSession, docs: DataFrame) -> DataFrame:
     Python codec stages (guide §2): the single-file documents scan is
     ONE input split, which otherwise serializes every mapInPandas
     encode/decode pass onto one task regardless of core count. Only
-    (doc_id, text, carry cols) shuffle — payloads are built after."""
-    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    (doc_id, text, carry cols) shuffle — payloads are built after.
+    CONDITIONAL on scan width since round 14 (verdict item 1): a scan
+    already wider than the core count passes through untouched — at
+    100 TB the unconditional repartition would coalesce ~10⁵ splits
+    down to `defaultParallelism`, the §2 anti-pattern in reverse."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+        spread_if_narrow,
+    )
+
+    return spread_if_narrow(docs, "doc_id")
 
 
 @query(
@@ -220,7 +231,7 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics; the oracle would need a byte-indexed rewrite."""
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
     chunks = M.phash_chunks(M.attach_media(docs))
-    return M.phash_near_dup(chunks, max_hamming=3)
+    return M.phash_near_dup(chunks, max_hamming=3, persist_fn=scratch_persist)
 
 
 @query(
@@ -558,7 +569,9 @@ def q_media_phash_mixed_codec_near_dup(
         .unionByName(M.attach_png_media(docs.filter(F.col("doc_id") % 4 == 2)))
         .unionByName(M.attach_gif_media(docs.filter(F.col("doc_id") % 4 == 3)))
     )
-    return M.phash_near_dup(M.phash_chunks_codec(media), max_hamming=3)
+    return M.phash_near_dup(
+        M.phash_chunks_codec(media), max_hamming=3, persist_fn=scratch_persist
+    )
 
 
 @query(
@@ -641,13 +654,14 @@ def q_media_phash_container_invariant_near_dup(
     stage across every core (guide §2: the single-file scan otherwise
     leaves it on ONE task — measured 11.8 s single-task at sf0.1 on
     32 cores); it shuffles only (doc_id, text), never payloads."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") > 0)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = _spread(
+        spark,
+        load_table(spark, sf_dir, "documents").filter(F.length("text") > 0),
     )
     chunks = M.phash_chunks_normalized(M.attach_media_clones(docs))
-    return M.phash_near_dup(chunks, max_hamming=3).select(
+    return M.phash_near_dup(
+        chunks, max_hamming=3, persist_fn=scratch_persist
+    ).select(
         "id_a",
         "id_b",
         "hamming",

@@ -651,3 +651,49 @@ def test_container_invariant_near_dup_pairs_all_clones(spark):
     assert len(same) == 6 * n_docs
     assert (same.hamming == 0).all()
     assert (out[~out.same_doc].id_a // 4 != out[~out.same_doc].id_b // 4).all()
+
+
+def test_phash_near_dup_inline_hamming_matches_bruteforce(spark):
+    """Round-14 rewrite guard: phash_near_dup now reassembles the
+    64-bit hash and verifies Hamming INLINE on the bucket join's
+    output row (no candidate DISTINCT / join-backs). Pin the operator
+    against a brute-force pair enumeration on a crafted chunk set
+    with hot-bucket collisions, boundary Hamming (exactly 3 and 4),
+    and pairs that share no chunk."""
+    from itertools import combinations
+
+    from flight_delay_prediction_using_pyspark_spark.multimodal import media as M
+
+    hashes = {
+        1: [0x0000, 0x1111, 0x2222, 0x3333],
+        2: [0x0000, 0x1111, 0x2222, 0x3333],   # hamming 0 vs 1
+        3: [0x0001, 0x1111, 0x2222, 0x3332],   # hamming 2 vs 1 (shares ci 1,2)
+        4: [0x0007, 0x1111, 0x2222, 0x3333],   # hamming 3 vs 1 (boundary in)
+        5: [0x000F, 0x1111, 0x2222, 0x3333],   # hamming 4 vs 1 (boundary out)
+        6: [0x0000, 0x5111, 0x6222, 0x7333],   # shares ci 0 with 1 (hot bucket)
+        7: [0x4444, 0x5555, 0x6666, 0x7777],   # shares nothing with 1
+    }
+    rows = [
+        (doc, ci, val)
+        for doc, vals in hashes.items()
+        for ci, val in enumerate(vals)
+    ]
+    chunks = spark.createDataFrame(rows, "doc_id long, ci int, val long")
+    got = sorted(
+        tuple(r)
+        for r in M.phash_near_dup(chunks, max_hamming=3).collect()
+    )
+    expected = []
+    for a, b in combinations(sorted(hashes), 2):
+        if not any(x == y for x, y in zip(hashes[a], hashes[b])):
+            continue  # pigeonhole: must share >=1 chunk
+        ham = sum(
+            bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b])
+        )
+        if ham <= 3:
+            expected.append((a, b, ham))
+    assert got == sorted(expected)
+    # boundary sanity: (1,4) in at hamming 3, (1,5) out at 4,
+    # (1,7) out (no shared chunk)
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 4) in pairs and (1, 5) not in pairs and (1, 7) not in pairs
