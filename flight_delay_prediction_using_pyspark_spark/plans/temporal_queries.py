@@ -3119,9 +3119,16 @@ def _grouped_bootstrap_ci(
         # every core instead of the scan's 1-3 input splits (profiled
         # 5.9 s on 3 tasks before; guide §2). Shuffled payload is the
         # 10% sample's narrow rows — the m_j digests move once instead
-        # of being recomputed 8x each.
+        # of being recomputed 8x each. The partition count is the MAX
+        # of core count and scan width (round-14, verdict item 1): the
+        # barrier is kept at every scale, but a 100 TB scan with ~10⁵
+        # splits is never COALESCED down to the core count by it.
         samp = samp.repartition(
-            spark.sparkContext.defaultParallelism, "m_0"
+            max(
+                spark.sparkContext.defaultParallelism,
+                samp.rdd.getNumPartitions(),
+            ),
+            "m_0",
         )
 
     agg = samp.groupBy("l_returnflag").agg(
@@ -3228,8 +3235,16 @@ def q_lineitem_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once instead of being recomputed 8x each) and spreads the
     # 64-agg-column partial agg across every core instead of the
     # scan's 1-3 input splits (guide §2). This beat both measured
-    # arms of the old persist-vs-recompute trade.
-    samp = samp.repartition(spark.sparkContext.defaultParallelism, "m_0")
+    # arms of the old persist-vs-recompute trade. Partition count is
+    # MAX(cores, scan width) — the barrier never coalesces a wide
+    # 100 TB scan (round-14, verdict item 1).
+    samp = samp.repartition(
+        max(
+            spark.sparkContext.defaultParallelism,
+            samp.rdd.getNumPartitions(),
+        ),
+        "m_0",
+    )
     agg = samp.agg(
         F.count(F.lit(1)).alias("n_sample"),
         F.sum("xc").cast("long").alias("s_all"),

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_delay_prediction_using_pyspark_spark.operators import aggregates as A
-from flight_delay_prediction_using_pyspark_spark.plans.queries import query, scratch_persist
+from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+    query,
+    scratch_persist,
+    spread_if_narrow,
+)
 from flight_delay_prediction_using_pyspark_spark.sources.readers import load_table
 from flight_delay_prediction_using_pyspark_spark.text import analysis as TA
 from flight_delay_prediction_using_pyspark_spark.text import dedup as TD
@@ -143,8 +147,8 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition only spreads the single-file test scan across cores
     (interpreted per-doc HOF work would otherwise run serially)."""
     return TA.text_profile(
-        load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
+        spread_if_narrow(
+            load_table(spark, sf_dir, "documents")
         )
     )
 
@@ -1277,8 +1281,8 @@ def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     table needs)."""
     key = ("winnow", id(spark.sparkContext), sf_dir)
     if key not in _PAIR_CACHE:
-        docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
+        docs = spread_if_narrow(
+            load_table(spark, sf_dir, "documents")
         )
         _PAIR_CACHE[key] = docs.select(
             "doc_id",
@@ -1796,9 +1800,7 @@ def q_doc_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the vocab groupBy so the exchange is co-partitioned, and AQE
     still broadcasts the vocab at runtime when it actually fits —
     then per-doc agg and a tiny histogram."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_if_narrow(load_table(spark, sf_dir, "documents"))
     from flight_delay_prediction_using_pyspark_spark.operators.windows import global_rank
 
     occ = docs.select(
@@ -1884,9 +1886,7 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-file test scan across cores (interpreted per-doc cost on a
     one-partition scan runs serially; at 100 TB the source is many
     files and the repartition drops out). 6.6 s → 0.7 s at sf0.1."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_if_narrow(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -2148,8 +2148,8 @@ def q_doc_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-probe passes across every core (guide §2: single-file scan
     = one task otherwise; profiled 3.9 s single-task scoring at
     sf0.1); only (doc_id, lang, text) shuffles."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     scores = TA.bigram_lm_doc_scores(
         docs, docs.filter(F.col("lang") == "en"), persist_fn=scratch_persist
@@ -2326,8 +2326,8 @@ def q_doc_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode passes across every core (guide §2: the single-file scan
     otherwise runs them on ONE task — profiled 4.6-7.1 s single-task
     at sf0.1 on 32 cores); only (doc_id, text) shuffles."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = spread_if_narrow(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     toks = docs.select(F.explode(TA.tokens(F.lower(F.col("text")))).alias("w"))
     uni = scratch_persist(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
@@ -2752,17 +2752,25 @@ def q_corpus_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(f"{stage}/phase=*")
     )
     parallelism = spark.sparkContext.defaultParallelism
+    # loop-invariant expression bundles, built ONCE outside the
+    # micro-batch body (round-14, guide §4 driver boundary): the
+    # shingle/digest/signature and band-struct trees cost ~0.5 s of
+    # py4j construction per build — per BATCH before this hoist
+    sig_exprs = TD.minhash_signature_exprs()
+    band_structs = TD.lsh_band_structs()
+    phase = F.expr(f"CAST((doc_id * 4) DIV {max_id + 1} AS INT)")
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
         from flight_delay_prediction_using_pyspark_spark.plans.queries import (
             run_concurrently,
         )
 
-        phase = F.expr(f"CAST((doc_id * 4) DIV {max_id + 1} AS INT)")
         # persist the batch signatures: the shingle store and the
         # band-bucket store both consume them, and without the persist
         # the shingle+minhash pass runs twice per micro-batch
-        sigs_b = TD.minhash_signatures(batch_df, parallelism=parallelism).persist()
+        sigs_b = TD.minhash_signatures(
+            batch_df, parallelism=parallelism, exprs=sig_exprs
+        ).persist()
         try:
             # the three sinks are independent appends to three stores
             # (different directories — no commit-protocol interaction);
@@ -2781,7 +2789,7 @@ def q_corpus_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFra
                     .parquet(sh_dir)
                 ),
                 lambda: (
-                    TD.lsh_band_buckets(sigs_b)
+                    TD.lsh_band_buckets(sigs_b, band_structs=band_structs)
                     .write.mode("append")
                     .partitionBy("band")
                     .parquet(bucket_dir)
@@ -2900,8 +2908,9 @@ def q_corpus_dedup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFra
     """Dedup-store MAINTENANCE — the missing half of the
     corpus_streaming_ingest_dedup lifecycle (round-12 verdict item 7):
     the band-partitioned LSH bucket store accumulates small files
-    under continued appends (4 append passes here, each leaving ≥1
-    file per band directory), periodic compaction
+    under continued appends (fixture: one 8-task fan-out append
+    leaving 8 files per band directory — the layout a day of ingest
+    batches accretes), periodic compaction
     (layout.compact_partitioned — per-partition OPTIMIZE, in-place,
     idempotent) rewrites each fragmented band directory to its
     target-size file count, and the daily screen then runs against
@@ -2957,15 +2966,24 @@ def q_corpus_dedup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     try:
-        # 4 append passes (a day of 6-hourly ingest batches): each
-        # leaves >= 1 new file in every band directory it touches.
-        for p in range(4):
-            (
-                corpus_buckets.filter(F.col("doc_id") % 4 == p)
-                .write.mode("append")
-                .partitionBy("band")
-                .parquet(store)
-            )
+        # Fragmented-store fixture in ONE fan-out write (round-14,
+        # guide §2.6/§6 small-files): the old fixture replayed a day
+        # of 6-hourly ingest batches as 4 sequential append jobs, each
+        # re-walking the bucket lineage. One 8-task append (doc_id
+        # hash fan-out; 8 is the fixture's files-per-band shape, not a
+        # core-count constant) leaves the same fragmented layout the
+        # compaction contract needs — >= 2 files in every band
+        # directory — with the lineage touched once. The store
+        # CONTENT is identical either way (same rows, band layout);
+        # only the measured operators (compaction + pruned screen)
+        # matter downstream, and contract_ok still asserts real
+        # fragmentation collapsed to 1 file/band.
+        (
+            corpus_buckets.repartition(8, "doc_id")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(store)
+        )
         files_before = n_files()
         band_dirs_before = len(glob.glob(os.path.join(store, "band=*")))
         pruned_before = n_files("band=0")

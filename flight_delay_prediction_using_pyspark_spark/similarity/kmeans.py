@@ -61,6 +61,8 @@ supervised, /root/reference/src/main/helper_methods.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,14 +117,29 @@ def quantize_sql_expr(vec_sql: str, scale: int = DEFAULT_SCALE) -> str:
 # expression TEXT (a column name or e.g. "slice(rq, 1, 8)"); the
 # public helpers also keep accepting a Column and fall back to the
 # (bit-identical, slower-to-build) Column path for compatibility.
+#
+# CONTRACT of the string arguments (round-13 ADVICE): a string is
+# interpolated UNQUOTED into the generated SQL, so it must be a plain
+# identifier or already-valid SQL expression text. A column name that
+# needs backtick quoting (reserved word, special characters) must be
+# passed pre-quoted ("`my col`") or as a Column.
 
 
 def _dbl(x: float) -> str:
     """SQL double literal that round-trips exactly: repr() emits the
     shortest digits that parse back to the same IEEE double (verified
     incl. denormals, -0.0, DBL_MAX), and the D suffix keeps Spark's
-    parser from reading it as DECIMAL."""
-    return repr(float(x)) + "D"
+    parser from reading it as DECIMAL. Non-finite values would emit
+    unparseable text ('nanD'/'infD') and surface as a cryptic parse
+    error deep inside a query — fail fast with context instead
+    (round-13 ADVICE)."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite centroid/LUT component {x!r} cannot be emitted "
+            "as a SQL double literal"
+        )
+    return repr(x) + "D"
 
 
 def _sq_dist_sql_expr(qv_sql: str, centroid: list[float]) -> str:

@@ -148,6 +148,7 @@ def minhash_signatures(
     n: int = 3,
     k: int = MINHASH_K,
     parallelism: int | None = None,
+    exprs: tuple[Column, Column] | None = None,
 ) -> DataFrame:
     """Per-document (id, shingles, sh_hashes, minhash signature).
     Rows with no shingles (docs shorter than n tokens) are dropped.
@@ -173,39 +174,52 @@ def minhash_signatures(
     shingle md5) computation. Use when the source is a few dense files
     (local testdata = 1 row-group = 1 task); leave None at real scale,
     where the scan is already split and an extra shuffle of the text
-    would cost more than it buys."""
+    would cost more than it buys.
+
+    `exprs`: a prebuilt column bundle from minhash_signature_exprs —
+    pass it when calling this in a LOOP (streaming foreachBatch):
+    building the shingle/digest/signature trees costs ~0.5 s of
+    driver-side py4j per call (measured at k=16), and a Column is an
+    unresolved tree reusable against every batch frame (guide §4, the
+    round-14 loop-invariant-hoist pattern)."""
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
+    exploded, sig = exprs or minhash_signature_exprs(
+        text_col=text_col, n=n, k=k
+    )
     bound = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.array(shingles(F.col(text_col), n)),
-                    lambda s: F.struct(
-                        s.alias("shingles"),
-                        F.transform(s, lambda x: md5_hash32(x)).alias(
-                            "sh_hashes"
-                        ),
-                    ),
-                )
-            ).alias("__s"),
-        )
+        df.select(F.col(id_col), exploded)
         .select(id_col, "__s.shingles", "__s.sh_hashes")
         .filter(F.size("sh_hashes") > 0)
     )
-    return bound.withColumn("sig", minhash_sig_from_hashes(F.col("sh_hashes"), k))
+    return bound.withColumn("sig", sig)
 
 
-def lsh_band_buckets(
-    sig_df: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = LSH_BANDS,
-    rows: int = LSH_ROWS,
-) -> DataFrame:
-    """Explode each signature into (band_idx, band_hash) bucket keys.
-    band_hash = portable hash of the band's joined minhash values."""
-    band_structs = F.array(
+def minhash_signature_exprs(
+    text_col: str = "text", n: int = 3, k: int = MINHASH_K
+) -> tuple[Column, Column]:
+    """The loop-invariant column pair of minhash_signatures — the
+    exploded (shingles, sh_hashes) struct generator and the signature
+    column — exposed so foreachBatch bodies build them ONCE and reuse
+    them per micro-batch (same tree; minhash_signatures delegates
+    here)."""
+    exploded = F.explode(
+        F.transform(
+            F.array(shingles(F.col(text_col), n)),
+            lambda s: F.struct(
+                s.alias("shingles"),
+                F.transform(s, lambda x: md5_hash32(x)).alias("sh_hashes"),
+            ),
+        )
+    ).alias("__s")
+    return exploded, minhash_sig_from_hashes(F.col("sh_hashes"), k)
+
+
+def lsh_band_structs(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """The loop-invariant band-bucket array of lsh_band_buckets —
+    build once for foreachBatch reuse (same tree; lsh_band_buckets
+    delegates here)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -219,6 +233,21 @@ def lsh_band_buckets(
             for b in range(bands)
         ]
     )
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    band_structs: Column | None = None,
+) -> DataFrame:
+    """Explode each signature into (band_idx, band_hash) bucket keys.
+    band_hash = portable hash of the band's joined minhash values.
+    Pass a prebuilt `band_structs` (lsh_band_structs) when calling in
+    a loop."""
+    if band_structs is None:
+        band_structs = lsh_band_structs(bands, rows)
     return sig_df.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))

@@ -1049,3 +1049,46 @@ def test_text_tier_tokenizes_once_per_node(spark, name):
         f"(budget {budget}) — a let-binding regressed (see "
         "text/analysis.py quality_score docstring)"
     )
+
+
+def test_spread_if_narrow_two_states(spark, tmp_path):
+    """Round-14 (verdict item 2): the doc_id spreads ahead of the
+    CPU-bound Python stages are CONDITIONAL on scan width — a
+    single-split scan gets the deliberate Exchange (the sf0.1 state),
+    a scan already wider than the core count passes through with NO
+    added Exchange (the 100 TB state, where the old unconditional
+    repartition would have coalesced the scan)."""
+    from flight_delay_prediction_using_pyspark_spark.plans.queries import (
+        spread_if_narrow,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    # narrow state: the single-file documents scan is ONE split
+    docs = spark.read.parquet(f"{SF_CORRECTNESS_DIR}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < cores
+    narrow = spread_if_narrow(docs.select("doc_id", "text"), "doc_id")
+    # plan captured before any execution: one deliberate Exchange
+    # (an executed AQE plan would list it twice — Final + Initial)
+    assert n_exchanges(plan_of(narrow)) == 1
+    assert narrow.rdd.getNumPartitions() == cores
+
+    # wide state: a many-file fixture whose scan has >= cores splits
+    # (shrink the split-packing knobs so each tiny file is its own
+    # split; restored below)
+    wide_dir = str(tmp_path / "wide_documents")
+    spark.range(0, 4 * cores).selectExpr(
+        "id AS doc_id", "repeat('x', 64) AS text"
+    ).repartition(2 * cores).write.parquet(wide_dir)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        wide = spark.read.parquet(wide_dir)
+        assert wide.rdd.getNumPartitions() >= cores
+        spread = spread_if_narrow(wide, "doc_id")
+        assert n_exchanges(plan_of(spread)) == 0
+        assert spread.rdd.getNumPartitions() == wide.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
