@@ -1994,9 +1994,15 @@ def q_ml_tree_sql_scoring_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         return int(r["n"]), int(r["mism"])
 
-    n, tree_mism = mismatches(tree, tree_to_case_expr(tree, _TREESQL_FEATURES))
-    _, rf_mism = mismatches(rf, forest_to_sql_expr(rf, _TREESQL_FEATURES))
-    _, gbt_mism = mismatches(gbt, forest_to_sql_expr(gbt, _TREESQL_FEATURES))
+    # the three family parities are independent deterministic aggs
+    # over the same assembled frame — overlap them (guide §2.6,
+    # round-14; unlike ceiling/depth15 nothing here toggles the
+    # session-global codegen conf, so the concurrency is safe)
+    (n, tree_mism), (_, rf_mism), (_, gbt_mism) = run_concurrently(
+        lambda: mismatches(tree, tree_to_case_expr(tree, _TREESQL_FEATURES)),
+        lambda: mismatches(rf, forest_to_sql_expr(rf, _TREESQL_FEATURES)),
+        lambda: mismatches(gbt, forest_to_sql_expr(gbt, _TREESQL_FEATURES)),
+    )
     n_leaves = count_leaves(tree)
     return spark.createDataFrame(
         [
