@@ -793,6 +793,12 @@ def _report_regressions(
     ] or ["bench: no regressions vs baseline"]
     if load_start is not None:
         lines.append(f"loadavg_start={load_start} loadavg_end={load_end}")
+    # stamp the core count: an 8-core scaling run's flags are not
+    # comparable to the canonical 32-core baseline (round-13 VERDICT
+    # item 8 — the committed artifact must name its configuration)
+    lines.append(
+        f"cpus={os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}"
+    )
     with open(os.path.join(REPO_ROOT, "bench_regressions.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
