@@ -2688,88 +2688,19 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
 
-    (coarse, res, rbooks), fbooks, tl_state, panel = run_concurrently(
-        _flat_ivfadc_chain, _flat_pq_chain, _two_level_chain, _panel_chain
-    )
-    tl_coarse, tl_books, tl_fcomps, tl_res, tl_rbooks = tl_state
-    tl_ccomps = {
-        cid: km.centroid_components(n, s) for cid, (n, s) in tl_coarse.items()
-    }
+    # Round-14 restructure (guide §2.6, second application): the old
+    # shape put a BARRIER after the four training chains, built every
+    # arm's LUTs, then overlapped only the final counts — so the fast
+    # flat-PQ arm's scoring waited on the slow two-level fit. Now each
+    # ARM is one pipeline (fit -> driver LUTs -> scoring frames ->
+    # overlap counts) and the three arms run end-to-end concurrently;
+    # the exact-truth frame is shared lazily (scratch-persisted dists
+    # — whichever count runs first materializes it under the cache
+    # lock). Results are deterministic functions of the data; only
+    # scheduling changed.
+    panel = _panel_chain()
     n_queries = len(panel)
-    ccomps = {cid: km.centroid_components(n, s) for cid, (n, s) in coarse.items()}
-    flat_lut_rows, res_lut_rows, probe_rows = [], [], []
-    tl_lut_rows, tl_probe_rows = [], []
-    for p in panel:
-        qid, qq = int(p["vec_id"]), [int(x) for x in p["qv"]]
-        for s in range(_PQ_M):
-            for cid in sorted(fbooks[s]):
-                flat_lut_rows.append(
-                    (
-                        qid,
-                        s,
-                        cid,
-                        km.py_sq_dist(
-                            qq[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
-                            km.centroid_components(*fbooks[s][cid]),
-                        ),
-                    )
-                )
-        for g in sorted(ccomps):
-            qres = km.py_residual(qq, ccomps[g])
-            for s in range(_PQ_M):
-                for cid in sorted(rbooks[s]):
-                    res_lut_rows.append(
-                        (
-                            qid,
-                            g,
-                            s,
-                            cid,
-                            km.py_sq_dist(
-                                qres[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
-                                km.centroid_components(*rbooks[s][cid]),
-                            ),
-                        )
-                    )
-        probe_rows += [
-            (qid, g)
-            for g in sorted(
-                ccomps, key=lambda c: (km.py_sq_dist(qq, ccomps[c]), c)
-            )[:_IVF_PROBES]
-        ]
-        for (g, f), comp in sorted(tl_fcomps.items()):
-            tqres = km.py_residual(qq, comp)
-            for s in range(_PQ_M):
-                for cid in sorted(tl_rbooks[s]):
-                    tl_lut_rows.append(
-                        (
-                            qid,
-                            g,
-                            f,
-                            s,
-                            cid,
-                            km.py_sq_dist(
-                                tqres[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
-                                km.centroid_components(*tl_rbooks[s][cid]),
-                            ),
-                        )
-                    )
-        for g in sorted(
-            tl_ccomps, key=lambda c: (km.py_sq_dist(qq, tl_ccomps[c]), c)
-        )[:_TL_PC]:
-            fcs = {f: tl_fcomps[(g, f)] for f in sorted(tl_books.get(g, {}))}
-            tl_probe_rows += [
-                (qid, g, f)
-                for f in sorted(
-                    fcs, key=lambda f: (km.py_sq_dist(qq, fcs[f]), f)
-                )[:_TL_PF]
-            ]
-    flat_lut = spark.createDataFrame(
-        flat_lut_rows, "query_id long, sub int, cid int, dist double"
-    )
-    res_lut = spark.createDataFrame(
-        res_lut_rows, "query_id long, gid int, sub int, cid int, dist double"
-    )
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, gid int")
+    qqs = [(int(p["vec_id"]), [int(x) for x in p["qv"]]) for p in panel]
     ordered_fold = F.aggregate(
         F.transform(
             F.array_sort(
@@ -2782,73 +2713,8 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    fcodes = base.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    km.nearest_expr(
-                        f"slice(qv, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", fbooks[s]
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("sub", "cid"),
-    )
-    fscored = (
-        fcodes.join(F.broadcast(flat_lut), ["sub", "cid"])
-        .groupBy("query_id", F.col("vec_id").alias("vid"))
-        .agg(ordered_fold.alias("adist"))
-    )
-    rcodes = res.select(
-        "vec_id",
-        "gid",
-        F.posexplode(
-            F.array(
-                *[
-                    km.nearest_expr(
-                        f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", rbooks[s]
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("sub", "cid"),
-    )
-    rscored = scratch_persist(
-        rcodes.join(F.broadcast(res_lut), ["gid", "sub", "cid"])
-        .groupBy("query_id", F.col("vec_id").alias("vid"), "gid")
-        .agg(ordered_fold.alias("adist"))
-    )
-    tl_lut = spark.createDataFrame(
-        tl_lut_rows, "query_id long, gid int, fid int, sub int, cid int, dist double"
-    )
-    tl_probe_df = spark.createDataFrame(
-        tl_probe_rows, "query_id long, gid int, fid int"
-    )
-    tl_codes = tl_res.select(
-        "vec_id",
-        "gid",
-        "fid",
-        F.posexplode(
-            F.array(
-                *[
-                    km.nearest_expr(
-                        f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})", tl_rbooks[s]
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("sub", "cid"),
-    )
-    tl_scored = scratch_persist(
-        tl_codes.join(F.broadcast(tl_lut), ["gid", "fid", "sub", "cid"])
-        .groupBy("query_id", F.col("vec_id").alias("vid"), "gid", "fid")
-        .agg(ordered_fold.alias("adist"))
-    )
-    panel_df = spark.createDataFrame(
-        [(int(p["vec_id"]), [int(x) for x in p["qv"]]) for p in panel],
-        "query_id long, qqv array<long>",
-    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "vid")
+    panel_df = spark.createDataFrame(qqs, "query_id long, qqv array<long>")
     d2 = F.aggregate(
         F.zip_with(F.col("qv"), F.col("qqv"), lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast("long"),
@@ -2865,42 +2731,210 @@ def q_ann_ivfadc_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "vid")
     )
-    wq = Window.partitionBy("query_id").orderBy("adist", "vid")
-    flat10 = (
-        fscored.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vid")
-    )
-    ivf_all10 = (
-        rscored.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vid")
-    )
-    ivf_probe10 = (
-        rscored.join(F.broadcast(probe_df), ["query_id", "gid"])
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vid")
-    )
-    tl_all10 = (
-        tl_scored.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vid")
-    )
-    tl_probe10 = (
-        tl_scored.join(F.broadcast(tl_probe_df), ["query_id", "gid", "fid"])
-        .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vid")
-    )
-    # five independent overlap counts on persisted scored frames —
-    # overlapped the same way as the trainers (guide §2.6)
-    n_flat, n_all, n_probe, n_tl_all, n_tl_probe = run_concurrently(
-        lambda: flat10.join(exact10, ["query_id", "vid"]).count(),
-        lambda: ivf_all10.join(exact10, ["query_id", "vid"]).count(),
-        lambda: ivf_probe10.join(exact10, ["query_id", "vid"]).count(),
-        lambda: tl_all10.join(exact10, ["query_id", "vid"]).count(),
-        lambda: tl_probe10.join(exact10, ["query_id", "vid"]).count(),
+
+    def _overlap(top10: DataFrame) -> int:
+        return top10.join(exact10, ["query_id", "vid"]).count()
+
+    def arm_flat() -> int:
+        fbooks = _flat_pq_chain()
+        flat_lut_rows = [
+            (
+                qid,
+                s,
+                cid,
+                km.py_sq_dist(
+                    qq[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                    km.centroid_components(*fbooks[s][cid]),
+                ),
+            )
+            for qid, qq in qqs
+            for s in range(_PQ_M)
+            for cid in sorted(fbooks[s])
+        ]
+        flat_lut = spark.createDataFrame(
+            flat_lut_rows, "query_id long, sub int, cid int, dist double"
+        )
+        fcodes = base.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        km.nearest_expr(
+                            f"slice(qv, {s * _PQ_SUBD + 1}, {_PQ_SUBD})",
+                            fbooks[s],
+                        )
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "cid"),
+        )
+        fscored = (
+            fcodes.join(F.broadcast(flat_lut), ["sub", "cid"])
+            .groupBy("query_id", F.col("vec_id").alias("vid"))
+            .agg(ordered_fold.alias("adist"))
+        )
+        flat10 = (
+            fscored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vid")
+        )
+        return _overlap(flat10)
+
+    def arm_ivfadc() -> tuple[int, int]:
+        coarse, res, rbooks = _flat_ivfadc_chain()
+        ccomps = {
+            cid: km.centroid_components(n, s) for cid, (n, s) in coarse.items()
+        }
+        res_lut_rows, probe_rows = [], []
+        for qid, qq in qqs:
+            for g in sorted(ccomps):
+                qres = km.py_residual(qq, ccomps[g])
+                for s in range(_PQ_M):
+                    for cid in sorted(rbooks[s]):
+                        res_lut_rows.append(
+                            (
+                                qid,
+                                g,
+                                s,
+                                cid,
+                                km.py_sq_dist(
+                                    qres[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                                    km.centroid_components(*rbooks[s][cid]),
+                                ),
+                            )
+                        )
+            probe_rows += [
+                (qid, g)
+                for g in sorted(
+                    ccomps, key=lambda c: (km.py_sq_dist(qq, ccomps[c]), c)
+                )[:_IVF_PROBES]
+            ]
+        res_lut = spark.createDataFrame(
+            res_lut_rows,
+            "query_id long, gid int, sub int, cid int, dist double",
+        )
+        probe_df = spark.createDataFrame(probe_rows, "query_id long, gid int")
+        rcodes = res.select(
+            "vec_id",
+            "gid",
+            F.posexplode(
+                F.array(
+                    *[
+                        km.nearest_expr(
+                            f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})",
+                            rbooks[s],
+                        )
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "cid"),
+        )
+        rscored = scratch_persist(
+            rcodes.join(F.broadcast(res_lut), ["gid", "sub", "cid"])
+            .groupBy("query_id", F.col("vec_id").alias("vid"), "gid")
+            .agg(ordered_fold.alias("adist"))
+        )
+        ivf_all10 = (
+            rscored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vid")
+        )
+        ivf_probe10 = (
+            rscored.join(F.broadcast(probe_df), ["query_id", "gid"])
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vid")
+        )
+        n_all, n_probe = run_concurrently(
+            lambda: _overlap(ivf_all10), lambda: _overlap(ivf_probe10)
+        )
+        return n_all, n_probe
+
+    def arm_tl() -> tuple[int, int]:
+        tl_coarse, tl_books, tl_fcomps, tl_res, tl_rbooks = _two_level_chain()
+        tl_ccomps = {
+            cid: km.centroid_components(n, s)
+            for cid, (n, s) in tl_coarse.items()
+        }
+        tl_lut_rows, tl_probe_rows = [], []
+        for qid, qq in qqs:
+            for (g, f), comp in sorted(tl_fcomps.items()):
+                tqres = km.py_residual(qq, comp)
+                for s in range(_PQ_M):
+                    for cid in sorted(tl_rbooks[s]):
+                        tl_lut_rows.append(
+                            (
+                                qid,
+                                g,
+                                f,
+                                s,
+                                cid,
+                                km.py_sq_dist(
+                                    tqres[s * _PQ_SUBD : (s + 1) * _PQ_SUBD],
+                                    km.centroid_components(*tl_rbooks[s][cid]),
+                                ),
+                            )
+                        )
+            for g in sorted(
+                tl_ccomps, key=lambda c: (km.py_sq_dist(qq, tl_ccomps[c]), c)
+            )[:_TL_PC]:
+                fcs = {
+                    f: tl_fcomps[(g, f)] for f in sorted(tl_books.get(g, {}))
+                }
+                tl_probe_rows += [
+                    (qid, g, f)
+                    for f in sorted(
+                        fcs, key=lambda f: (km.py_sq_dist(qq, fcs[f]), f)
+                    )[:_TL_PF]
+                ]
+        tl_lut = spark.createDataFrame(
+            tl_lut_rows,
+            "query_id long, gid int, fid int, sub int, cid int, dist double",
+        )
+        tl_probe_df = spark.createDataFrame(
+            tl_probe_rows, "query_id long, gid int, fid int"
+        )
+        tl_codes = tl_res.select(
+            "vec_id",
+            "gid",
+            "fid",
+            F.posexplode(
+                F.array(
+                    *[
+                        km.nearest_expr(
+                            f"slice(rq, {s * _PQ_SUBD + 1}, {_PQ_SUBD})",
+                            tl_rbooks[s],
+                        )
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("sub", "cid"),
+        )
+        tl_scored = scratch_persist(
+            tl_codes.join(F.broadcast(tl_lut), ["gid", "fid", "sub", "cid"])
+            .groupBy("query_id", F.col("vec_id").alias("vid"), "gid", "fid")
+            .agg(ordered_fold.alias("adist"))
+        )
+        tl_all10 = (
+            tl_scored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vid")
+        )
+        tl_probe10 = (
+            tl_scored.join(
+                F.broadcast(tl_probe_df), ["query_id", "gid", "fid"]
+            )
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vid")
+        )
+        n_tl_all, n_tl_probe = run_concurrently(
+            lambda: _overlap(tl_all10), lambda: _overlap(tl_probe10)
+        )
+        return n_tl_all, n_tl_probe
+
+    n_flat, (n_all, n_probe), (n_tl_all, n_tl_probe) = run_concurrently(
+        arm_flat, arm_ivfadc, arm_tl
     )
     return spark.createDataFrame(
         [
