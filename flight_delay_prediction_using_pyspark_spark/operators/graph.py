@@ -236,6 +236,13 @@ def kcore_peel(
     unrolled SQL oracle, same convention as pagerank_integer; at a
     fixpoint round the counts simply stop changing.
 
+    `partitions` sizes only the INITIAL symmetrized checkpoint (the
+    per-round frames inherit the window shuffle's AQE-coalesced
+    layout); the default suits the bench-scale co-purchase graph —
+    at production edge counts pass ≈ |E|·row_bytes / 256 MB so the
+    first checkpoint write is not a handful of giant tasks. Results
+    are partition-independent (exact counts).
+
     Scale shape (round-4 rewrite): the graph is held SYMMETRIZED
     (each undirected edge as two directed rows), so a node's degree is
     a plain window count over `src` — peeling a round is two window
